@@ -1,0 +1,275 @@
+"""Aggregations (SURVEY.md §2.4).
+
+Reference constructs: GROUP BY name/ordinal, GROUPING SETS, CUBE,
+ROLLUP, HAVING, QUALIFY, AVG/COUNT/MAX/MIN/SUM/STDEV/VAR [DISTINCT],
+count(*), GROUPING__ID (Bingql.g4:1080-1112,1366-1385; visitor
+visitGroup_by_columns SqlMetaDataExtractor.java:409-428).
+
+Scale notes: all groupBy aggs here are hash aggregates with map-side
+partial aggregation (Catalyst default) — the shuffle carries one row
+per (partition, group), not raw data.  Decimal-cast sums are exact, so
+results are also deterministic under any combine order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables, register_views
+from kachess_spark.operators._util import DEC, davg, dsum
+from kachess_spark.registry import query
+
+
+@query(
+    "agg_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_qty,
+           CAST(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_base_price,
+           CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_charge,
+           ROUND(CAST(SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / COUNT(l_quantity), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / COUNT(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical wide hash-aggregate (8 aggregates, 2 keys)."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) — Catalyst plans this as a two-stage expand/agg."""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the 100 TB answer to COUNT(DISTINCT).
+
+    HyperLogLog++ sketch; mergeable, one pass, no expand.  No oracle:
+    DuckDB's approx sketch differs by construction.
+    """
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_cust
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH ROLLUP (Bingql.g4:1102-1104) → df.rollup."""
+    t = Tables(spark, sf_dir)
+    joined = (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        ).join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_cust"))
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH CUBE → df.cube (all 4 grouping combinations)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS + GROUPING() marker (Bingql.g4:1088-1100)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 > 1200
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = filter-after-aggregate (Bingql.g4:1106-1108)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_partkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .where(F.col("total_qty") > 1200)
+    )
+
+
+@query(
+    "agg_groupby_ordinal",
+    oracle="""
+    SELECT o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_groupby_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY 1,2 ordinals (visitor findSelectItemByIndex
+    SqlMetaDataExtractor.java:1115-1129); spark.sql.groupByOrdinal."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+        """
+    )
+
+
+@query(
+    "agg_min_max",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX over doubles and dates (exact — order-independent)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+
+
+@query(
+    "agg_variance_stddev",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAR/STDEV surface (Bingql.g4:1379-1383), computed from exact
+    decimal moments so the result is deterministic across engines:
+    var = (Σx² − (Σx)²/n) / (n−1)."""
+    t = Tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    sum_sq = F.sum((q * q).cast(DEC)).cast("double")
+    sum_x = F.sum(q.cast(DEC)).cast("double")
+    n = F.count("*")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round((sum_sq - sum_x * sum_x / n) / (n - 1), 6).alias("var_qty"),
+    )
+
+
+@query(
+    "agg_count_star_only",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def agg_count_star_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) with no GROUP BY (the S_COL_ASTERISK case,
+    SqlMetaDataExtractor.java:430-462)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "agg_sum_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(DISTINCT ...) — ALL/DISTINCT set quantifier on aggregates."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_linestatus").agg(
+        F.sum_distinct(F.col("l_quantity").cast(DEC)).alias("sum_distinct_qty")
+    )

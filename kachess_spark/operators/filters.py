@@ -1,0 +1,192 @@
+"""Filters / predicates (SURVEY.md §2.2).
+
+Reference constructs: WHERE bool_expr; =,<>,<,<=,>,>=,<=> (null-safe);
+[NOT] LIKE/RLIKE; IS [NOT] NULL; [NOT] BETWEEN; [NOT] EXISTS(subq);
+[NOT] IN (list|subq); multi-col (a,b) IN (subq); AND/OR/NOT
+(Bingql.g4:1076-1229; visitor visitWhere_clause
+SqlMetaDataExtractor.java:302-327).
+
+All predicates stay as Column expressions → Catalyst pushes them into
+the parquet scan (verify: PushedFilters in explain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables, register_views
+from kachess_spark.registry import query
+
+
+@query(
+    "filter_between_in",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 12
+      AND l_returnflag IN ('A', 'R')
+      AND l_linenumber NOT IN (5, 6, 7)
+    """,
+)
+def filter_between_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.where(
+        F.col("l_quantity").between(10, 12)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~F.col("l_linenumber").isin(5, 6, 7)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "filter_like_rlike",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%green%'
+      AND p_type NOT LIKE 'SMALL%'
+      AND regexp_matches(p_brand, '^Brand#[0-4][0-9]$')
+    """,
+)
+def filter_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.part.where(
+        F.col("p_name").like("%green%")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_brand").rlike("^Brand#[0-4][0-9]$")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "filter_null_safe",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, flag
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS flag
+      FROM orders
+    )
+    WHERE flag IS NOT DISTINCT FROM NULL OR flag IS NOT DISTINCT FROM 'O'
+    """,
+)
+def filter_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality <=> (Spark eqNullSafe ↔ IS NOT DISTINCT FROM)."""
+    t = Tables(spark, sf_dir)
+    flagged = t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("flag"),
+    )
+    return flagged.where(
+        F.col("flag").eqNullSafe(F.lit(None).cast("string"))
+        | F.col("flag").eqNullSafe("O")
+    )
+
+
+@query(
+    "filter_exists_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.5)
+    """,
+)
+def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS (correlated subquery) — planned as a left-semi join.
+
+    At scale this is the shape you want: the subquery side is reduced
+    before the shuffle, no row multiplication.
+    """
+    t = Tables(spark, sf_dir)
+    big = t.lineitem.where(F.col("l_quantity") >= 49.5).select("l_orderkey")
+    return t.orders.join(
+        big, t.orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "filter_not_exists_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000)
+    """,
+)
+def filter_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left-anti join."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 450000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "filter_in_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                WHERE r_name = 'ASIA'))
+    """,
+)
+def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery), nested two deep — expressed in Spark SQL so the
+    decorrelation is Catalyst's (RewritePredicateSubquery → semi join)."""
+    register_views(spark, sf_dir, ("supplier", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                    WHERE r_name = 'ASIA'))
+        """
+    )
+
+
+@query(
+    "filter_multi_col_in",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND l.l_partkey = 1
+                    AND o.o_totalprice > 400000)
+    """,
+)
+def filter_multi_col_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column (a,b) IN (subquery) — Bingql bool_expr_multi_in."""
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE (l_orderkey, l_partkey) IN
+              (SELECT o_orderkey, 1 FROM orders WHERE o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "filter_boolean_combo",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_orderstatus = 'P')
+      AND NOT (o_totalprice < 50000)
+      AND o_orderdate IS NOT NULL
+    """,
+)
+def filter_boolean_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.where(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_orderstatus") == "P"))
+        & ~(F.col("o_totalprice") < 50000)
+        & F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")

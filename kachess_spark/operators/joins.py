@@ -1,0 +1,320 @@
+"""Joins (SURVEY.md §2.3).
+
+Reference constructs: [INNER] JOIN ON, LEFT/RIGHT/FULL [OUTER], LEFT
+SEMI, CROSS, comma-join, theta/non-equi ON (Bingql.g4:1041-1054; visitor
+visitFrom_join_clause SqlMetaDataExtractor.java:329-360).  The reference
+never executes; here each join is planned by Catalyst with explicit
+broadcast() hints on dimension tables so the 100 TB plan avoids
+shuffling the fact side against small dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kachess_spark.catalog import Tables
+from kachess_spark.operators._util import oracle_dsum, dsum
+from kachess_spark.registry import query
+
+
+@query(
+    "join_inner_q3",
+    oracle="""
+    SELECT l.l_orderkey AS o_key,
+           CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, o_key
+    LIMIT 20
+    """,
+)
+def join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way inner join + filter + agg + top-k.
+
+    Scale plan: customer is the small side → broadcast; orders⋈lineitem
+    shuffles on the shared orderkey only after both sides are filtered.
+    """
+    t = Tables(spark, sf_dir)
+    cust = t.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = t.orders.where(F.col("o_orderdate") < "1995-03-15").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t.lineitem.where(F.col("l_shipdate") > "1995-03-15").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ords.join(broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == ords.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_key"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("o_key", "revenue", "orderdate", "priority")
+        .orderBy(F.col("revenue").desc(), F.col("o_key"))
+        .limit(20)
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COALESCE(b.n_big, 0) AS n_big_items
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey, COUNT(*) AS n_big
+               FROM lineitem WHERE l_quantity > 48 GROUP BY l_orderkey) b
+      ON o.o_orderkey = b.l_orderkey
+    WHERE o.o_totalprice > 350000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN against a pre-aggregated subquery.
+
+    Aggregate-before-join: shrink the right side ahead of the shuffle
+    instead of joining raw lineitem then aggregating (100 TB rule).
+    """
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.where(F.col("l_quantity") > 48)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    o = t.orders.where(F.col("o_totalprice") > 350000)
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big_items"),
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name, c.c_custkey
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9900) c
+    RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER JOIN — nations kept even with no qualifying customer."""
+    t = Tables(spark, sf_dir)
+    c = t.customer.where(F.col("c_acctbal") > 9900)
+    return c.join(t.nation, c.c_nationkey == t.nation.n_nationkey, "right").select(
+        "n_name", "c_custkey"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN of two aggregates (both sides may be missing)."""
+    t = Tables(spark, sf_dir)
+    cn = (
+        t.customer.where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = t.supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI JOIN (Bingql.g4:1054) — existence only, no row multiplication."""
+    t = Tables(spark, sf_dir)
+    disc = t.lineitem.where(F.col("l_discount") >= 0.09).select("l_partkey")
+    return t.part.join(
+        disc, t.part.p_partkey == disc.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI JOIN — the NOT IN / NOT EXISTS plan shape."""
+    t = Tables(spark, sf_dir)
+    used = t.lineitem.where(F.col("l_quantity") > 45).select("l_partkey")
+    return t.part.join(
+        used, t.part.p_partkey == used.l_partkey, "left_anti"
+    ).select("p_partkey", "p_brand")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, p.o_orderpriority
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN (small × small only — never cross-join fact tables)."""
+    t = Tables(spark, sf_dir)
+    prios = t.orders.select("o_orderpriority").distinct()
+    return t.region.select("r_name").crossJoin(prios)
+
+
+@query(
+    "join_theta_nonequi",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size + 40
+    """,
+)
+def join_theta_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + non-equi residual (any bool_expr in ON).
+
+    The equi conjunct keeps this a hash join with the inequality applied
+    as a post-join filter — not a nested-loop (check explain).
+    """
+    t = Tables(spark, sf_dir)
+    p = broadcast(t.part.select("p_partkey", "p_size"))
+    li = t.lineitem
+    return li.join(
+        p,
+        (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size + 40),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size")
+
+
+@query(
+    "join_comma_implicit",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n, region r
+    WHERE n.n_regionkey = r.r_regionkey AND r.r_name LIKE 'A%'
+    """,
+)
+def join_comma_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-join with WHERE condition (reference defers ON to WHERE,
+    SqlMetaDataExtractor.java:331-335) — Catalyst turns it into an
+    equi-join, not a cartesian product."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.crossJoin(t.region)
+        .where((F.col("n_regionkey") == F.col("r_regionkey")) & F.col("r_name").like("A%"))
+        .select("n_name", "r_name")
+    )
+
+
+@query(
+    "join_q5_multiway",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def join_q5_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join. Dims (supplier/nation/region) broadcast;
+    the only big shuffle is orders⋈lineitem on orderkey."""
+    t = Tables(spark, sf_dir)
+    region = t.region.where(F.col("r_name") == "ASIA")
+    nat = t.nation.join(
+        broadcast(region), t.nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = t.supplier.join(
+        broadcast(nat), t.supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ords = t.orders.where(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_orderkey", "o_custkey")
+    oc = ords.join(
+        t.customer.select("c_custkey", "c_nationkey"),
+        ords.o_custkey == F.col("c_custkey"),
+    )
+    line = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    joined = line.join(oc, line.l_orderkey == oc.o_orderkey).join(
+        broadcast(supp),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    WHERE a.l_quantity > 49 AND b.l_quantity > 49
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join (reference test case 0010's shape): pairs of max-quantity
+    line items within one order."""
+    t = Tables(spark, sf_dir)
+    a = t.lineitem.where(F.col("l_quantity") > 49).select(
+        "l_orderkey", "l_linenumber"
+    ).alias("a")
+    b = t.lineitem.where(F.col("l_quantity") > 49).select(
+        "l_orderkey", "l_linenumber"
+    ).alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_linenumber").alias("ln_b"),
+    )

@@ -1,0 +1,341 @@
+"""Scalar expression surface (SURVEY.md §2.8).
+
+Reference constructs: arithmetic/bitwise ops, || concat, CASE (simple +
+searched), CAST/TRY_CAST, array/map subscript, ARRAY/MAP constructors,
+struct field access, lambdas (higher-order fns), POSITION/EXTRACT,
+TRIM/SUBSTRING(FROM FOR), date/interval arithmetic
+(Bingql.g4:1243-1355,1416-1442; visitor treats every function
+generically, visitColNameInExpr:366-407).
+
+Everything stays in built-in pyspark.sql.functions — JVM-side,
+whole-stage-codegen'd; no Python UDFs anywhere on this surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+
+@query(
+    "scalar_arith_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity + l_tax        AS add_v,
+           l_quantity - l_discount   AS sub_v,
+           l_extendedprice * 2       AS mul_v,
+           l_extendedprice / 4       AS div_v,
+           l_orderkey % 97           AS mod_v,
+           l_orderkey // 1000        AS intdiv_v,
+           l_partkey & 255           AS band_v,
+           l_partkey | 16            AS bor_v,
+           xor(l_partkey, l_suppkey) AS bxor_v,
+           -l_quantity               AS neg_v,
+           ABS(l_discount - 0.05)    AS abs_v
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def scalar_arith_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """+ - * / % DIV and bitwise & | ^ (binary_operator, Bingql.g4:1295-1307)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.where(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") + F.col("l_tax")).alias("add_v"),
+        (F.col("l_quantity") - F.col("l_discount")).alias("sub_v"),
+        (F.col("l_extendedprice") * 2).alias("mul_v"),
+        (F.col("l_extendedprice") / 4).alias("div_v"),
+        (F.col("l_orderkey") % 97).alias("mod_v"),
+        F.expr("l_orderkey div 1000").alias("intdiv_v"),
+        F.col("l_partkey").bitwiseAND(F.lit(255)).alias("band_v"),
+        F.col("l_partkey").bitwiseOR(F.lit(16)).alias("bor_v"),
+        F.col("l_partkey").bitwiseXOR(F.col("l_suppkey")).alias("bxor_v"),
+        (-F.col("l_quantity")).alias("neg_v"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
+    )
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                    AS up_brand,
+           LOWER(p_type)                     AS lo_type,
+           p_brand || '/' || p_type          AS cat_pipe,
+           CONCAT(p_brand, '-', CAST(p_size AS VARCHAR)) AS cat_fn,
+           SUBSTRING(p_name, 1, 8)           AS name8,
+           SUBSTRING(p_name FROM 3 FOR 4)    AS name_from_for,
+           TRIM('  ' || p_brand || ' ')      AS trimmed,
+           LENGTH(p_name)                    AS name_len,
+           POSITION('o' IN p_name)           AS o_pos,
+           REPLACE(p_type, ' ', '_')         AS type_us,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           REVERSE(p_brand)                  AS rev_brand
+    FROM part
+    WHERE p_partkey <= 100
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: ||, CONCAT, SUBSTRING(FROM FOR), TRIM, POSITION,
+    LENGTH, REPLACE, LPAD, REVERSE (expr_concat / expr_spec_func)."""
+    t = Tables(spark, sf_dir)
+    return t.part.where(F.col("p_partkey") <= 100).select(
+        "p_partkey",
+        F.upper("p_brand").alias("up_brand"),
+        F.lower("p_type").alias("lo_type"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("cat_pipe"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_size").cast("string")).alias(
+            "cat_fn"
+        ),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.substring("p_name", 3, 4).alias("name_from_for"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_name"), "o").alias("o_pos"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse(F.col("p_brand")).alias("rev_brand"),
+    )
+
+
+@query(
+    "scalar_case_expr",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'partial' END AS status_word,
+           CASE WHEN o_totalprice >= 300000 THEN 'XL'
+                WHEN o_totalprice >= 150000 THEN 'L'
+                WHEN o_totalprice >= 50000  THEN 'M'
+                ELSE 'S' END AS size_class
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def scalar_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple CASE (expr_case_simple) + searched CASE (expr_case_searched)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_word"),
+        F.when(F.col("o_totalprice") >= 300000, "XL")
+        .when(F.col("o_totalprice") >= 150000, "L")
+        .when(F.col("o_totalprice") >= 50000, "M")
+        .otherwise("S")
+        .alias("size_class"),
+    )
+
+
+@query(
+    "scalar_cast_try",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_size AS VARCHAR)                 AS size_str,
+           CAST(p_retailprice AS DECIMAL(12,2))    AS price_dec,
+           CAST(CAST(p_size AS DOUBLE) AS INT)     AS size_rt,
+           TRY_CAST(p_type AS INT)                 AS bad_int,
+           TRY_CAST('2024-0' || CAST((p_partkey % 8) + 1 AS VARCHAR) || '-15' AS DATE)
+                                                   AS mid_month
+    FROM part
+    WHERE p_partkey <= 50
+    """,
+)
+def scalar_cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST / TRY_CAST incl. failure→NULL (expr_cast, Bingql.g4:1353-1355)."""
+    t = Tables(spark, sf_dir)
+    return t.part.where(F.col("p_partkey") <= 50).select(
+        "p_partkey",
+        F.col("p_size").cast("string").alias("size_str"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("p_size").cast("double").cast("int").alias("size_rt"),
+        F.col("p_type").try_cast("int").alias("bad_int"),
+        F.concat(
+            F.lit("2024-0"),
+            ((F.col("p_partkey") % 8) + 1).cast("string"),
+            F.lit("-15"),
+        )
+        .try_cast("date")
+        .alias("mid_month"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year  FROM o_orderdate) AS INT)  AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT)  AS mo,
+           CAST(EXTRACT(day   FROM o_orderdate) AS INT)  AS dy,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)    AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE))            AS month_end,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT, date_trunc, INTERVAL arithmetic, last_day, datediff
+    (expr_presto_induced / interval literals, Bingql.g4:1265-1325)."""
+    t = Tables(spark, sf_dir)
+    od = F.col("o_orderdate")
+    return t.orders.where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.month(od).alias("mo"),
+        F.dayofmonth(od).alias("dy"),
+        F.quarter(od).alias("qtr"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        (od + F.expr("INTERVAL 30 DAY")).cast("date").alias("plus_30d"),
+        F.last_day(od.cast("date")).alias("month_end"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@query(
+    "scalar_array_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           range(1, l_linenumber + 1)                                   AS seq_arr,
+           l_linenumber                                                 AS arr_len,
+           list_transform(range(1, l_linenumber + 1), x -> x * 10)      AS tens,
+           list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0)      AS evens,
+           l_linenumber * (l_linenumber + 1) // 2                       AS arr_sum,
+           range(1, l_linenumber + 1)[l_linenumber]                     AS last_elem,
+           list_contains(range(1, l_linenumber + 1), 4)                 AS has_4
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY construction, subscript, size, higher-order lambdas
+    (transform/filter/aggregate — expr_lambda, Bingql.g4:1261-1263)."""
+    t = Tables(spark, sf_dir)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return t.lineitem.where(F.col("l_orderkey") < 300).select(
+        "l_orderkey",
+        "l_linenumber",
+        seq.alias("seq_arr"),
+        F.size(seq).alias("arr_len"),
+        F.transform(seq, lambda x: x * 10).alias("tens"),
+        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(seq, F.lit(0), lambda acc, x: acc + x).alias("arr_sum"),
+        F.element_at(seq, F.col("l_linenumber")).alias("last_elem"),
+        F.array_contains(seq, 4).alias("has_4"),
+    )
+
+
+@query(
+    "scalar_struct_field",
+    oracle="""
+    SELECT o_orderkey,
+           {'key': o_orderkey, 'state': o_orderstatus,
+            'price': o_totalprice}.state  AS st_state,
+           {'key': o_orderkey, 'state': o_orderstatus,
+            'price': o_totalprice}.price  AS st_price
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def scalar_struct_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction + field access expr.field (Bingql.g4:1243;
+    visitor strips field names, visitExpr:464-487)."""
+    t = Tables(spark, sf_dir)
+    st = F.struct(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("state"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return t.orders.where(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        st.getField("state").alias("st_state"),
+        st.getField("price").alias("st_price"),
+    )
+
+
+@query(
+    "scalar_map_ops",
+    oracle="""
+    SELECT o_orderkey,
+           map(['status','priority'],
+               [o_orderstatus, o_orderpriority])['status'][1] AS m_status,
+           cardinality(map(['status','priority'],
+               [o_orderstatus, o_orderpriority]))          AS m_size
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP constructor + subscript access (expr_map_array, Bingql.g4:1254-1259)."""
+    t = Tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return t.orders.where(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        m.getItem("status").alias("m_status"),
+        F.size(m).alias("m_size"),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.device')  AS device,
+           TRY_CAST(json_extract_string(props, '$.dur_ms') AS BIGINT) AS dur_ms
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props string column."""
+    t = Tables(spark, sf_dir)
+    return t.events.where(F.col("event_id") < 200).select(
+        "event_id",
+        F.get_json_object("props", "$.device").alias("device"),
+        F.get_json_object("props", "$.dur_ms").try_cast("bigint").alias("dur_ms"),
+    )
+
+
+@query(
+    "scalar_null_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'is-open')   AS status_or,
+           NULLIF(o_orderpriority, '1-URGENT')               AS prio_nulled,
+           CASE WHEN o_orderstatus = 'P' THEN NULL
+                ELSE o_totalprice END                        AS price_maybe,
+           COALESCE(CASE WHEN o_orderstatus = 'P' THEN NULL
+                         ELSE o_totalprice END, -1)          AS price_or_neg1
+    FROM orders
+    WHERE o_orderkey < 800
+    """,
+)
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / NULL propagation."""
+    t = Tables(spark, sf_dir)
+    price_maybe = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return t.orders.where(F.col("o_orderkey") < 800).select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("is-open")
+        ).alias("status_or"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_nulled"),
+        price_maybe.alias("price_maybe"),
+        F.coalesce(price_maybe, F.lit(-1.0)).alias("price_or_neg1"),
+    )

@@ -1,0 +1,184 @@
+"""Set operations + CTEs (SURVEY.md §2.7).
+
+Reference constructs: UNION [ALL|DISTINCT], EXCEPT [ALL],
+INTERSECT [ALL], WITH ... AS (...) (Bingql.g4:916-941; visitor
+positional UNION merge MiscChores.union:66-81).
+
+Spark set-ops are positional (like the reference's merge); all queries
+project identical column lists on both branches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables, register_views
+from kachess_spark.registry import query
+
+
+def _parties(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """customer and supplier projected to a common (key,name,nationkey,acctbal) shape."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("party_name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("CUSTOMER").alias("party_type"),
+    )
+    supp = t.supplier.select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("party_name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("SUPPLIER").alias("party_type"),
+    )
+    return cust, supp
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT c_custkey AS party_key, c_name AS party_name,
+           c_nationkey AS nationkey, c_acctbal AS acctbal,
+           'CUSTOMER' AS party_type
+    FROM customer WHERE c_acctbal > 9500
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'SUPPLIER'
+    FROM supplier
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — positional merge (reference test case 0005's shape)."""
+    cust, supp = _parties(spark, sf_dir)
+    return cust.where(F.col("acctbal") > 9500).union(supp)
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT = union + distinct."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(t.supplier.select("s_nationkey"))
+        .distinct()
+    )
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (DISTINCT) — set difference (df.subtract)."""
+    t = Tables(spark, sf_dir)
+    f = t.orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    big = t.orders.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    return f.subtract(big)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 49
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference (multiplicity-aware)."""
+    t = Tables(spark, sf_dir)
+    hi = t.lineitem.where(F.col("l_quantity") >= 49).select("l_partkey")
+    a = t.lineitem.where(
+        (F.col("l_returnflag") == "A") & (F.col("l_quantity") >= 49)
+    ).select("l_partkey")
+    return hi.exceptAll(a)
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nationkey")
+    ).intersect(t.supplier.select("s_nationkey"))
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection."""
+    t = Tables(spark, sf_dir)
+    f = t.orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    big = t.orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    return f.intersectAll(big)
+
+
+@query(
+    "cte_reused",
+    oracle="""
+    WITH nat AS (
+      SELECT n_nationkey, n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    cust_per_nat AS (
+      SELECT c_nationkey, COUNT(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT a.r_name, a.n_name, COALESCE(b.n_cust, 0) AS n_cust
+    FROM nat a LEFT JOIN cust_per_nat b ON a.n_nationkey = b.c_nationkey
+    """,
+)
+def cte_reused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE WITH-clause (Bingql.g4:916-926; visitor :543-557), two CTEs,
+    one referenced downstream — run through Spark SQL so Catalyst's CTE
+    resolution is exercised."""
+    register_views(spark, sf_dir, ("nation", "region", "customer"))
+    return spark.sql(
+        """
+        WITH nat AS (
+          SELECT n_nationkey, n_name, r_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+        ),
+        cust_per_nat AS (
+          SELECT c_nationkey, COUNT(*) AS n_cust
+          FROM customer GROUP BY c_nationkey
+        )
+        SELECT a.r_name, a.n_name, COALESCE(b.n_cust, 0) AS n_cust
+        FROM nat a LEFT JOIN cust_per_nat b ON a.n_nationkey = b.c_nationkey
+        """
+    )
+
+
+@query(
+    "select_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (select_list_set, Bingql.g4:962-965)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select("l_returnflag", "l_linestatus").distinct()

@@ -1,0 +1,86 @@
+"""Sorts / limits / distribution (SURVEY.md §2.6).
+
+Reference constructs: ORDER BY / SORT BY [ASC|DESC], LIMIT n, TOP n,
+DISTRIBUTE BY / CLUSTER BY (Bingql.g4:1114-1125,701-703).
+
+Scale notes: a global ORDER BY is a range-partitioned sort (sampled
+boundaries) — fine for top-k with LIMIT because Spark plans
+TakeOrderedAndProject (no full sort materialization).  SORT BY /
+CLUSTER BY avoid the global sort entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+
+@query(
+    "sort_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT n (and the TOP n / LIMIT equivalence) —
+    planned as TakeOrderedAndProject, never a full global sort."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_quantity > 49.5
+    ORDER BY l_returnflag ASC, l_linestatus DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY with mixed ASC/DESC."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(F.col("l_quantity") > 49.5)
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+        .orderBy(
+            F.col("l_returnflag").asc(),
+            F.col("l_linestatus").desc(),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "sort_cluster_by",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def sort_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY (= CLUSTER BY): repartition on the key,
+    sort only within partitions — no global merge.  Result *content*
+    equals the plain scan (oracle compares order-insensitively); the
+    point is the partitioning primitive used by bucketed writes."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(F.col("l_shipdate") >= "1998-01-01")
+        .select("l_suppkey", "l_orderkey", "l_linenumber")
+        .repartition("l_suppkey")
+        .sortWithinPartitions("l_suppkey", "l_orderkey", "l_linenumber")
+    )

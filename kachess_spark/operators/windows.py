@@ -1,0 +1,237 @@
+"""Window functions (SURVEY.md §2.5).
+
+Reference constructs: RANK/DENSE_RANK/ROW_NUMBER/CUME_DIST, LAG/LEAD,
+FIRST_VALUE/LAST_VALUE, agg+OVER, PARTITION BY / ORDER BY, ROWS/RANGE
+frames, named windows (Bingql.g4:1366-1413; QUALIFY :1110-1112).
+
+Determinism: every ORDER BY inside a window spec is made total with a
+unique key tiebreaker; windowed sums run over decimal-cast inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables, register_views
+from kachess_spark.operators._util import DEC
+from kachess_spark.registry import query
+
+
+@query(
+    "win_rank_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK()       OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK/DENSE_RANK/ROW_NUMBER + the QUALIFY pattern (filter on rn).
+
+    Top-k per group via row_number is the scale-safe idiom: one shuffle
+    on the partition key, no global sort.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+           LAG(o_orderkey)  OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           LAG(o_orderkey, 2, -1) OVER w AS prev2_order
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD with offset + default, over a named window (WINDOW w AS —
+    defined once as a Python Window object, the Spark-native equivalent)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.orders.where(F.col("o_custkey") < 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.lag("o_orderkey", 2, -1).over(w).alias("prev2_order"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_price,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate OVER with a ROWS frame (running total) + unbounded count."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_orderkey")
+    return t.lineitem.where(F.col("l_orderkey") < 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).alias("running_price"),
+        F.count("*").over(wall).alias("n_lines"),
+    )
+
+
+@query(
+    "win_sliding_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)))
+             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3line,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)))
+             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS qty_ahead
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: n PRECEDING..CURRENT and FOLLOWING..FOLLOWING
+    (all four expr_window_spec alternatives, Bingql.g4:1408-1413)."""
+    t = Tables(spark, sf_dir)
+    base = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    q = F.col("l_quantity").cast(DEC)
+    return t.lineitem.where(F.col("l_orderkey") < 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(q).over(base.rowsBetween(-2, Window.currentRow)).alias("qty_3line"),
+        F.sum(q).over(base.rowsBetween(1, 2)).alias("qty_ahead"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1k
+    FROM orders
+    WHERE o_orderkey < 400
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering (value-based window)."""
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return t.orders.where(F.col("o_orderkey") < 400).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1k"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_partkey) OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber) AS first_part,
+           LAST_VALUE(l_partkey)  OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_part
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE (with the full-frame fix for LAST_VALUE)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.lineitem.where(F.col("l_orderkey") < 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.last("l_partkey").over(wfull).alias("last_part"),
+    )
+
+
+@query(
+    "win_cume_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey), 8) AS cd,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 8) AS pr
+    FROM customer
+    WHERE c_nationkey = 5
+    """,
+)
+def win_cume_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST (Bingql.g4:1378) + NTILE + PERCENT_RANK."""
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t.customer.where(F.col("c_nationkey") == 5).select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+    )
+
+
+@query(
+    "win_qualify_sql",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM customer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) = 1
+    """,
+)
+def win_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY (Teradata; Bingql.g4:1110-1112).  Spark has no QUALIFY —
+    rewritten as window + filter, the documented rewrite in SURVEY §2.4."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_custkey, c_acctbal FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer
+        ) WHERE rn = 1
+        """
+    )

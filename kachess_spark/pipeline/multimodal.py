@@ -1,0 +1,176 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio libraries, so the *decode* kernel is a
+clearly-marked stub (deterministic fake derived from the byte length);
+everything around it — binary columns, metadata structs, Arrow-batched
+mapInPandas, frame sampling — is the real Spark plumbing a 100 TB
+multimodal pipeline uses.
+
+Payloads here are synthesized from documents.text (utf-8 bytes) so the
+pipeline is runnable and oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    Real pipelines read payloads from object storage; here the payload
+    is the utf-8 document text so sizes/digests are verifiable.
+    """
+    payload = F.encode(F.col("text"), "utf-8")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            F.length(payload).alias("n_bytes"),
+            F.md5(F.col("text")).alias("digest"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "mm_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata: byte length + digest per payload."""
+    t = Tables(spark, sf_dir)
+    mm = with_payload(t.documents)
+    return mm.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.digest").alias("digest"),
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode kernel (mapInPandas).
+
+    STUB: a real deployment decodes payload bytes with PIL/ffmpeg here.
+    Those libs are absent in this container, so dimensions are derived
+    deterministically from the byte length — the Spark-side contract
+    (batch shape, schema, partition behavior) is the real thing.
+    """
+    try:  # pragma: no cover - absent in this container
+        import PIL  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode not wired up; deterministic fake in use"
+        )
+    except ImportError:
+        pass
+    for pdf in batches:
+        n = pdf["n_bytes"]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "width": (n % 640 + 16).astype("int32"),
+                "height": (n % 480 + 16).astype("int32"),
+                "n_frames": ((n % 120 + 1).where(pdf["kind"] == "video", 1)).astype(
+                    "int32"
+                ),
+            }
+        )
+        yield out
+
+
+@query(
+    "mm_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2
+                     THEN octet_length(encode(text)) % 120 + 1
+                     ELSE 1 END AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode via Arrow-batched mapInPandas (the Pandas-UDF slow path,
+    used only because decode genuinely can't be a built-in)."""
+    t = Tables(spark, sf_dir)
+    mm = with_payload(t.documents).select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return mm.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, n_frames, 10)) AS frame_idx
+    FROM (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 120 + 1 AS INT) AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: every 10th frame index,
+    exploded — pure built-ins (sequence + explode), no UDF."""
+    t = Tables(spark, sf_dir)
+    mm = with_payload(t.documents)
+    vids = mm.where(F.col("meta.kind") == "video").select(
+        "doc_id", (F.col("meta.n_bytes") % 120 + 1).cast("int").alias("n_frames")
+    )
+    return vids.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k as the exactness baseline, and an LSH-bucketed
+(random-hyperplane) variant as the scale path.
+
+Scale design: the *query* side is small → broadcast; the data side is
+never collected.  The dot product is computed relationally (explode →
+join on position → exact decimal sum): at 100 TB this is embarrassingly
+parallel, skew-free (position is uniform), and — because the per-pair
+products are summed as DECIMAL — bit-deterministic under any combine
+order, which float dot products are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+QUERY_IDS = (1, 2, 3)
+TOP_K = 5
+# products of two float32s are exact in double; DECIMAL(28,14) keeps 14
+# decimals — exact deterministic sums, ~1e-14 quantization per element.
+PDEC = "decimal(28,14)"
+
+
+def _exploded(df: DataFrame, id_out: str, val_out: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_out),
+        F.posexplode("embedding").alias("pos", "_v"),
+    ).select(id_out, "pos", F.col("_v").cast("double").alias(val_out))
+
+
+def cosine_topk(
+    spark: SparkSession,
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Brute-force cosine top-k: exact relational dot product.
+
+    ``data``/``queries``: (vec_id, embedding array<float>).  Queries are
+    broadcast; data is exploded once and reused for dots and norms.
+    """
+    d = _exploded(data, "vid", "dv")
+    q = _exploded(queries, "qid", "qv")
+    dots = (
+        d.join(broadcast(q), "pos")
+        .groupBy("qid", "vid")
+        .agg(F.sum((F.col("qv") * F.col("dv")).cast(PDEC)).alias("dot"))
+    )
+    norms = d.groupBy("vid").agg(
+        F.sum((F.col("dv") * F.col("dv")).cast(PDEC)).alias("nn")
+    )
+    qnorms = q.groupBy("qid").agg(
+        F.sum((F.col("qv") * F.col("qv")).cast(PDEC)).alias("qnn")
+    )
+    cos = (
+        dots.join(norms, "vid")
+        .join(broadcast(qnorms), "qid")
+        .where(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nn").cast("double") * F.col("qnn").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    return (
+        cos.select("qid", "vid", "cosine", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= k)
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id IN {QUERY_IDS}
+    ),
+    dots AS (
+      SELECT qid, vid, SUM(CAST(qv * dv AS DECIMAL(28,14))) AS dot
+      FROM d JOIN q USING (pos) GROUP BY qid, vid
+    ),
+    norms AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM d GROUP BY vid
+    ),
+    cos AS (
+      SELECT dots.qid AS qid, dots.vid AS vid,
+             ROUND(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(n1.nn AS DOUBLE) * CAST(n2.nn AS DOUBLE)), 6) AS cosine
+      FROM dots
+      JOIN norms n1 ON dots.vid = n1.vid
+      JOIN norms n2 ON dots.qid = n2.vid
+      WHERE dots.qid <> dots.vid
+    )
+    SELECT qid, vid, cosine, rk FROM (
+      SELECT qid, vid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vid) AS rk
+      FROM cos
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} for query vectors {QUERY_IDS}."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
+    return cosine_topk(spark, emb, queries, TOP_K)
+
+
+N_PLANES = 4  # LSH signature bits (16 buckets — sized for the test corpus)
+
+
+def hyperplane_bucket(df: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    Plane p's component at position i has a pseudo-random sign derived
+    from md5(p|i) — deterministic, no RNG state, reproducible on any
+    cluster.  bucket = Σ_p (dot_p > 0) << p.
+    """
+    d = _exploded(df, "vid", "dv")
+    planes = [
+        F.sum(
+            F.when(
+                # first hex digit of md5("p{p}|{pos}") even → +1 else -1
+                F.conv(F.substring(F.md5(F.format_string(f"p{p}|%d", F.col("pos"))), 1, 1), 16, 10)
+                .cast("int") % 2 == 0,
+                F.col("dv"),
+            ).otherwise(-F.col("dv")).cast(PDEC)
+        ).alias(f"d{p}")
+        for p in range(N_PLANES)
+    ]
+    sig = d.groupBy("vid").agg(*planes)
+    bucket = sum(
+        (F.when(F.col(f"d{p}") > 0, 1).otherwise(0) * (1 << p))
+        for p in range(N_PLANES)
+    )
+    return sig.select("vid", bucket.alias("bucket"))
+
+
+@query("sim_ann_lsh")  # rows-only: candidate generation; recall asserted in tests
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucketing → candidates share a
+    bucket → exact cosine only within buckets.  Returns (qid, vid,
+    cosine) for query vectors; tests assert recall vs brute force."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    buckets = hyperplane_bucket(emb)
+    emb_b = emb.join(buckets, emb.vec_id == buckets.vid).select(
+        "vec_id", "embedding", "bucket"
+    )
+    queries = emb_b.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("bucket")
+    )
+    cands = emb_b.join(broadcast(queries), "bucket").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    # exact cosine on the candidate set only
+    data_cand = cands.select("vec_id", "embedding").distinct()
+    qvecs = emb.where(F.col("vec_id").isin(*QUERY_IDS))
+    scored = cosine_topk(spark, data_cand, qvecs, TOP_K)
+    pairs = cands.select("qid", F.col("vec_id").alias("vid"))
+    return scored.join(pairs, ["qid", "vid"], "left_semi")

@@ -1,0 +1,191 @@
+"""Text analysis operators over the documents table.
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting.  All computed with built-in string functions —
+no UDFs, so they run JVM-side at full codegen speed on 100 TB.
+
+Portability note: occurrence counts use the length/replace trick
+(len(s) - len(replace(s, w, ''))) / len(w) — identical semantics in
+Spark and the DuckDB oracle, no regex dialect drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic.  Padded with spaces so they only match whole words.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " das "],
+    "fr": [" le ", " et ", " les ", " est ", " des "],
+    "es": [" el ", " y ", " los ", " es ", " las "],
+}
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """# of occurrences of needle in col via length arithmetic."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def _oracle_count(expr: str, needle: str) -> str:
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{needle}', '')))"
+        f" / {len(needle)} AS INT)"
+    )
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+_PADDED_SQL = "(' ' || lower(text) || ' ')"
+
+
+def _lang_score(col: Column, lang: str) -> Column:
+    padded = _padded(col)
+    score = _count_occurrences(padded, LANG_MARKERS[lang][0])
+    for marker in LANG_MARKERS[lang][1:]:
+        score = score + _count_occurrences(padded, marker)
+    return score
+
+
+def _oracle_lang_score(lang: str) -> str:
+    return " + ".join(_oracle_count(_PADDED_SQL, m) for m in LANG_MARKERS[lang])
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS chars,
+           CAST((length(' ' || text || ' ')
+                 - length(replace(' ' || text || ' ', ' ', ''))) AS INT) - 1 AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / (CAST((length(' ' || text || ' ')
+                 - length(replace(' ' || text || ' ', ' ', ''))) AS INT) - 1)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + average token length, one pass."""
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_tokens = (
+        F.length(padded) - F.length(F.replace(padded, F.lit(" "), F.lit("")))
+    ).cast("int") - 1
+    return t.documents.select(
+        "doc_id",
+        F.length(text).alias("chars"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS upper_ratio,
+           ROUND(CAST({_oracle_lang_score('en')} AS DOUBLE)
+                 * 5 / length(text), 6) AS stopword_density,
+           CASE WHEN length(text) BETWEEN 100 AND 20000
+                 AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                     / length(text) < 0.1
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: punctuation ratio, uppercase ratio, stopword
+    density, and a pass/fail gate — the C4/Gopher-style cheap filters."""
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, "[^.,!?;:]", ""))
+    upper = F.length(F.regexp_replace(text, "[^A-Z]", ""))
+    stop_density = _lang_score(text, "en").cast("double") * 5 / n
+    punct_ratio = punct.cast("double") / n
+    return t.documents.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(upper.cast("double") / n, 6).alias("upper_ratio"),
+        F.round(stop_density, 6).alias("stopword_density"),
+        F.when(n.between(100, 20000) & (punct_ratio < 0.1), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {_oracle_lang_score('en')} >= {_oracle_lang_score('de')}
+              AND {_oracle_lang_score('en')} >= {_oracle_lang_score('fr')}
+              AND {_oracle_lang_score('en')} >= {_oracle_lang_score('es')}
+              AND {_oracle_lang_score('en')} > 0 THEN 'en'
+             WHEN {_oracle_lang_score('de')} >= {_oracle_lang_score('fr')}
+              AND {_oracle_lang_score('de')} >= {_oracle_lang_score('es')}
+              AND {_oracle_lang_score('de')} > 0 THEN 'de'
+             WHEN {_oracle_lang_score('fr')} >= {_oracle_lang_score('es')}
+              AND {_oracle_lang_score('fr')} > 0 THEN 'fr'
+             WHEN {_oracle_lang_score('es')} > 0 THEN 'es'
+             ELSE 'unknown'
+           END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic): argmax over
+    per-language marker counts, ties broken en>de>fr>es."""
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    en, de = _lang_score(text, "en"), _lang_score(text, "de")
+    fr, es = _lang_score(text, "fr"), _lang_score(text, "es")
+    guess = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return t.documents.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp,
+           substring(md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), 1, 4)
+             AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint: strip to [a-z0-9 ], md5.
+    The fp_bucket prefix is the shard key a 100 TB dedup would
+    repartition on (uniform by construction)."""
+    t = Tables(spark, sf_dir)
+    canon = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    return t.documents.select(
+        "doc_id",
+        F.md5(canon).alias("fp"),
+        F.substring(F.md5(canon), 1, 4).alias("fp_bucket"),
+    )

@@ -1,0 +1,55 @@
+"""Query registry: every implemented operator from SURVEY.md §2 registers
+itself here with (optionally) a DuckDB oracle-SQL twin.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under ``name`` with an optional DuckDB oracle.
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (reserved for genuinely non-SQL-expressible operators).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from kachess_spark.operators import (  # noqa: F401
+        aggregates,
+        filters,
+        joins,
+        lateral,
+        scalars,
+        scans,
+        setops,
+        sorts,
+        windows,
+    )
+    from kachess_spark.pipeline import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )

