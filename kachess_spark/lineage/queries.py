@@ -1,0 +1,146 @@
+"""Lineage-layer entries for the driver contract (``queries()`` /
+``oracle_sql()``).
+
+The closure operators are oracle-checked: both engines consume the SAME
+deterministic edge list (frozen below from extracting ``_CORPUS`` with seed
+1000 — ``tests/test_lineage_queries.py`` pins the extractor to it), Spark
+runs the distributed iterative-self-join closure (closure.py) and DuckDB
+runs the equivalent ``WITH RECURSIVE``.  Live extraction itself is a
+driver-side parse (no SQL equivalent) → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.registry import query
+
+# The multi-scope golden query (reference test case 0002's shape:
+# 3-way join + nested subqueries + star expansion + WHERE/JOIN contexts).
+_CORPUS = """
+SELECT col101s, max(col103i, col303i) as max_int, col102b as yn_flag, tab40_str
+FROM dw.tab10 a
+JOIN stage.tab30 b ON a.col100l = b.col300l
+LEFT JOIN (
+    SELECT c.*, d.* FROM dw.tab20 c
+    JOIN (
+        SELECT col400l, col403i, col401s as tab40_str FROM adhoc.tab40
+    ) d ON c.col200l = d.col400l
+    WHERE col202b AND col403i = 100
+) k ON a.col100l = k.col200l
+WHERE a.col101s IS NOT NULL
+;
+"""
+
+# select_item_rel of _CORPUS at seed 1000 (68 edges over 5 datasets).
+ITEM_EDGES: list[tuple[int, int, str]] = [
+    (1001, 1035, "JOIN"), (1001, 1036, "JOIN"), (1001, 1037, "JOIN"),
+    (1001, 1038, "JOIN"), (1001, 1040, "JOIN"), (1001, 1041, "JOIN"),
+    (1002, 1035, "SELECT"), (1002, 1035, "WHERE"), (1002, 1036, "WHERE"),
+    (1002, 1037, "WHERE"), (1002, 1038, "WHERE"), (1002, 1039, "WHERE"),
+    (1003, 1037, "SELECT"), (1004, 1036, "SELECT"), (1006, 1035, "JOIN"),
+    (1006, 1036, "JOIN"), (1006, 1037, "JOIN"), (1006, 1038, "JOIN"),
+    (1006, 1040, "JOIN"), (1009, 1036, "SELECT"), (1011, 1025, "JOIN"),
+    (1011, 1025, "SELECT"), (1011, 1026, "JOIN"), (1011, 1027, "JOIN"),
+    (1011, 1028, "JOIN"), (1011, 1029, "JOIN"), (1011, 1030, "JOIN"),
+    (1011, 1031, "JOIN"), (1011, 1033, "JOIN"), (1012, 1026, "SELECT"),
+    (1013, 1025, "WHERE"), (1013, 1026, "WHERE"), (1013, 1027, "SELECT"),
+    (1013, 1027, "WHERE"), (1013, 1028, "WHERE"), (1013, 1029, "WHERE"),
+    (1013, 1030, "WHERE"), (1013, 1031, "WHERE"), (1013, 1032, "WHERE"),
+    (1014, 1028, "SELECT"), (1016, 1021, "SELECT"), (1017, 1023, "SELECT"),
+    (1019, 1022, "SELECT"), (1021, 1025, "JOIN"), (1021, 1026, "JOIN"),
+    (1021, 1027, "JOIN"), (1021, 1028, "JOIN"), (1021, 1029, "JOIN"),
+    (1021, 1029, "SELECT"), (1021, 1030, "JOIN"), (1021, 1031, "JOIN"),
+    (1021, 1033, "JOIN"), (1022, 1025, "WHERE"), (1022, 1026, "WHERE"),
+    (1022, 1027, "WHERE"), (1022, 1028, "WHERE"), (1022, 1029, "WHERE"),
+    (1022, 1030, "SELECT"), (1022, 1030, "WHERE"), (1022, 1031, "WHERE"),
+    (1022, 1032, "WHERE"), (1023, 1031, "SELECT"), (1025, 1035, "JOIN"),
+    (1025, 1036, "JOIN"), (1025, 1037, "JOIN"), (1025, 1038, "JOIN"),
+    (1025, 1041, "JOIN"), (1031, 1038, "SELECT"),
+]
+
+# dataset_rel of _CORPUS at seed 1000.
+DS_EDGES: list[tuple[int, int]] = [
+    (1000, 1034), (1005, 1034), (1010, 1024),
+    (1015, 1020), (1020, 1024), (1024, 1034),
+]
+
+
+def _edges_values_sql(edges: list[tuple[int, int]]) -> str:
+    rows = ", ".join(f"({a}, {b})" for a, b in edges)
+    return f"(VALUES {rows}) AS e(src, dst)"
+
+
+def _recursive_closure_sql(edges: list[tuple[int, int]], pcol: str, ccol: str) -> str:
+    return f"""
+WITH RECURSIVE edges(src, dst) AS (
+  SELECT DISTINCT src, dst FROM {_edges_values_sql(edges)}
+),
+walk(src, dst, distance) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.src, e.dst, w.distance + 1
+  FROM walk w JOIN edges e ON w.dst = e.src
+  WHERE w.distance < 20 AND w.src <> e.dst
+)
+SELECT src AS {pcol}, dst AS {ccol}, MIN(distance) AS distance
+FROM walk GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_ITEM_PAIRS = sorted({(a, b) for a, b, _ in ITEM_EDGES})
+
+
+@query(
+    "lineage_column_closure",
+    _recursive_closure_sql(
+        _ITEM_PAIRS, "parent_select_item_id", "child_select_item_id"
+    ),
+)
+def lineage_column_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed transitive closure of the column-lineage DAG
+    (column_lineage.distance, db_setup_ddl.sql:178-190)."""
+    from kachess_spark.lineage.closure import column_lineage
+
+    edges = spark.createDataFrame(
+        _ITEM_PAIRS, "parent_select_item_id BIGINT, child_select_item_id BIGINT"
+    )
+    return column_lineage(edges).select(
+        F.col("parent_select_item_id"),
+        F.col("child_select_item_id"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+@query(
+    "lineage_table_closure",
+    _recursive_closure_sql(DS_EDGES, "parent_dataset_id", "child_dataset_id"),
+)
+def lineage_table_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_lineage closure over dataset edges (db_setup_ddl.sql:164-176)."""
+    from kachess_spark.lineage.closure import table_lineage
+
+    edges = spark.createDataFrame(
+        DS_EDGES, "parent_dataset_id BIGINT, child_dataset_id BIGINT"
+    )
+    return table_lineage(edges).select(
+        F.col("parent_dataset_id"),
+        F.col("child_dataset_id"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+@query("lineage_extract_edges")  # driver-side parse → rows-only check
+def lineage_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live end-to-end extraction: Catalyst-parse the corpus and emit its
+    select_item_rel edges (SqlMetaDataExtractor semantics, SURVEY.md §4)."""
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+
+    s = LineageSession(spark, fixture_metastore(), seed=1000)
+    s.extract_script(_CORPUS)
+    return (
+        s.frames()["select_item_rel"]
+        .orderBy("parent_select_item_id", "child_select_item_id", "usage_context")
+    )

@@ -47,6 +47,7 @@ def load_all() -> None:
         sorts,
         windows,
     )
+    from kachess_spark.lineage import queries as lineage_queries  # noqa: F401
     from kachess_spark.pipeline import (  # noqa: F401
         dedup,
         multimodal,

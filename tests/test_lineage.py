@@ -1,0 +1,458 @@
+"""Golden tests for the lineage layer.
+
+Ports the intent of the reference's ten bash+MySQL golden cases
+(sql_lineage/test_cases/validate_0001.sql … validate_0010.sql) to pytest
+assertions over lineage DataFrames, with the deterministic ID seed the
+reference's harness uses (test_case.sh ``-s 1000``).  Cases 0002/0003 are
+flagged failing in the reference itself (test_cases/README.md:2); we assert
+the validate files' *intent*.  Case SQL below is authored against the same
+4-table fixture (FIXTURES.md §A).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kachess_spark.lineage import LineageSession, fixture_metastore
+from kachess_spark.lineage.closure import column_lineage, table_lineage
+from kachess_spark.lineage.preprocess import preprocess, split_statements
+
+
+@pytest.fixture()
+def extract(spark):
+    def _run(sql: str, **kw) -> LineageSession:
+        s = LineageSession(spark, fixture_metastore(), seed=1000, **kw)
+        s.extract_script(sql)
+        return s
+
+    return _run
+
+
+def _pdf(session) -> dict[str, pd.DataFrame]:
+    return {k: v.toPandas() for k, v in session.frames().items()}
+
+
+def _parents_of(f, item_ids):
+    rel = f["select_item_rel"]
+    si = f["select_items"].set_index("id")
+    hits = rel[rel.child_select_item_id.isin(item_ids)]
+    return sorted(
+        (si.loc[p, "name"], ctx)
+        for p, ctx in zip(hits.parent_select_item_id, hits.usage_context)
+    )
+
+
+# --------------------------------------------------------------- case 0001
+
+
+def test_select_star(extract):
+    """validate_0001: one SUBQUERY dataset, 4 items, name==definition,
+    data_type propagated upper-case."""
+    s = extract("SELECT * FROM dw.tab10;")
+    f = _pdf(s)
+    ds = f["datasets"]
+    assert (ds.type == "SUBQUERY").sum() == 1
+    sub_id = ds[ds.type == "SUBQUERY"].id.iloc[0]
+    items = f["select_items"][f["select_items"].dataset_id == sub_id]
+    assert len(items) == 4
+    expected = {
+        "col100l": "BIGINT", "col101s": "STRING",
+        "col102b": "BOOLEAN", "col103i": "INT",
+    }
+    for _, it in items.iterrows():
+        assert it["definition"] == it["name"]
+        assert expected[it["name"]] == it["data_type"]
+
+
+# --------------------------------------------------------------- case 0002
+
+CASE_JOIN_SUBQUERY = """
+SELECT col101s, max(col103i, col303i) as max_int, col102b as yn_flag, tab40_str
+FROM dw.tab10 a
+JOIN stage.tab30 b ON a.col100l = b.col300l
+LEFT JOIN (
+    SELECT c.*, d.* FROM dw.tab20 c
+    JOIN (
+        SELECT col400l, col403i, col401s as tab40_str FROM adhoc.tab40
+    ) d ON c.col200l = d.col400l
+    WHERE col202b AND col403i = 100
+) k ON a.col100l = k.col200l
+WHERE a.col101s IS NOT NULL
+;
+"""
+
+
+def test_join_subquery_contexts(extract):
+    """validate_0002 intent: 3 SUBQUERY datasets; function item keeps its
+    text and NULL type; simple ref propagates BOOLEAN; col401s traces 3
+    hops to the top; yn_flag has JOIN=3 / SELECT=1 / WHERE=1 edges."""
+    s = extract(CASE_JOIN_SUBQUERY)
+    f = _pdf(s)
+    ds, si, rel = f["datasets"], f["select_items"], f["select_item_rel"]
+    assert (ds.type == "SUBQUERY").sum() == 3
+
+    mx = si[si.name == "max_int"]
+    assert len(mx) == 1
+    assert mx.definition.iloc[0] == "max(col103i, col303i)"
+    assert mx.alias.iloc[0] == "max_int"
+    assert pd.isna(mx.data_type.iloc[0])
+
+    yn = si[(si.name == "yn_flag") & (si.alias == "yn_flag")]
+    assert yn.definition.iloc[0] == "col102b"
+    assert yn.data_type.iloc[0] == "BOOLEAN"
+    ctx = (
+        rel[rel.child_select_item_id.isin(yn.id)]
+        .groupby("usage_context").size().to_dict()
+    )
+    assert ctx == {"JOIN": 3, "SELECT": 1, "WHERE": 1}
+
+    # lineage chain: physical col401s -> d.tab40_str -> k.tab40_str -> top
+    c401 = si[si.name == "col401s"].id
+    hop1 = rel[rel.parent_select_item_id.isin(c401)].child_select_item_id
+    assert set(si[si.id.isin(hop1)].name) == {"tab40_str"}
+    hop2 = rel[rel.parent_select_item_id.isin(hop1)].child_select_item_id
+    hop3 = rel[
+        rel.parent_select_item_id.isin(
+            si[si.id.isin(hop2) & (si.name == "tab40_str")].id
+        )
+    ].child_select_item_id
+    assert len(si[si.id.isin(hop3) & (si.name == "tab40_str")]) == 1
+
+
+# --------------------------------------------------------------- case 0003
+
+
+def test_create_insert_partitioned(extract):
+    """validate_0003 intent: CREATE TABLE registers the target's columns;
+    partitioned INSERT OVERWRITE records a table_insert row with the raw
+    insert type and partition spec; positional column match links items."""
+    s = extract(
+        """
+        use adhoc;
+        CREATE TABLE created_tab_0 (
+          id bigint, max_int int, yn_flag boolean, tab40_str string
+        ) PARTITIONED BY (ds string);
+        INSERT OVERWRITE TABLE created_tab_0 PARTITION (ds='2017-01-01')
+        SELECT col400l, col403i, col403i = 100, col401s
+        FROM adhoc.tab40 WHERE col403i > 0;
+        """
+    )
+    f = _pdf(s)
+    ti = f["table_insert"]
+    assert len(ti) == 1
+    assert ti.insert_type.iloc[0] == "INSERT OVERWRITE TABLE"
+    assert ti.partition_spec.iloc[0] == "ds='2017-01-01'"
+    ds, si, rel = f["datasets"], f["select_items"], f["select_item_rel"]
+    tgt = ds[(ds.table_name == "created_tab_0")].id.iloc[0]
+    id_col = si[(si.dataset_id == tgt) & (si.name == "id")].id
+    parents = rel[rel.child_select_item_id.isin(id_col)]
+    # positional: id <- select item #1 <- tab40.col400l
+    src = si[si.id.isin(parents.parent_select_item_id)]
+    assert set(src.definition) == {"col400l"}
+
+
+# --------------------------------------------------------------- case 0004
+
+
+def test_lateral_view(extract):
+    """validate_0004: one LATERAL_VIEW dataset; its column 'row_alias'
+    descends from physical tab40.col402x; struct path resolves through."""
+    s = extract(
+        """
+        use adhoc;
+        SELECT row_alias.user.id, count(1) as cnt
+        FROM tab40
+        LATERAL VIEW explode(col402x) ds_alias AS row_alias
+        GROUP BY 1;
+        """
+    )
+    f = _pdf(s)
+    ds, si, rel = f["datasets"], f["select_items"], f["select_item_rel"]
+    lv = ds[ds.type == "LATERAL_VIEW"]
+    assert len(lv) == 1
+    lv_item = si[(si.dataset_id.isin(lv.id)) & (si.definition == "row_alias")]
+    assert len(lv_item) == 1
+    parents = rel[rel.child_select_item_id.isin(lv_item.id)]
+    src = si[si.id.isin(parents.parent_select_item_id)]
+    src_ds = ds[ds.id.isin(src.dataset_id)]
+    assert src.name.tolist() == ["col402x"]
+    assert src_ds.type.tolist() == ["TABLE"]
+    assert src_ds.table_name.tolist() == ["tab40"]
+    # top-level struct-path item resolved against the LV column
+    top = si[si.definition == "row_alias.user.id"]
+    assert len(top) == 1
+    top_parents = rel[rel.child_select_item_id.isin(top.id)]
+    assert lv_item.id.iloc[0] in set(top_parents.parent_select_item_id)
+
+
+# --------------------------------------------------------------- case 0005
+
+
+def test_union_positional_merge(extract):
+    """validate_0005 intent: UNION ALL branches merge positionally into one
+    SUBQUERY dataset flagged _UNION_APPLIED_; literal/NULL columns add no
+    parents."""
+    s = extract(
+        """
+        select * from dw.tab10
+        UNION ALL
+        select col200l, col201s, col202b, col203i from dw.tab20
+        UNION ALL
+        select col300l, '2017-01-02', NULL, NULL from stage.tab30;
+        """
+    )
+    f = _pdf(s)
+    ds, si, rel = f["datasets"], f["select_items"], f["select_item_rel"]
+    merged = ds[ds.type == "SUBQUERY"]
+    assert len(merged) == 1
+    assert merged.extra_info.iloc[0] == "_UNION_APPLIED_"
+    items = si[si.dataset_id == merged.id.iloc[0]].sort_values("position")
+    parent_names = [
+        sorted(
+            si.set_index("id")
+            .loc[rel[rel.child_select_item_id == iid].parent_select_item_id, "name"]
+            .tolist()
+        )
+        for iid in items.id
+    ]
+    assert parent_names == [
+        ["col100l", "col200l", "col300l"],
+        ["col101s", "col201s"],
+        ["col102b", "col202b"],
+        ["col103i", "col203i"],
+    ]
+
+
+# --------------------------------------------------------------- case 0006
+
+
+def test_ctas_count_star(extract):
+    """validate_0006 intent: CTAS clones the select's outputs as TABLE
+    columns parented by the select items; count(*) contributes the
+    S_COL_ASTERISK proxy; WHERE-function deps reach every output."""
+    s = extract(
+        """
+        CREATE TABLE test_tab101 AS
+        SELECT col100l, count(*) as cnt
+        FROM dw.tab10
+        WHERE upper(col101s) = 'X'
+        GROUP BY 1;
+        """
+    )
+    f = _pdf(s)
+    ds, si, rel = f["datasets"], f["select_items"], f["select_item_rel"]
+    assert set(ds.type) == {"SUBQUERY", "TABLE"}
+    tgt = ds[ds.table_name == "test_tab101"]
+    assert len(tgt) == 1
+    cols = si[si.dataset_id == tgt.id.iloc[0]]
+    assert sorted(cols.name) == ["cnt", "col100l"]
+    # asterisk proxy exists on the source table and feeds cnt
+    ast = si[si.name == "S_COL_ASTERISK"]
+    assert len(ast) == 1
+    sub_cnt = si[(si.name == "cnt") & (si.dataset_id != tgt.id.iloc[0])]
+    cnt_parents = rel[rel.child_select_item_id.isin(sub_cnt.id)]
+    assert ast.id.iloc[0] in set(cnt_parents.parent_select_item_id)
+    # WHERE context reaches the outputs
+    assert (cnt_parents.usage_context == "WHERE").any()
+
+
+# --------------------------------------------------------------- case 0007
+
+
+def test_double_star_and_concat(extract):
+    """validate_0007: fv_col has exactly 2 parents in each context
+    (JOIN: c.col200l+d.col400l, WHERE: col202b+col403i,
+    SELECT: d.col400l + tab40_str)."""
+    s = extract(
+        """
+        SELECT c.*, d.*, concat(str(d.col400l), tab40_str) as fv_col
+        FROM dw.tab20 c
+        JOIN (
+            SELECT col400l, col403i, col401s as tab40_str FROM adhoc.tab40
+        ) d ON c.col200l = d.col400l
+        WHERE col202b AND col403i = 100;
+        """
+    )
+    f = _pdf(s)
+    si, rel = f["select_items"], f["select_item_rel"]
+    fv = si[si.alias == "fv_col"]
+    assert len(fv) == 1
+    ctx = (
+        rel[rel.child_select_item_id.isin(fv.id)]
+        .groupby("usage_context").size().to_dict()
+    )
+    assert ctx == {"JOIN": 2, "SELECT": 2, "WHERE": 2}
+    # star expansion width: 4 (c.*) + 3 (d.*) + 1 = 8 output items
+    top_ds = si[si.alias == "fv_col"].dataset_id.iloc[0]
+    out = si[(si.dataset_id == top_ds) & (si.usage_context == "SELECT")]
+    assert len(out) == 8
+
+
+# --------------------------------------------------------------- case 0008
+
+
+def test_group_by_ordinal_and_name(extract):
+    """validate_0008 intent: GROUP BY 1 resolves positionally, GROUP BY
+    col201s by underlying column name; key parents propagate to cnt."""
+    s = extract(
+        """
+        SELECT col101s as tc1, col201s as tc2, count(1) as cnt
+        FROM dw.tab10 t1
+        INNER JOIN dw.tab20 t2 ON t1.col100l = t2.col200l
+        GROUP BY 1, col201s;
+        """
+    )
+    f = _pdf(s)
+    si = f["select_items"]
+    cnt = si[si.name == "cnt"]
+    parents = _parents_of(f, cnt.id)
+    assert ("col101s", "SELECT") in parents
+    assert ("col201s", "SELECT") in parents
+    assert ("col100l", "JOIN") in parents and ("col200l", "JOIN") in parents
+    ds = f["datasets"]
+    assert ds[ds.type == "SUBQUERY"].is_aggregated.iloc[0]
+
+
+# --------------------------------------------------------------- case 0009
+
+
+def test_cte_multitable_insert(extract):
+    """validate_0009 intent: CTE dataset typed CTE; two INSERTs from the
+    shared CTE with raw insert-type text; positional match into declared
+    tables; trailing plain INSERT also recorded."""
+    s = extract(
+        """
+        create table dw.dest_table_1 (
+          col101s String, max_int Integer, yn_flag Integer, tab40_str String
+        );
+        create table dw.dest_table_2 (yn_flag Integer);
+        WITH base_select AS (
+            SELECT col101s, max(col103i, col303i) as max_int,
+                   col102b as yn_flag, tab40_str
+            FROM dw.tab10 a
+            JOIN stage.tab30 b ON a.col100l = b.col300l
+            LEFT JOIN (
+                SELECT c.*, d.* FROM dw.tab20 c
+                JOIN (
+                  SELECT col400l, col403i, col401s as tab40_str
+                  FROM adhoc.tab40
+                ) d ON c.col200l = d.col400l
+                WHERE col202b AND col403i = 100
+            ) k ON a.col100l = k.col200l
+        )
+        FROM base_select
+        INSERT OVERWRITE TABLE dw.dest_table_1
+        SELECT col101s, max_int, yn_flag, tab40_str
+        WHERE tab40_str IS NOT NULL
+        INSERT INTO TABLE dw.dest_table_2
+        SELECT yn_flag
+        WHERE tab40_str IS NULL;
+        INSERT INTO TABLE dw.dest_table_2 SELECT col102b FROM dw.tab10;
+        """
+    )
+    assert not s.skipped
+    f = _pdf(s)
+    ds, ti = f["datasets"], f["table_insert"]
+    assert (ds.type == "CTE").sum() == 1
+    assert sorted(ti.insert_type) == [
+        "INSERT INTO TABLE", "INSERT INTO TABLE", "INSERT OVERWRITE TABLE",
+    ]
+    d1 = ds[ds.table_name == "dest_table_1"].id.iloc[0]
+    d2 = ds[ds.table_name == "dest_table_2"].id.iloc[0]
+    assert set(ti.target_dataset_id) == {d1, d2}
+    # dest_table_1.col101s ultimately descends from physical dw.tab10.col101s
+    si, rel = f["select_items"], f["select_item_rel"]
+    tab10 = ds[(ds.table_name == "tab10")].id.iloc[0]
+    phys = si[(si.dataset_id == tab10) & (si.name == "col101s")].id.iloc[0]
+    target_col = si[(si.dataset_id == d1) & (si.name == "col101s")].id.iloc[0]
+    frontier, seen = {phys}, set()
+    while frontier:
+        nxt = set(
+            rel[rel.parent_select_item_id.isin(frontier)].child_select_item_id
+        ) - seen
+        seen |= nxt
+        frontier = nxt
+    assert target_col in seen
+
+
+# --------------------------------------------------------------- case 0010
+
+
+def test_closure_discovery(extract, spark):
+    """validate_0010 intent (lineage discovery over the lineage store
+    itself): transitive closure computes hop distances; impact analysis
+    finds all descendants of a physical column."""
+    s = extract(CASE_JOIN_SUBQUERY)
+    f = s.frames()
+    cl = column_lineage(f["select_item_rel"]).toPandas()
+    si = f["select_items"].toPandas()
+    c401 = si[si.name == "col401s"].id.iloc[0]
+    desc = cl[cl.parent_select_item_id == c401]
+    # 3-hop chain to the top-level tab40_str
+    assert desc.distance.max() == 3
+    tl = table_lineage(f["dataset_rel"]).toPandas()
+    ds = f["datasets"].toPandas()
+    tab40 = ds[ds.table_name == "tab40"].id.iloc[0]
+    # tab40 reaches the top-level dataset two subqueries up
+    assert (tl.parent_dataset_id == tab40).sum() >= 2
+
+
+# ----------------------------------------------------------- preprocessor
+
+
+def test_preprocessor_hivevars():
+    text = (
+        "set hivevar_x=2020-01-01;\n"
+        "add jar /tmp/udfs.jar;\n"
+        "SELECT * FROM t WHERE ds='${hiveconf:hivevar_x}'"
+    )
+    out = preprocess(text)
+    assert "-- set hivevar_x" in out
+    assert "-- add jar" in out
+    assert "ds='2020-01-01'" in out
+    stmts = split_statements(out)
+    assert len(stmts) == 1
+
+
+def test_split_statements_quotes_comments():
+    stmts = split_statements(
+        "SELECT ';' AS semi FROM a; -- trailing; comment\n"
+        "SELECT 1;\n/* b; */ SELECT 2"
+    )
+    assert len(stmts) == 3
+
+
+def test_use_schema_defaults(extract):
+    s = extract("use dw;\nSELECT * FROM tab20;")
+    f = _pdf(s)
+    ds = f["datasets"]
+    t = ds[ds.type == "TABLE"]
+    assert t.schema_name.iloc[0] == "dw" and t.table_name.iloc[0] == "tab20"
+
+
+def test_drop_and_add_partition(extract):
+    s = extract(
+        "ALTER TABLE dw.tab10 ADD PARTITION (ds='2017-01-01') "
+        "LOCATION '/data/x';\nDROP TABLE dw.tab10;"
+    )
+    f = _pdf(s)
+    pa = f["table_add_partition"]
+    assert pa.location.iloc[0] == "/data/x"
+    assert pa.partition_spec.iloc[0] == "ds='2017-01-01'"
+    assert "dw.tab10" in s.dropped
+
+
+def test_strict_mode_raises(spark):
+    from kachess_spark.lineage.metastore import MetaDataNotFound
+
+    s = LineageSession(spark, fixture_metastore(), lenient=False)
+    with pytest.raises(MetaDataNotFound):
+        s.extract_script("SELECT * FROM nosuch.table_x;")
+
+
+def test_lenient_mode_warns(extract):
+    s = extract("SELECT a, b FROM nosuch.table_x;", lenient=True)
+    assert s.warnings
+    f = _pdf(s)
+    assert (f["datasets"].type == "TABLE").sum() == 1
