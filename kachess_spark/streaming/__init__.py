@@ -1,0 +1,30 @@
+"""Structured Streaming surface (SURVEY.md §2.9: additive — the reference
+has no streaming constructs; BASELINE.json's north star allows extensions).
+
+Batch twins of every windowed aggregation live in ``windows.py`` and are
+oracle-checked; the streaming paths run the same logical plans through
+``readStream`` with watermarks and are exercised by tests with
+``trigger(availableNow=True)``.
+"""
+
+from kachess_spark.streaming.windows import (
+    session_window_stats,
+    sliding_window_avg,
+    stream_events,
+    streaming_session_stats,
+    streaming_sliding_avg,
+    streaming_tumbling_counts,
+    streaming_user_running_totals,
+    tumbling_window_counts,
+)
+
+__all__ = [
+    "stream_events",
+    "tumbling_window_counts",
+    "sliding_window_avg",
+    "session_window_stats",
+    "streaming_tumbling_counts",
+    "streaming_sliding_avg",
+    "streaming_session_stats",
+    "streaming_user_running_totals",
+]

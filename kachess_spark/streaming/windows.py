@@ -1,0 +1,281 @@
+"""Windowed event aggregations — batch twins + streaming paths.
+
+Each aggregation exists twice over the SAME logical plan:
+
+* a **batch** function on the static ``events`` table, registered in the
+  driver contract with a DuckDB oracle (epoch-bucket arithmetic reproduces
+  ``F.window``'s epoch-aligned assignment exactly);
+* a **streaming** function over ``readStream`` with a watermark, exercised
+  by tests with ``trigger(availableNow=True)`` into a memory sink.
+
+Scale design: watermarks bound state (without one, a windowed streaming agg
+keeps every window open forever — the 100 TB failure mode); state lives in
+the HDFS/RocksDB state store keyed by (window, group) so a 1000-executor
+job partitions it by the same shuffle hash as the batch plan; session
+windows additionally key state by user_id, and the custom stateful
+operator uses ``applyInPandasWithState`` with an explicit timeout so
+abandoned keys are evicted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kachess_spark.catalog import load_table, table_path
+from kachess_spark.operators._util import davg
+from kachess_spark.registry import query
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as an unbounded source.  File-streaming the same parquet
+    the batch path reads; in production this is the same call with a
+    Kafka/Kinesis format string — everything downstream is identical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet is a single file; FileStreamSource watches a directory,
+    # so stream the sf dir with a glob pinned to that file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+# ------------------------------------------------------------------ batch
+# twins (oracle-checked).  F.window assigns epoch-aligned buckets; the
+# oracles reproduce that with epoch()/floor arithmetic so both engines
+# compute identical window_start values.
+
+_TUMBLING_ORACLE = """
+SELECT
+  (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_epoch,
+  event_type,
+  count(*) AS cnt,
+  round(sum(value)::DECIMAL(28,2), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_epoch, event_type
+"""
+
+
+@query("stream_tumbling_counts", _TUMBLING_ORACLE)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows: count + sum per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_epoch"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("window_epoch", "event_type")
+    )
+
+
+# sliding(1h, 30m): every event lands in exactly 2 windows — the 30-min
+# bucket it falls in and the previous one; the UNION reproduces that.
+_SLIDING_ORACLE = """
+WITH buckets AS (
+  SELECT (floor(epoch(ts) / 1800) * 1800)::BIGINT AS window_epoch,
+         value FROM events
+  UNION ALL
+  SELECT (floor(epoch(ts) / 1800) * 1800 - 1800)::BIGINT,
+         value FROM events
+)
+SELECT window_epoch,
+       count(*) AS cnt,
+       ROUND(CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000 / COUNT(value), 6) AS avg_value
+FROM buckets
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("stream_sliding_avg", _SLIDING_ORACLE)
+def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: volume + average value."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), davg("value", "avg_value"))
+        .select(F.unix_timestamp("w.start").alias("window_epoch"), "cnt", "avg_value")
+        .orderBy("window_epoch")
+    )
+
+
+# session windows (30-min gap) = classic gaps-and-islands: a new session
+# starts where the gap from the previous event exceeds the timeout.
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           ) > 1800 OR
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       round(sum(value)::DECIMAL(28,2), 2) AS session_value
+FROM sessions
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("stream_session_stats", _SESSION_ORACLE)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats with a 30-minute inactivity gap.
+
+    Batch twin uses the same gaps-and-islands plan as the oracle (two
+    window functions, one shuffle on user_id) rather than
+    ``F.session_window`` so the output keys (ordinal session numbers) are
+    comparable; the streaming path uses the native ``session_window``
+    state machine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = marked.withColumn(
+        "session_no", F.sum("is_new").over(wcum).cast("bigint")
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+# -------------------------------------------------------------- streaming
+# paths (same plans over readStream; tested with availableNow + memory sink)
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_epoch"),
+            "event_type", "cnt", "sum_value",
+        )
+    )
+
+
+def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), davg("value", "avg_value"))
+        .select(F.unix_timestamp("w.start").alias("window_epoch"), "cnt", "avg_value")
+    )
+
+
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window state machine (30-min gap) per user."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "total_events BIGINT, total_value DOUBLE"
+_OUT_SCHEMA = "user_id BIGINT, total_events BIGINT, total_value DOUBLE"
+
+
+def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (SURVEY.md §2.9 mapping for operators Spark's
+    built-ins can't express).  State is one row per user; a processing-time
+    timeout evicts idle keys so state can't grow unboundedly."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        total_events, total_value = (
+            state.get if state.exists else (0, 0.0)
+        )
+        for pdf in pdfs:
+            total_events += len(pdf)
+            total_value += float(pdf["value"].fillna(0.0).sum())
+        state.update((total_events, total_value))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_events": [total_events],
+                "total_value": [total_value],
+            }
+        )
+
+    ev = stream_events(spark, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

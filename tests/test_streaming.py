@@ -1,0 +1,90 @@
+"""Structured Streaming paths: availableNow trigger → memory sink, compared
+against the batch twins (same logical plans, so results must agree on a
+static source)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+
+def _run_stream(spark, sdf, mode: str):
+    name = "m" + uuid.uuid4().hex[:10]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@pytest.mark.parametrize("kind", ["tumbling", "sliding"])
+def test_streaming_matches_batch(spark, sf_dir, kind):
+    from kachess_spark.streaming import (
+        sliding_window_avg,
+        streaming_sliding_avg,
+        streaming_tumbling_counts,
+        tumbling_window_counts,
+    )
+
+    if kind == "tumbling":
+        stream_fn, batch_fn = streaming_tumbling_counts, tumbling_window_counts
+    else:
+        stream_fn, batch_fn = streaming_sliding_avg, sliding_window_avg
+
+    got = _run_stream(spark, stream_fn(spark, sf_dir), "complete")
+    want = batch_fn(spark, sf_dir)
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
+
+
+def test_streaming_session_windows(spark, sf_dir):
+    from kachess_spark.streaming import (
+        session_window_stats,
+        streaming_session_stats,
+    )
+
+    got = _run_stream(spark, streaming_session_stats(spark, sf_dir), "complete")
+    want = session_window_stats(spark, sf_dir)
+    # session keys differ (start/end timestamps vs ordinal numbers) but the
+    # partition into sessions must be identical: compare the multiset of
+    # (user_id, n_events, session_value) triples
+    got_rows = sorted(
+        (r["user_id"], r["n_events"], r["session_value"]) for r in got.collect()
+    )
+    want_rows = sorted(
+        (r["user_id"], r["n_events"], r["session_value"]) for r in want.collect()
+    )
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
+
+
+def test_streaming_stateful_running_totals(spark, sf_dir):
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming import streaming_user_running_totals
+
+    got = _run_stream(
+        spark, streaming_user_running_totals(spark, sf_dir), "update"
+    )
+    # final state per user == batch per-user totals (take the last emitted
+    # row per user — availableNow may micro-batch per input file)
+    import pandas as pd
+
+    pdf = got.toPandas()
+    final = pdf.groupby("user_id").last().reset_index()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    want = (
+        ev.groupby("user_id")
+        .agg(total_events=("event_id", "size"), total_value=("value", "sum"))
+        .reset_index()
+    )
+    merged = final.merge(want, on="user_id", suffixes=("", "_want"))
+    assert len(merged) == len(want)
+    assert (merged.total_events == merged.total_events_want).all()
+    assert (merged.total_value - merged.total_value_want).abs().max() < 1e-6
