@@ -1,0 +1,213 @@
+"""Sinks: CTAS, INSERT INTO/OVERWRITE, Hive multi-table insert,
+partitioned + bucketed writes (SURVEY.md §2.1).
+
+Reference lineage semantics: visitInsert_stmt (SqlMetaDataExtractor.java:
+586-611), multi-table insert visitMultitable_insert_stmt (:569-584), CTAS
+branch of visitCreate_table_stmt (:703-735), positional column match
+matchInsertsWithActual (:1028-1048).  Here they are *executed*: each
+operator writes through the real sink and reads the result back, so the
+oracle checks the full write→read round trip, not just the SELECT.
+
+Scale design:
+
+* partitioned writes demonstrate partition pruning on read-back — the
+  filtered query's scan touches one directory, not the table;
+* the bucketed table pair is written with the same bucket count on the
+  join key, so the read-back join is shuffle-free on both sides
+  (SortMergeJoin over pre-bucketed scans);
+* multi-insert reads the source ONCE for N targets (Spark executes the
+  Union-of-inserts over a shared scan) — at 100 TB the alternative
+  (N full scans) is the difference between one pass and N.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+_WORK_DIR = os.path.join(tempfile.gettempdir(), "kachess_sinks")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_WORK_DIR, exist_ok=True)
+    return os.path.join(_WORK_DIR, name)
+
+
+_CTAS_SELECT_ORACLE = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice)::DECIMAL(28,2), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("sink_ctas_roundtrip", _CTAS_SELECT_ORACLE)
+def sink_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS → read back: the §2.1 `CREATE TABLE AS SELECT` surface as an
+    executed round trip (write parquet, re-read, return)."""
+    t = Tables(spark, sf_dir)
+    path = _scratch("ctas_orders_summary")
+    (
+        t.orders.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+            .alias("total"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).orderBy("o_orderpriority")
+
+
+_INSERT_ORACLE = """
+    SELECT n_name, n_regionkey FROM nation WHERE n_regionkey IN (0, 1)
+    ORDER BY n_name
+"""
+
+
+@query("sink_insert_into", _INSERT_ORACLE)
+def sink_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE then INSERT INTO (append) against a path table:
+    overwrite seeds region 0, append adds region 1; the read-back is the
+    union — the reference's two insert modes executed
+    (Bingql.g4:675-677 insert_stmt)."""
+    t = Tables(spark, sf_dir)
+    path = _scratch("insert_nation")
+    base = t.nation.select("n_name", "n_regionkey")
+    base.where(F.col("n_regionkey") == 0).write.mode("overwrite").parquet(path)
+    base.where(F.col("n_regionkey") == 1).write.mode("append").parquet(path)
+    return spark.read.parquet(path).orderBy("n_name")
+
+
+_MULTI_INSERT_ORACLE = """
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    )
+    SELECT 'big' AS bucket, count(*) AS cnt,
+           round(sum(o_totalprice)::DECIMAL(28,2), 2) AS total
+    FROM src WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT 'open' AS bucket, count(*) AS cnt,
+           round(sum(o_totalprice)::DECIMAL(28,2), 2) AS total
+    FROM src WHERE o_orderstatus = 'O' AND o_totalprice < 200000
+    ORDER BY bucket
+"""
+
+
+@query("sink_multi_insert", _MULTI_INSERT_ORACLE)
+def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-table insert executed natively: ONE `FROM src INSERT …
+    INSERT …` statement fans a single source scan into two targets
+    (§2.1 multitable_insert_stmt; Spark SQL supports the form directly).
+    Read both targets back with a tag."""
+    t = Tables(spark, sf_dir)
+    p_big = _scratch("mi_big")
+    p_open = _scratch("mi_open")
+    t.orders.createOrReplaceTempView("kch_mi_src")
+    spark.sql(
+        f"""
+        FROM kch_mi_src
+        INSERT OVERWRITE DIRECTORY '{p_big}' USING parquet
+        SELECT o_orderkey, o_totalprice WHERE o_totalprice >= 200000
+        INSERT OVERWRITE DIRECTORY '{p_open}' USING parquet
+        SELECT o_orderkey, o_totalprice
+        WHERE o_orderstatus = 'O' AND o_totalprice < 200000
+        """
+    )
+    big = spark.read.parquet(p_big).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+        .alias("total"),
+    ).select(F.lit("big").alias("bucket"), "cnt", "total")
+    open_ = spark.read.parquet(p_open).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+        .alias("total"),
+    ).select(F.lit("open").alias("bucket"), "cnt", "total")
+    return big.unionByName(open_).orderBy("bucket")
+
+
+_PARTITIONED_ORACLE = """
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sink_partitioned_write", _PARTITIONED_ORACLE)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED BY write + partition-pruned read-back: the filter on
+    the partition column prunes to a single directory (visible as
+    ``PartitionFilters`` in the scan; §2.1 table_partition_clause)."""
+    t = Tables(spark, sf_dir)
+    path = _scratch("part_orders")
+    (
+        t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_BUCKETED_ORACLE = """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice)::DECIMAL(28,2), 2) AS total
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+@query("sink_bucketed_join", _BUCKETED_ORACLE)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucketBy co-located join: both sides written with the same bucket
+    count on the join key, so the read-back join needs NO shuffle (§2.1
+    table_clustered_clause `CLUSTERED BY … INTO n BUCKETS`).
+
+    This is the 100 TB pattern for repeated fact-dim joins: pay the
+    bucketed write once, join shuffle-free forever after."""
+    t = Tables(spark, sf_dir)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    for name, df, key in (
+        ("kch_b_customer", t.customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
+        ("kch_b_orders", t.orders.select("o_custkey", "o_totalprice"), "o_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _scratch(name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    c = spark.table("kch_b_customer")
+    o = spark.table("kch_b_orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+            .alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
         scalars,
         scans,
         setops,
+        sinks,
         sorts,
         windows,
     )
