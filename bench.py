@@ -28,8 +28,14 @@ HEADLINE = [
     "lateral_view_sql_words",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "text_quality_score",
+    "stream_tumbling_counts",
+    "stream_session_stats",
+    "lineage_column_closure",
+    "sink_bucketed_join",
 ]
 
 

@@ -43,11 +43,28 @@ _SHINGLES_EXPR = """
 
 
 def _with_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id + distinct word-3-gram shingle array (≥3-word docs only)."""
+    """doc_id + distinct word-3-gram shingle array (≥3-word docs only).
+
+    Two load-bearing physical choices (each measured at sf0.1):
+
+    * repartition to core count BEFORE the compute — documents arrive as
+      one parquet row-group, so without the spread a single task does all
+      the regex/shingle work while 31 cores idle;
+    * localCheckpoint AFTER the compute — downstream explode()s inject
+      `isnotnull(shingles) AND size(shingles) > 0` predicates that
+      Catalyst pushes into a non-codegen Filter, re-evaluating the whole
+      interpreted lambda chain ~10× per row (observed 30s for a 0.5s
+      explode).  Materializing the shingle arrays once makes every
+      consumer read plain vectors.  At cluster scale persist(DISK_ONLY)
+      plays the same role."""
+    spread = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
+        docs.select("doc_id", "text")
+        .repartition(spread, "doc_id")
+        .select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
         .where(F.size("words") >= 3)
         .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -144,18 +161,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the join key is (band, band_key); only colliding docs meet.
     At 100 TB you'd also groupBy band_key and skip singleton buckets
     before the self-join — same plan shape.
+
+    The signature pipeline (regex → shingle → md5) runs ONCE: bands come
+    from a posexplode (not a union of selects, which re-derives the
+    signature per branch) and the banded frame is materialized before the
+    self-join so neither side recomputes it (localCheckpoint here;
+    persist(DISK_ONLY) at cluster scale — same intent).
     """
     t = Tables(spark, sf_dir)
     sigs = minhash_signature(t.documents)
-    bands = None
-    for b in range(N_HASHES // BAND_SIZE):
-        key = F.concat_ws(
-            "|", *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-        )
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band"), key.alias("band_key")
-        )
-        bands = part if bands is None else bands.union(part)
+    band_structs = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_structs).alias("band", "band_key")
+    ).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -196,10 +221,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking key = (lang, token-count bucket) — a stand-in for the LSH
     candidates at this scale; the verification math (|∩|/|∪| over
     distinct shingle sets) is what a 100 TB pipeline runs after LSH.
+
+    Relational formulation: explode shingles and count matches per pair
+    via a shingle-equality join, instead of array_intersect over every
+    blocked pair — pairs sharing ZERO shingles (jaccard 0, below any
+    threshold) never materialize, and the intersection count runs in
+    whole-stage codegen rather than a per-pair array lambda.  Same
+    result set; ~50× wall-clock at sf0.1.
     """
     t = Tables(spark, sf_dir)
+    # same two physical rules as _with_shingles: spread before the
+    # CPU-bound shingle compute, barrier before the explode (else the
+    # Generate's pushed-down predicates re-run the interpreted lambda
+    # chain per row on the pre-shuffle single task)
     sh = (
-        t.documents.select("doc_id", "lang", F.expr(_WORDS_EXPR).alias("words"))
+        t.documents.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", "lang", F.expr(_WORDS_EXPR).alias("words"))
         .where(F.size("words") >= 3)
         .select(
             "doc_id",
@@ -207,24 +246,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("words") / 50).cast("int").alias("len_bucket"),
             F.expr(_SHINGLES_EXPR).alias("shingles"),
         )
+        .localCheckpoint(eager=False)
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
-    jac = inter.cast("double") / union
-    return (
+    expl = sh.select(
+        "doc_id", "lang", "len_bucket",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).localCheckpoint(eager=False)
+    a, b = expl.alias("a"), expl.alias("b")
+    common = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(jac >= 0.2)
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        common.where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -234,41 +285,36 @@ SIMHASH_BITS = 32  # 8 hex chars of md5 → engine-portable bit extraction
 SIMHASH_BANDS = 4  # 8-bit bands; near-dups collide in ≥1 band
 SIMHASH_MAX_HAMMING = 3
 
-# per-token ±1 bit vector: bit j of the token's 32-bit md5 prefix,
-# extracted hex-char-wise (instr/strpos over '0123456789abcdef' is
-# identical in both engines; no conv()/from_hex divergence)
-_TOKEN_PM1 = """
-    transform(sequence(0, 31), j ->
-      2 * ((shiftright(
-            instr('0123456789abcdef',
-                  substr(md5(t), cast(floor(j / 4) as int) + 1, 1)) - 1,
-            j % 4)) & 1) - 1)
-"""
-
-_SIMHASH_EXPR = f"""
-    aggregate(
-      zip_with(
-        aggregate(tokens,
-                  transform(sequence(0, 31), j -> 0),
-                  (acc, t) -> zip_with(acc, {_TOKEN_PM1}, (a, b) -> a + b)),
-        sequence(0, 31),
-        (s, j) -> if(s > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
-      cast(0 as bigint), (acc, x) -> acc + x)
-"""
-
-
 def simhash(docs: DataFrame) -> DataFrame:
     """doc_id + 32-bit SimHash over distinct 3-gram shingles (library
-    entry point; one narrow projection, no shuffle).  Shingles, not
-    single tokens: corpora share vocabulary, so token-level SimHash
-    saturates (every doc within a few bits of every other); word
-    3-grams keep the signature discriminative."""
-    return (
-        _with_shingles(docs)
-        .withColumnRenamed("shingles", "tokens")
-        .where(F.size("tokens") >= 1)
-        .select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    entry point).  Shingles, not single tokens: corpora share vocabulary,
+    so token-level SimHash saturates; word 3-grams stay discriminative.
+
+    Relational formulation: explode shingles, one integer hash per
+    shingle (conv of the md5 hex prefix — most-significant-first, the
+    same value the oracle rebuilds with per-char arithmetic), then 32
+    codegen SUM aggregates for the bit votes.  The naive form (nested
+    aggregate/zip_with array lambdas) runs interpreted per token and is
+    ~100x slower at sf0.1."""
+    tok = _with_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("t")
     )
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint")
+    votes = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2 * F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) - 1
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 _SIMHASH_ORACLE = f"""
@@ -279,19 +325,19 @@ WITH docs AS (
 tok AS (
   SELECT doc_id, unnest(tokens) AS t FROM docs WHERE len(tokens) >= 1
 ),
-bits AS (
-  SELECT doc_id, j,
-         2 * (((strpos('0123456789abcdef',
-                       substr(md5(t), (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1)
-           - 1 AS pm1
-  FROM tok, (SELECT unnest(range(0, 32)) AS j)
+hashed AS (
+  SELECT doc_id, (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1)::BIGINT * 268435456 + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)::BIGINT * 16777216 + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1)::BIGINT * 1048576 + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)::BIGINT * 65536 + (strpos('0123456789abcdef', substr(md5(t), 5, 1)) - 1)::BIGINT * 4096 + (strpos('0123456789abcdef', substr(md5(t), 6, 1)) - 1)::BIGINT * 256 + (strpos('0123456789abcdef', substr(md5(t), 7, 1)) - 1)::BIGINT * 16 + (strpos('0123456789abcdef', substr(md5(t), 8, 1)) - 1)::BIGINT * 1 AS h FROM tok
+),
+votes AS (
+  SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS bitsum
+  FROM hashed, (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+  GROUP BY 1, 2
 ),
 sh AS (
   SELECT doc_id,
          SUM(CASE WHEN bitsum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
            AS simhash
-  FROM (SELECT doc_id, j, SUM(pm1) AS bitsum FROM bits GROUP BY 1, 2)
-  GROUP BY doc_id
+  FROM votes GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, simhash, k, (simhash >> (8 * k)) & 255 AS band_val
