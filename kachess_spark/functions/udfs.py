@@ -1,0 +1,192 @@
+"""User-defined function surface (SURVEY.md §2.10).
+
+The reference recognizes `CREATE TEMPORARY FUNCTION name AS 'class'`
+(Bingql.g4:116-118) and treats any unknown ``ident(args)`` as an opaque
+function whose column arguments become lineage parents
+(SqlMetaDataExtractor.visitColNameInExpr:366-407).  Executed Spark-first,
+that surface is:
+
+* ``spark.udf.register`` → the function is callable from SQL text, the
+  exact `CREATE TEMPORARY FUNCTION` use case;
+* ``@pandas_udf`` → Arrow-batched vectorized evaluation (the only
+  acceptable Python hot path at scale: one Python roundtrip per batch,
+  not per row);
+* ``applyInPandas`` grouped-map → the UDAF/aggregation escape hatch.
+
+Every operator here intentionally computes something SQL-expressible so
+the DuckDB oracle can check the full Python↔JVM↔Arrow path for value
+fidelity — the point is exercising the machinery, not the math.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+
+def _discounted_price_udf():
+    # defined lazily: pandas_udf parses its DDL return type against the
+    # ACTIVE session, so decorating at import time breaks session-less
+    # imports (registry.load_all before SparkSession exists)
+    @pandas_udf("double")
+    def discounted_price(extended: pd.Series, discount: pd.Series) -> pd.Series:
+        """Vectorized scalar Pandas UDF: one Arrow batch in, one out."""
+        return extended * (1.0 - discount)
+
+    return discounted_price
+
+
+_PANDAS_UDF_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1.0 - l_discount), 4) AS disc_price
+    FROM lineitem
+    WHERE l_quantity >= 49
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("udf_pandas_scalar", _PANDAS_UDF_ORACLE)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar UDF over lineitem; per-row double arithmetic
+    is IEEE-identical across engines, so the oracle checks the Arrow
+    transfer exactly."""
+    t = Tables(spark, sf_dir)
+    discounted_price = _discounted_price_udf()
+    return (
+        t.lineitem.where(F.col("l_quantity") >= 49)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                discounted_price("l_extendedprice", "l_discount"), 4
+            ).alias("disc_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_SQL_UDF_ORACLE = """
+    SELECT n_name,
+           upper(substr(n_name, 1, 3)) || '-' || CAST(n_nationkey AS VARCHAR)
+             AS nation_code
+    FROM nation ORDER BY n_name
+"""
+
+
+@query("udf_register_sql", _SQL_UDF_ORACLE)
+def udf_register_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.udf.register`` + use from SQL text — the executed
+    equivalent of the reference's CREATE TEMPORARY FUNCTION surface."""
+    spark.udf.register(
+        "kch_nation_code",
+        lambda name, key: f"{name[:3].upper()}-{key}",
+        "string",
+    )
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("kch_udf_nation")
+    return spark.sql(
+        """
+        SELECT n_name, kch_nation_code(n_name, n_nationkey) AS nation_code
+        FROM kch_udf_nation ORDER BY n_name
+        """
+    )
+
+
+_GROUPED_ORACLE = """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 10000
+                 / count(*), 4) AS avg_price,
+           ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS price_spread
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 10
+    ORDER BY o_custkey
+"""
+
+
+@query("udf_grouped_map", _GROUPED_ORACLE)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via ``applyInPandas`` grouped-map — the UDAF
+    escape hatch for aggregations built-ins can't express.  One shuffle
+    on the group key, one pandas frame per group (bounded: a customer's
+    orders fit in memory at any scale; for unbounded groups you'd
+    pre-aggregate or window instead)."""
+
+    import math
+
+    def half_up4(x: float) -> float:
+        # DuckDB/Spark ROUND is half-away-from-zero; Python round() is
+        # banker's — match the SQL engines explicitly
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
+        prices = pdf["o_totalprice"]
+        # fixed-point sum → deterministic cross-engine average
+        total = (prices * 10000 + 0.5).floordiv(1).astype("int64").sum()
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [n],
+                "avg_price": [half_up4(total / 10000 / n)],
+                "price_spread": [half_up4(prices.max() - prices.min())],
+            }
+        )
+
+    t = Tables(spark, sf_dir)
+    out = (
+        t.orders.select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            per_customer,
+            "o_custkey BIGINT, n_orders BIGINT, avg_price DOUBLE, "
+            "price_spread DOUBLE",
+        )
+    )
+    return out.where(F.col("n_orders") >= 10).orderBy("o_custkey")
+
+
+def _batch_token_count_udf():
+    @pandas_udf("long")
+    def batch_token_count(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        """Iterator-of-series Pandas UDF: amortizes per-batch setup (the
+        pattern for loading a tokenizer/model once per executor, not
+        once per batch)."""
+        splitter = None  # stand-in for expensive one-time init
+        for batch in texts:
+            if splitter is None:
+                splitter = True
+            yield batch.fillna("").str.split().map(len)
+
+    return batch_token_count
+
+
+_ITER_UDF_ORACLE = """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@query("udf_pandas_iterator", _ITER_UDF_ORACLE)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator Pandas UDF (per-executor init amortization) counting
+    whitespace tokens; oracle = DuckDB list arithmetic."""
+    t = Tables(spark, sf_dir)
+    batch_token_count = _batch_token_count_udf()
+    return (
+        t.documents.select(
+            "doc_id", batch_token_count("text").alias("n_tokens")
+        )
+        .orderBy("doc_id")
+    )

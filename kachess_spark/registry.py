@@ -48,6 +48,7 @@ def load_all() -> None:
         sorts,
         windows,
     )
+    from kachess_spark.functions import udfs  # noqa: F401
     from kachess_spark.lineage import queries as lineage_queries  # noqa: F401
     from kachess_spark.streaming import windows as streaming_windows  # noqa: F401
     from kachess_spark.pipeline import (  # noqa: F401
