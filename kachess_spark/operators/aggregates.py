@@ -273,3 +273,58 @@ def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.lineitem.groupBy("l_linestatus").agg(
         F.sum_distinct(F.col("l_quantity").cast(DEC)).alias("sum_distinct_qty")
     )
+
+
+_Q18_MIN_QTY = 250
+
+_Q18_ORACLE = f"""
+    SELECT c.c_name, o.o_orderkey,
+           (epoch(o.o_orderdate) // 86400)::BIGINT AS order_day,
+           round(o.o_totalprice::DECIMAL(18,2), 2) AS o_totalprice,
+           round(sum(l.l_quantity)::DECIMAL(18,2), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+    )
+    GROUP BY 1, 2, 3, 4
+    ORDER BY o_totalprice DESC, o.o_orderkey
+"""
+
+
+@query("agg_q18_top_customers", _Q18_ORACLE)
+def agg_q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via a grouped HAVING
+    subquery, then a 3-way join rolled up per order.
+
+    Scale: the HAVING subquery is a map-side-combinable aggregation whose
+    tiny result (big orders are rare) broadcast-semi-joins back against
+    orders — lineitem is scanned twice but never shuffled against itself."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        t.orders.join(F.broadcast(big), t.orders.o_orderkey == big.l_orderkey)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem.select("l_orderkey", "l_quantity"), "l_orderkey")
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            (F.unix_timestamp("o_orderdate") / 86400)
+            .cast("bigint")
+            .alias("order_day"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+            .alias("o_totalprice"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )

@@ -1,0 +1,163 @@
+"""As-of and range joins — operators Spark's built-ins don't provide
+(SURVEY.md §2.3 notes the reference has none either; these are the
+canonical "custom operator as a composition of DataFrame ops" additions).
+
+As-of join (latest right row with rts ≤ lts per key), implemented with
+the union+window pattern rather than a per-key merge:
+
+* tag both sides, union them — ONE dataset, ONE shuffle on the key;
+* window last_value(ignorenulls) ordered by (ts, tag) carries the most
+  recent right-side payload forward onto each left row;
+* filter back to left rows.
+
+At 100 TB this beats both the naive inequality join (quadratic per key)
+and merge_asof-style applyInPandas (whole key group in one pandas frame):
+the window is streaming within each partition, state is one row, and
+skewed keys spill gracefully.  DuckDB's native ASOF JOIN is the oracle.
+
+Range join: equality-bucketed — bucket timestamps to the range width,
+join on (key, bucket)±1 neighbors, filter the exact predicate.  Candidate
+space is O(rows·density) instead of O(rows²) per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import load_table
+from kachess_spark.registry import query
+
+_ASOF_ORACLE = """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    logins AS (
+      SELECT user_id, ts, event_id AS login_event_id FROM events
+      WHERE event_type = 'login'
+    )
+    SELECT p.event_id, p.user_id,
+           floor(epoch(p.ts))::BIGINT AS purchase_epoch,
+           l.login_event_id,
+           (floor(epoch(p.ts)) - floor(epoch(l.ts)))::BIGINT AS secs_since_login
+    FROM purchases p
+    ASOF LEFT JOIN logins l
+      ON p.user_id = l.user_id AND p.ts >= l.ts
+    ORDER BY p.event_id
+"""
+
+
+@query("join_asof_events", _ASOF_ORACLE)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent login at-or-before it.
+
+    Union+window as-of join; ties (same ts) resolve to the right side
+    being visible, matching ASOF's `>=` semantics (tag orders right rows
+    first within equal timestamps)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("login_event_id"),
+        F.lit(None).cast("timestamp").alias("login_ts"),
+    )
+    right = ev.where(F.col("event_type") == "login").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id", "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("login_event_id"),
+        F.col("ts").alias("login_ts"),
+    )
+    # right rows sort before left at equal ts → ASOF '>=' tie semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "login_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        left.unionByName(right)
+        .withColumn(
+            "asof_login_id", F.last("login_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "asof_login_ts", F.last("login_ts", ignorenulls=True).over(w)
+        )
+    )
+    return (
+        carried.where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_epoch"),
+            F.col("asof_login_id").alias("login_event_id"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("asof_login_ts"))
+            .cast("bigint")
+            .alias("secs_since_login"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RANGE_WIDTH = 300  # seconds
+
+_RANGE_ORACLE = f"""
+    WITH e AS (
+      SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type
+      FROM events
+    )
+    SELECT a.event_id AS ev_a, b.event_id AS ev_b,
+           (b.sec - a.sec) AS gap_secs
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'purchase'
+     AND b.sec >= a.sec AND b.sec - a.sec <= {_RANGE_WIDTH}
+    ORDER BY ev_a, ev_b
+"""
+
+
+@query("join_range_events", _RANGE_ORACLE)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within 5 minutes after an error, same user — a banded
+    range join via time-bucket equality + neighbor buckets + exact filter.
+
+    The equality key (user_id, bucket) lets Spark hash-join; only
+    same-or-adjacent buckets ever meet, so candidates are bounded by
+    local event density, not the full per-user cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    errors = base.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("ev_a"),
+        "user_id",
+        F.col("sec").alias("sec_a"),
+        F.floor(F.col("sec") / _RANGE_WIDTH).alias("bucket_a"),
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("ev_b"),
+            "user_id",
+            F.col("sec").alias("sec_b"),
+            F.explode(
+                F.array(
+                    F.floor(F.col("sec") / _RANGE_WIDTH) - 1,
+                    F.floor(F.col("sec") / _RANGE_WIDTH),
+                )
+            ).alias("bucket_a"),
+        )
+    )
+    return (
+        errors.join(purchases, ["user_id", "bucket_a"])
+        .where(
+            (F.col("sec_b") >= F.col("sec_a"))
+            & (F.col("sec_b") - F.col("sec_a") <= _RANGE_WIDTH)
+        )
+        .select(
+            "ev_a", "ev_b", (F.col("sec_b") - F.col("sec_a")).alias("gap_secs")
+        )
+        .distinct()
+        .orderBy("ev_a", "ev_b")
+    )

@@ -114,3 +114,33 @@ def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     return t.orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_custkey")
+
+
+_VIEW_ORACLE = """
+    SELECT r.r_name, count(*) AS n_nations
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
+@query("scan_view_sql", _VIEW_ORACLE)
+def scan_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW surface executed: register temp views, query them with
+    SQL text (`spark.sql`) — the §2.1 create_view_stmt path."""
+    t = Tables(spark, sf_dir)
+    t.region.createOrReplaceTempView("kch_v_region")
+    t.nation.createOrReplaceTempView("kch_v_nation")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW kch_v_region_nations AS
+        SELECT r.r_name, n.n_nationkey
+        FROM kch_v_region r JOIN kch_v_nation n
+          ON r.r_regionkey = n.n_regionkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT r_name, count(*) AS n_nations
+        FROM kch_v_region_nations GROUP BY r_name ORDER BY r_name
+        """
+    )

@@ -38,6 +38,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from kachess_spark.operators import (  # noqa: F401
         aggregates,
+        asof,
         filters,
         joins,
         lateral,
