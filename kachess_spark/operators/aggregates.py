@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kachess_spark.catalog import Tables, register_views
-from kachess_spark.operators._util import DEC, davg, dsum
+from kachess_spark.operators._util import DEC, davg, dsum, money
 from kachess_spark.registry import query
 
 
@@ -327,4 +327,49 @@ def agg_q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty")
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+_SALTS = 16
+
+_SKEW_ORACLE = """
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("agg_skew_two_phase", _SKEW_ORACLE)
+def agg_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation for skewed keys (l_returnflag has 3
+    values — worst-case key skew: a naive groupBy lands a third of 100 TB
+    on one reducer).
+
+    Phase 1 groups by (key, salt) — 16-way fan-out of every hot key, all
+    reducers busy; phase 2 re-aggregates the 3×16 partials.  The salt is
+    derived from a data column (deterministic), not rand().  The same
+    pattern salts skewed JOIN keys (replicate the small side per salt);
+    AQE's skewJoin handles the join case automatically at runtime —
+    this operator shows the explicit form the optimizer can't infer for
+    aggregations with non-decomposable accumulators."""
+    t = Tables(spark, sf_dir)
+    salted = t.lineitem.select(
+        "l_returnflag",
+        money("l_extendedprice").alias("price_fp"),
+        (F.col("l_orderkey") % _SALTS).alias("salt"),
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("p_cnt"), F.sum("price_fp").alias("p_sum")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("p_cnt").alias("cnt"),
+            (F.sum("p_sum").cast("double") / 10000).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
     )

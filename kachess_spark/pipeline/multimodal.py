@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -173,4 +174,59 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))
         ).alias("frame_idx"),
+    )
+
+
+_FEAT_DIM = 8
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dim", IntegerType()),
+        StructField("feat", DoubleType()),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction kernel (mapInPandas), STUB like the decoder:
+    a real deployment runs a vision/audio encoder over payload bytes; the
+    fake derives a deterministic 8-dim vector from byte length so the
+    Spark plumbing (Arrow batches, exploded output shape, schema) is
+    exercised end-to-end and oracle-checkable."""
+    for pdf in batches:
+        n = len(pdf)
+        reps = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].repeat(_FEAT_DIM).values,
+                "dim": list(range(_FEAT_DIM)) * n,
+                "n_bytes": pdf["n_bytes"].repeat(_FEAT_DIM).values,
+            }
+        )
+        reps["feat"] = ((reps["n_bytes"] * (reps["dim"] + 1)) % 97) / 97.0
+        yield reps[["doc_id", "dim", "feat"]]
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id, CAST(dim AS INT) AS dim,
+           CAST((octet_length(encode(text)) * (dim + 1)) % 97 AS DOUBLE)
+             / 97.0 AS feat
+    FROM documents, (SELECT unnest(range(0, 8)) AS dim)
+    WHERE doc_id % 3 = 0
+    ORDER BY doc_id, dim
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over image payloads: Arrow-batched mapInPandas
+    emitting exploded (doc_id, dim, feat) rows — scalar columns so the
+    value-hash check covers the Python→Arrow→JVM float path exactly."""
+    t = Tables(spark, sf_dir)
+    mm = with_payload(t.documents)
+    imgs = mm.where(F.col("meta.kind") == "image").select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    return imgs.mapInPandas(_feature_batches, schema=_FEAT_SCHEMA).orderBy(
+        "doc_id", "dim"
     )
