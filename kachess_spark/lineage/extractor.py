@@ -170,6 +170,13 @@ class LineageSession:
             if name:
                 ds.name = name
                 self.temp_tables[name.lower()] = ds
+        elif cls == "CreateView":
+            # permanent-view v2 command: children = [identifier, query]
+            ds = self._query(node["_children"][1])
+            ident = P.parts(node["_children"][0].get("nameParts"))
+            if ident:
+                ds.name = ident[-1]
+                self.temp_tables[ident[-1].lower()] = ds
         elif cls == "DropTable":
             ident = P.parts(node["_children"][0].get("nameParts"))
             self._drop(ident)  # visitDrop_table:888-896
@@ -317,7 +324,11 @@ class LineageSession:
     # ------------------------------------------------------------ queries
 
     _WRAPPERS = {"Distinct", "GlobalLimit", "LocalLimit", "Sort",
-                 "WithWindowDefinition", "UnresolvedHint", "Offset"}
+                 "WithWindowDefinition", "UnresolvedHint", "Offset",
+                 # DISTRIBUTE BY / CLUSTER BY and TABLESAMPLE add no
+                 # lineage (SURVEY.md §2.6/§2.1: parse-only)
+                 "RepartitionByExpression", "Repartition", "Sample",
+                 "RebalancePartitions"}
 
     def _query(self, node: P.Node) -> M.Dataset:
         """A fullselect: wrappers peeled (ORDER BY/LIMIT add no lineage,
@@ -364,11 +375,22 @@ class LineageSession:
             ds = M.Dataset(id=self.ids.next(), type=M.SUBQUERY)
             self.store.datasets.append(ds)
             return ds
-        # Filter/Join/Generate without a Project on top (bare FROM):
-        scope = _Scope()
-        self._from(node, scope)
-        ds = M.Dataset(id=self.ids.next(), type=M.SUBQUERY)
-        self._attach_predicates(ds, scope)
+        if cls in ("Filter", "Join", "Generate", "LocalRelation",
+                   "UnresolvedSubqueryColumnAliases"):
+            # bare FROM shapes without a Project on top
+            scope = _Scope()
+            self._from(node, scope)
+            ds = M.Dataset(id=self.ids.next(), type=M.SUBQUERY)
+            self._attach_predicates(ds, scope)
+            self.store.datasets.append(ds)
+            return ds
+        # unknown node: peel single-child wrappers, never recurse on self
+        # (guards against _query/_from mutual recursion on new plan nodes)
+        if node["_children"]:
+            self.warnings.append(f"unhandled plan node {cls}; peeling child")
+            return self._query(node["_children"][0])
+        self.warnings.append(f"unhandled leaf plan node {cls}")
+        ds = M.Dataset(id=self.ids.next(), type=M.SUBQUERY, extra_info=cls)
         self.store.datasets.append(ds)
         return ds
 
@@ -469,10 +491,20 @@ class LineageSession:
             scope.sources.append(self._relation(node))
         elif cls == "LocalRelation":
             scope.sources.append(_Scoped(self._local_relation(node, [])))
-        else:
+        elif cls in ("Project", "Aggregate", "Union", "Except", "Intersect",
+                     "UnresolvedWith", "Distinct", "GlobalLimit",
+                     "LocalLimit", "Sort", "OneRowRelation"):
             # nested fullselect directly in FROM
             sub = self._query(node)
             scope.sources.append(_Scoped(sub))
+        elif node["_children"]:
+            # unknown wrapper (TABLESAMPLE, repartition hints, …): peel —
+            # never hand the same node back to _query (mutual recursion)
+            self._from(node["_children"][0], scope)
+        else:
+            self.warnings.append(
+                f"unhandled FROM leaf {cls}; no dataset contributed"
+            )
 
     def _column_aliased(self, node: P.Node) -> M.Dataset:
         names = node.get("outputColumnNames") or []

@@ -456,3 +456,58 @@ def test_lenient_mode_warns(extract):
     assert s.warnings
     f = _pdf(s)
     assert (f["datasets"].type == "TABLE").sum() == 1
+
+
+# ------------------------------------------------- robustness regressions
+
+
+EDGE_SHAPES = {
+    "except": "SELECT col100l FROM dw.tab10 EXCEPT SELECT col200l FROM dw.tab20;",
+    "exists": (
+        "SELECT col101s FROM dw.tab10 a WHERE EXISTS "
+        "(SELECT 1 FROM dw.tab20 b WHERE b.col200l = a.col100l);"
+    ),
+    "scalar_subq": (
+        "SELECT col101s, (SELECT max(col203i) FROM dw.tab20) AS mx FROM dw.tab10;"
+    ),
+    "values": "SELECT t.id, t.nm FROM (VALUES (1,'a'),(2,'b')) AS t(id, nm);",
+    "view": (
+        "CREATE VIEW v1 AS SELECT col101s, col103i FROM dw.tab10;\n"
+        "SELECT * FROM v1;"
+    ),
+    "distribute": "SELECT col101s FROM dw.tab10 DISTRIBUTE BY col101s;",
+    "tablesample": "SELECT col101s FROM dw.tab10 TABLESAMPLE (50 PERCENT);",
+    "windowfn": (
+        "SELECT col101s, row_number() OVER (PARTITION BY col102b "
+        "ORDER BY col103i) rn FROM dw.tab10;"
+    ),
+    "nested_cte": (
+        "WITH a AS (SELECT col100l FROM dw.tab10), b AS (SELECT * FROM a) "
+        "SELECT * FROM b;"
+    ),
+    "merge": (
+        "MERGE INTO dw.tab10 t USING dw.tab20 s ON t.col100l = s.col200l "
+        "WHEN MATCHED THEN UPDATE SET col101s = s.col201s;"
+    ),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(EDGE_SHAPES))
+def test_edge_shapes_extract_without_crash(extract, shape):
+    """Every dialect shape the grammar accepts must extract (or cleanly
+    skip) — no recursion/crash regressions (unknown plan nodes peel)."""
+    s = extract(EDGE_SHAPES[shape], lenient=True)
+    f = _pdf(s)
+    assert len(f["datasets"]) >= 0  # frames materialize
+
+
+def test_view_reference_resolves(extract):
+    s = extract(
+        "CREATE VIEW v1 AS SELECT col101s, col103i FROM dw.tab10;\n"
+        "SELECT * FROM v1;"
+    )
+    f = _pdf(s)
+    # the SELECT * resolves against the view's 2 columns
+    top = f["datasets"].sort_values("id").iloc[-1]
+    items = f["select_items"]
+    assert len(items[items.dataset_id == top.id]) == 2
