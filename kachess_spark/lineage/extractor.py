@@ -303,6 +303,8 @@ class LineageSession:
         # positional column match (matchInsertsWithActual:1028-1048);
         # by-name when the statement lists columns
         cols = node.get("userSpecifiedCols") or []
+        if isinstance(cols, str):
+            cols = P.parts(cols)
         if cols:
             tgt_items = [target.find_item(c) for c in cols]
         else:

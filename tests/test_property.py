@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) — beyond the reference's golden-only
+strategy (SURVEY.md §5: no property tests exist upstream).
+
+The distributed closure is checked against an independent pure-Python
+BFS on random DAGs; the statement splitter against structural invariants.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kachess_spark.lineage.preprocess import preprocess, split_statements
+
+
+# ---------------------------------------------------------------- closure
+
+
+def _bfs_closure(edges: list[tuple[int, int]]) -> dict[tuple[int, int], int]:
+    """Reference implementation: min-hop distances by BFS from each node."""
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    out: dict[tuple[int, int], int] = {}
+    for src in adj:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if v != src:
+                out[(src, v)] = d
+    return out
+
+
+@st.composite
+def dags(draw):
+    """Random DAGs: edges only go from lower to higher node id (acyclic by
+    construction, like lineage graphs)."""
+    n = draw(st.integers(min_value=2, max_value=14))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 2),
+                st.integers(min_value=1, max_value=n - 1),
+            ).filter(lambda e: e[0] < e[1]),
+            min_size=1,
+            max_size=30,
+            unique=True,
+        )
+    )
+    return edges
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(dags())
+def test_closure_matches_bfs(spark, edges):
+    from kachess_spark.lineage.closure import transitive_closure
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        (r.ancestor_id, r.descendant_id): r.distance
+        for r in transitive_closure(df, "src", "dst").collect()
+    }
+    assert got == _bfs_closure(edges)
+
+
+# --------------------------------------------------------------- splitter
+
+
+_sql_atoms = st.sampled_from(
+    [
+        "SELECT a FROM t",
+        "SELECT ';' AS s FROM u",
+        "-- comment; with semicolon\nSELECT 1",
+        "INSERT INTO x VALUES (1, 'a;b')",
+        "/* block; comment */ SELECT 2",
+        "SELECT `weird;name` FROM v",
+    ]
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_sql_atoms, min_size=1, max_size=6))
+def test_splitter_statement_count(stmts):
+    """Joining N statements with ';' and splitting yields exactly N
+    (quoted/commented semicolons never split)."""
+    script = ";\n".join(stmts) + ";"
+    out = split_statements(script)
+    assert len(out) == len(stmts)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        st.text(alphabet="xyz0123", min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_preprocessor_substitutes_all_vars(assignments):
+    """Every `set k=v;` assignment substitutes into later ${hiveconf:k}
+    references; the set lines themselves are commented out."""
+    lines = [f"set {k}={v};" for k, v in assignments.items()]
+    refs = " ".join(f"${{hiveconf:{k}}}" for k in assignments)
+    script = "\n".join(lines) + f"\nSELECT '{refs}' FROM t"
+    out = preprocess(script)
+    for k, v in assignments.items():
+        assert f"${{hiveconf:{k}}}" not in out.split("SELECT")[1]
+        assert v in out
+    for k in assignments:
+        assert f"-- set {k}=" in out
+
+
+# ------------------------------------------------- by-name INSERT columns
+
+
+def test_insert_by_name_columns(spark):
+    from kachess_spark.lineage import LineageSession, fixture_metastore
+
+    s = LineageSession(spark, fixture_metastore(), seed=1000)
+    s.extract_script(
+        "CREATE TABLE dw.t_byname (x bigint, y string, z int);\n"
+        "INSERT INTO dw.t_byname (z, x) SELECT col103i, col100l FROM dw.tab10;"
+    )
+    f = {k: v.toPandas() for k, v in s.frames().items()}
+    ds, si, rel = f["datasets"], f["select_items"], f["select_item_rel"]
+    tgt = ds[ds.table_name == "t_byname"].id.iloc[0]
+    z = si[(si.dataset_id == tgt) & (si.name == "z")].id
+    x = si[(si.dataset_id == tgt) & (si.name == "x")].id
+    y = si[(si.dataset_id == tgt) & (si.name == "y")].id
+    zp = si[si.id.isin(rel[rel.child_select_item_id.isin(z)].parent_select_item_id)]
+    xp = si[si.id.isin(rel[rel.child_select_item_id.isin(x)].parent_select_item_id)]
+    assert set(zp.definition) == {"col103i"}
+    assert set(xp.definition) == {"col100l"}
+    assert rel[rel.child_select_item_id.isin(y)].empty  # unlisted column
