@@ -87,6 +87,8 @@ class LineageSession:
         seed: int = 1000,
         lenient: bool = False,
         source_tag: str = "session",
+        dialect: str = "SPARK",
+        system_source: str = "AIRFLOW",
     ):
         self.spark = spark
         self.metastore = metastore or Metastore()
@@ -94,6 +96,11 @@ class LineageSession:
         self.store = M.GraphStore()
         self.lenient = lenient
         self.source_tag = source_tag
+        # dialect ∈ {HIVE, SPARK, PRESTO}; system_source ∈ {AIRFLOW,
+        # DASHBOARD} (BatchProcessor.run:106-119 validation)
+        self.dialect = dialect
+        self.system_source = system_source
+        self._source_id: int | None = None
         self.current_schema: str | None = None
         # dsCache / cteCache / tmptblCache (SqlMetaDataExtractor.java:39-41)
         self.table_cache: dict[str, M.Dataset] = {}
@@ -107,6 +114,12 @@ class LineageSession:
     # ------------------------------------------------------------- public
 
     def extract_script(self, text: str) -> None:
+        # sources number from their own counter so dataset/item IDs stay
+        # stable under the golden seed regardless of script count
+        self._source_id = len(self.store.sql_sources) + 1
+        self.store.sql_sources.append(
+            (self._source_id, self.source_tag, self.dialect, self.system_source)
+        )
         for stmt in split_statements(preprocess(text)):
             reason = unsupported_reason(stmt)
             if reason:
@@ -190,8 +203,11 @@ class LineageSession:
         ):
             pass  # parse-only in the reference (SURVEY.md §2.1/§2.10)
         else:
-            # a top-level SELECT (dashboard-sink shape, closeSession:102-111)
-            self._query(node)
+            # a top-level SELECT: for DASHBOARD sources, record which
+            # dashboard consumes it (closeSession:102-111)
+            ds = self._query(node)
+            if self.system_source == "DASHBOARD" and self._source_id is not None:
+                self.store.dashboard_links.append((self._source_id, ds.id))
 
     # -------------------------------------------------------------- DDL
 

@@ -153,6 +153,22 @@ PARTITION_ADD_SCHEMA = T.StructType(
     ]
 )
 
+SQL_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("source_tag", T.StringType(), False),
+        T.StructField("dialect", T.StringType(), False),
+        T.StructField("system_source", T.StringType(), False),
+    ]
+)
+
+DASHBOARD_DATASET_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.LongType(), False),
+        T.StructField("dataset_id", T.LongType(), False),
+    ]
+)
+
 
 class _RelList:
     """Append-only view that dedups into a set (upsert semantics)."""
@@ -234,6 +250,12 @@ def frames(spark: SparkSession, store: "GraphStore") -> dict[str, DataFrame]:
         "dataset_rel": spark.createDataFrame(dsrel_rows, DATASET_REL_SCHEMA),
         "table_insert": spark.createDataFrame(ins_rows, TABLE_INSERT_SCHEMA),
         "table_add_partition": spark.createDataFrame(part_rows, PARTITION_ADD_SCHEMA),
+        "sql_sources": spark.createDataFrame(
+            list(store.sql_sources), SQL_SOURCE_SCHEMA
+        ),
+        "dashboard_dataset": spark.createDataFrame(
+            list(store.dashboard_links), DASHBOARD_DATASET_SCHEMA
+        ),
     }
 
 
@@ -247,3 +269,9 @@ class GraphStore:
     item_owner: dict[int, int] = field(default_factory=dict)  # item id → ds id
     table_inserts: list[TableInsert] = field(default_factory=list)
     partition_adds: list[PartitionAdd] = field(default_factory=list)
+    # (id, tag, dialect, system_source) per extracted script
+    # (persistable/SqlSource.java:10-17, db_setup_ddl.sql:24-36)
+    sql_sources: list[tuple[int, str, str, str]] = field(default_factory=list)
+    # top-level SELECT → consuming source (closeSession:105-111,
+    # db_setup_ddl.sql:115-123)
+    dashboard_links: list[tuple[int, int]] = field(default_factory=list)

@@ -511,3 +511,19 @@ def test_view_reference_resolves(extract):
     top = f["datasets"].sort_values("id").iloc[-1]
     items = f["select_items"]
     assert len(items[items.dataset_id == top.id]) == 2
+
+
+def test_sql_sources_and_dashboard_links(spark):
+    s = LineageSession(
+        spark, fixture_metastore(), seed=1000,
+        source_tag="dash_42", system_source="DASHBOARD",
+    )
+    s.extract_script("SELECT col101s FROM dw.tab10;")
+    f = _pdf(s)
+    src = f["sql_sources"]
+    assert src.source_tag.tolist() == ["dash_42"]
+    assert src.system_source.tolist() == ["DASHBOARD"]
+    links = f["dashboard_dataset"]
+    assert len(links) == 1
+    top = f["datasets"][f["datasets"].type == "SUBQUERY"].id.iloc[0]
+    assert links.dataset_id.iloc[0] == top
