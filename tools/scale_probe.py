@@ -1,0 +1,109 @@
+"""Scale probe: replicate sf0.1 fact tables Kx into /tmp and compare
+headline query wall-times against sf0.1.
+
+Near-linear scaling (ratio ≈ K on K× data) is the evidence that a plan
+has no quadratic/collect-bound step; a superlinear ratio flags the
+operator for replanning.  Writes nothing outside /tmp; prints one JSON
+line per scale.
+
+Usage: python tools/scale_probe.py [K] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+PROBE_DIR = "/tmp/kachess_scale_probe"
+
+DEFAULT_QUERIES = [
+    "agg_q1_pricing_summary",
+    "join_inner_q3",
+    "join_q5_multiway",
+    "win_rank_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "stream_tumbling_counts",
+]
+
+# fact tables replicated with key offsets (keeps join keys consistent
+# within each replica); dims copied as-is
+FACTS = {
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 10_000_000),
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def build(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table, table_path
+
+    out = f"{PROBE_DIR}/x{k}"
+    if os.path.exists(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    try:
+        for name in DIMS:
+            shutil.copy2(table_path(BASE_SF, name), table_path(out, name))
+        for name, (key, offset) in FACTS.items():
+            df = load_table(spark, BASE_SF, name)
+            parts = [
+                df.withColumn(key, F.col(key) + F.lit(i * offset))
+                for i in range(k)
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            if name == "events":
+                # load_table expects ts as TIMESTAMP(NANOS)-read-as-long;
+                # re-encode the converted timestamp back to nanos
+                u = u.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+            u.repartition(8).write.mode("overwrite").parquet(table_path(out, name))
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    return out
+
+
+def run(spark, sf_dir: str, queries: list[str]) -> dict[str, float]:
+    from kachess_spark import registry
+
+    registry.load_all()
+    per = {}
+    for name in queries:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).count()
+        per[name] = round(time.perf_counter() - t0, 3)
+    return per
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    queries = sys.argv[2:] or DEFAULT_QUERIES
+
+    from kachess_spark.session import get_spark
+
+    spark = get_spark("kachess-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = run(spark, BASE_SF, queries)  # warm + baseline
+    probe_dir = build(spark, k)
+    big = run(spark, probe_dir, queries)
+    ratios = {q: round(big[q] / base[q], 2) if base[q] else None for q in queries}
+    print(json.dumps({"k": k, "base_s": base, "xk_s": big, "ratio": ratios}))
+
+
+if __name__ == "__main__":
+    main()
