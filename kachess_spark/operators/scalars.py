@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kachess_spark.catalog import Tables
+from kachess_spark.catalog import Tables, load_table
 from kachess_spark.registry import query
 
 
@@ -338,4 +338,39 @@ def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_nulled"),
         price_maybe.alias("price_maybe"),
         F.coalesce(price_maybe, F.lit(-1.0)).alias("price_or_neg1"),
+    )
+
+
+_TZ_ORACLE = """
+    SELECT event_id,
+           strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                    '%Y-%m-%d %H:%M:%S') AS ny_time,
+           strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo',
+                    '%Y-%m-%d %H:%M:%S') AS tokyo_time
+    FROM events
+    WHERE event_id % 97 = 0
+    ORDER BY event_id
+"""
+
+
+@query("scalar_timezone", _TZ_ORACLE)
+def scalar_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`AT TIME ZONE` surface (Bingql.g4:980-982): storage timestamps are
+    UTC; `from_utc_timestamp` renders wall-clock time in a zone.  Emitted
+    as formatted strings — tz-aware native columns hash differently
+    across engines (see operators/_util.py rules)."""
+    ev = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.where(F.col("event_id") % 97 == 0)
+        .select(
+            "event_id",
+            F.date_format(
+                F.from_utc_timestamp("ts", "America/New_York"), fmt
+            ).alias("ny_time"),
+            F.date_format(
+                F.from_utc_timestamp("ts", "Asia/Tokyo"), fmt
+            ).alias("tokyo_time"),
+        )
+        .orderBy("event_id")
     )

@@ -527,3 +527,28 @@ def test_sql_sources_and_dashboard_links(spark):
     assert len(links) == 1
     top = f["datasets"][f["datasets"].type == "SUBQUERY"].id.iloc[0]
     assert links.dataset_id.iloc[0] == top
+
+
+def test_order_by_columns_excluded_from_lineage(extract):
+    """Reference deliberately excludes ORDER BY columns from lineage
+    (visitColNameInExpr:373-379): col103i appears only in ORDER BY and
+    must contribute no edges."""
+    s = extract("SELECT col101s FROM dw.tab10 ORDER BY col103i;")
+    f = _pdf(s)
+    si, rel = f["select_items"], f["select_item_rel"]
+    c103 = si[si.name == "col103i"].id
+    assert rel[rel.parent_select_item_id.isin(c103)].empty
+
+
+def test_impact_analysis_functions(extract, spark):
+    from kachess_spark.lineage.closure import feeds_into, impacted_by
+
+    s = extract(CASE_JOIN_SUBQUERY)
+    f = s.frames()
+    si = f["select_items"].toPandas()
+    c401 = int(si[si.name == "col401s"].id.iloc[0])
+    down = impacted_by(f["select_item_rel"], [c401]).toPandas()
+    assert len(down) == 3  # d.tab40_str -> k.tab40_str -> top
+    top_tab40 = si[(si.name == "tab40_str")].id.max()
+    up = feeds_into(f["select_item_rel"], [int(top_tab40)]).toPandas()
+    assert c401 in set(up.source_item_id)
