@@ -8,6 +8,7 @@ oracle-checked; the streaming paths run the same logical plans through
 """
 
 from kachess_spark.streaming.windows import (
+    streaming_dedup_events,
     session_window_stats,
     sliding_window_avg,
     stream_events,
@@ -20,6 +21,7 @@ from kachess_spark.streaming.windows import (
 
 __all__ = [
     "stream_events",
+    "streaming_dedup_events",
     "tumbling_window_counts",
     "sliding_window_avg",
     "session_window_stats",

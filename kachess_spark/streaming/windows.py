@@ -279,3 +279,16 @@ def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type)
+    within the watermark horizon survives (dropDuplicatesWithinWatermark
+    — state expires with the watermark, so the dedup map can't grow
+    unboundedly the way a plain dropDuplicates on a stream would)."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )

@@ -88,3 +88,19 @@ def test_streaming_stateful_running_totals(spark, sf_dir):
     assert len(merged) == len(want)
     assert (merged.total_events == merged.total_events_want).all()
     assert (merged.total_value - merged.total_value_want).abs().max() < 1e-6
+
+
+def test_streaming_dedup(spark, sf_dir):
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming import streaming_dedup_events
+
+    got = _run_stream(spark, streaming_dedup_events(spark, sf_dir), "append")
+    # one survivor per (user_id, event_type) seen in the static source
+    want = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got.count() == want
+    assert got.select("user_id", "event_type").distinct().count() == want
