@@ -151,7 +151,14 @@ def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame over a numeric ordering (value-based window)."""
+    """RANGE frame over a numeric ordering (value-based window).
+
+    A partition-less window moves everything to ONE task (Spark warns) —
+    acceptable here only because the input is pre-filtered small.  The
+    100 TB plan for a global RANGE frame is range-bucketing: bucket by
+    floor(value/width), compute frames within buckets, patch the ±1
+    boundary via neighbor-bucket overlap (exactly the banded pattern in
+    operators/asof.py::join_range_events)."""
     t = Tables(spark, sf_dir)
     w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
     return t.orders.where(F.col("o_orderkey") < 400).select(
@@ -200,7 +207,12 @@ def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_cume_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUME_DIST (Bingql.g4:1378) + NTILE + PERCENT_RANK."""
+    """CUME_DIST (Bingql.g4:1378) + NTILE + PERCENT_RANK.
+
+    Global rank functions need a total order (single partition —
+    pre-filtered small input here).  At 100 TB: two-pass rank — sample
+    for range boundaries → rank within ranges → add per-range offsets
+    (what RangePartitioner + zipWithIndex-style plans do)."""
     t = Tables(spark, sf_dir)
     w = Window.orderBy("c_acctbal", "c_custkey")
     return t.customer.where(F.col("c_nationkey") == 5).select(
