@@ -178,3 +178,87 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cosine_topk(spark, data_cand, qvecs, TOP_K)
     pairs = cands.select("qid", F.col("vec_id").alias("vid"))
     return scored.join(pairs, ["qid", "vid"], "left_semi")
+
+
+N_CELLS = 8  # IVF cell count (sized for the test corpus)
+N_PROBE = 2  # cells searched per query
+
+
+def ivf_assign(
+    spark: SparkSession, emb: DataFrame, centroids: DataFrame, n: int = 1
+) -> DataFrame:
+    """(vec_id, cell, rank) — nearest ``n`` centroid cells per vector.
+
+    Relational argmin: explode both sides on position, exact decimal dot
+    per (vector, centroid), row_number over cosine.  The K-way expansion
+    is fine for dataframe-sized K; a 65k-cell production index swaps this
+    for one Arrow-batched pandas UDF doing a matrix multiply per batch —
+    the surrounding plan (broadcast centroids, groupBy cell) is identical.
+    """
+    d = _exploded(emb, "vid", "dv")
+    c = _exploded(centroids, "cell", "cv")
+    dots = (
+        d.join(broadcast(c), "pos")
+        .groupBy("vid", "cell")
+        .agg(
+            F.sum((F.col("dv") * F.col("cv")).cast(PDEC)).alias("dot"),
+            F.sum((F.col("dv") * F.col("dv")).cast(PDEC)).alias("nn"),
+            F.sum((F.col("cv") * F.col("cv")).cast(PDEC)).alias("cn"),
+        )
+        .select(
+            "vid",
+            "cell",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nn").cast("double") * F.col("cn").cast("double"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cell"))
+    return (
+        dots.select("vid", "cell", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= n)
+    )
+
+
+@query("sim_ivf_topk")  # rows-only: approximate; recall asserted in tests
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: partition vectors into coarse cells around fixed
+    centroids, search exactly only inside the query's ``N_PROBE`` nearest
+    cells.
+
+    Centroids here are the lowest-id vectors (deterministic, no k-means
+    RNG); a production index trains them offline — the query-time plan
+    (assign → probe cells → exact top-k within candidates) is the real
+    thing.  Candidates shrink by ~N_CELLS/N_PROBE vs brute force."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    centroids = (
+        emb.orderBy("vec_id").limit(N_CELLS)
+        .select(F.col("vec_id").alias("vec_id_c"), "embedding")
+        .withColumn(
+            "cell",
+            F.row_number().over(Window.orderBy("vec_id_c")) - 1,
+        )
+        .select(F.col("cell").alias("vec_id"), "embedding")
+    )
+    assign = ivf_assign(spark, emb, centroids, n=1).select(
+        "vid", F.col("cell").alias("data_cell")
+    )
+    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
+    qprobe = ivf_assign(spark, queries, centroids, n=N_PROBE).select(
+        F.col("vid").alias("qid"), F.col("cell").alias("data_cell")
+    )
+    cand_ids = (
+        assign.join(broadcast(qprobe), "data_cell")
+        .where(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    cand_vecs = (
+        cand_ids.select("vid").distinct()
+        .join(emb, cand_ids["vid"] == emb["vec_id"])
+        .select("vec_id", "embedding")
+    )
+    scored = cosine_topk(spark, cand_vecs, queries, TOP_K)
+    return scored.join(cand_ids, ["qid", "vid"], "left_semi")

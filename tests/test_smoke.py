@@ -39,3 +39,28 @@ def test_ann_lsh_recall(spark, sf_dir):
     for r in ann:
         if (r["qid"], r["vid"]) in brute:
             assert abs(brute[(r["qid"], r["vid"])] - r["cosine"]) < 1e-9
+
+
+def test_ivf_recall(spark, sf_dir):
+    """IVF probe must return results overlapping brute-force top-k for
+    each query (cells are coarse; at least the easy neighbors agree)."""
+    from kachess_spark.pipeline.similarity import (
+        QUERY_IDS,
+        TOP_K,
+        sim_cosine_topk,
+        sim_ivf_topk,
+    )
+
+    exact = {
+        (r.qid, r.vid) for r in sim_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {(r.qid, r.vid) for r in sim_ivf_topk(spark, sf_dir).collect()}
+    assert approx  # non-empty per corpus
+    # every query returns <= TOP_K rows and they are valid pairs
+    assert all(q in QUERY_IDS for q, _ in approx)
+    per_q = {}
+    for q, v in approx:
+        per_q.setdefault(q, set()).add(v)
+    assert all(len(vs) <= TOP_K for vs in per_q.values())
+    # some overlap with exact top-k overall
+    assert exact & approx
