@@ -53,6 +53,7 @@ def load_all() -> None:
     from kachess_spark.lineage import queries as lineage_queries  # noqa: F401
     from kachess_spark.streaming import windows as streaming_windows  # noqa: F401
     from kachess_spark.pipeline import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         similarity,
