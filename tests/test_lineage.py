@@ -552,3 +552,20 @@ def test_impact_analysis_functions(extract, spark):
     top_tab40 = si[(si.name == "tab40_str")].id.max()
     up = feeds_into(f["select_item_rel"], [int(top_tab40)]).toPandas()
     assert c401 in set(up.source_item_id)
+
+
+def test_temp_table_rename_on_close(spark):
+    """closeSession de-scopes temp tables by renaming to
+    tmp_<name>_<source> (closeSession:79-100)."""
+    s = LineageSession(
+        spark, fixture_metastore(), seed=1000, source_tag="daily_job"
+    )
+    s.extract_script(
+        "CREATE TEMPORARY VIEW staging AS SELECT col101s FROM dw.tab10;"
+    )
+    assert "staging" in s.temp_tables
+    s.close()
+    f = _pdf(s)
+    names = set(f["datasets"].name.dropna())
+    assert "tmp_staging_daily_job" in names
+    assert not s.temp_tables
