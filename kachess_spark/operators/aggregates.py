@@ -373,3 +373,87 @@ def agg_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_FUNNEL_ORACLE = """
+    WITH stages AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup')   AS t_signup,
+             min(ts) FILTER (event_type = 'login')    AS t_login,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      count(t_signup) AS n_signed_up,
+      count(*) FILTER (t_login > t_signup) AS n_logged_in_after,
+      count(*) FILTER (t_purchase > t_login AND t_login > t_signup)
+        AS n_converted
+    FROM stages
+"""
+
+
+@query("agg_funnel_events", _FUNNEL_ORACLE)
+def agg_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (signup → login → purchase) via conditional
+    first-timestamps — one shuffle on user_id, no self-joins (the naive
+    funnel is an N-way self-join; min-per-stage makes it a single
+    aggregation at any scale)."""
+    from kachess_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "login", F.col("ts"))).alias("t_login"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signed_up"),
+        F.count(F.when(F.col("t_login") > F.col("t_signup"), 1)).alias(
+            "n_logged_in_after"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_login"))
+                & (F.col("t_login") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
+
+
+_PCT_ORACLE = """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("agg_percentiles", _PCT_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines implement
+    the same linear interpolation over sorted values).  Exact percentile
+    sorts within groups — at 100 TB swap for approx_percentile with a
+    bounded error, or t-digest sketches mergeable across partitions."""
+    t = Tables(spark, sf_dir)
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.99))"
+    )
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(pct.alias("ps"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("ps")[0], 4).alias("p25"),
+            F.round(F.col("ps")[1], 4).alias("p50"),
+            F.round(F.col("ps")[2], 4).alias("p75"),
+            F.round(F.col("ps")[3], 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

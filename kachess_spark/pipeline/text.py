@@ -11,7 +11,7 @@ Spark and the DuckDB oracle, no regex dialect drift.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kachess_spark.catalog import Tables
@@ -188,4 +188,105 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(canon).alias("fp"),
         F.substring(F.md5(canon), 1, 4).alias("fp_bucket"),
+    )
+
+
+_PII_ORACLE = r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+               'g'),
+             '\+?[0-9][0-9 ()-]{7,}[0-9]', '[PHONE]', 'g') AS redacted,
+           length(regexp_replace(text, '[^@]', '', 'g')) AS n_at_signs
+    FROM documents
+    WHERE doc_id % 29 = 0
+    ORDER BY doc_id
+"""
+
+
+@query("text_pii_redact", _PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email and phone-shaped spans replaced with tags —
+    the mandatory pre-training redaction pass.  Patterns restricted to
+    syntax Java regex and RE2 interpret identically (no backrefs, no
+    lookaround)."""
+    t = Tables(spark, sf_dir)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+    return (
+        t.documents.where(F.col("doc_id") % 29 == 0)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("text", email, "[EMAIL]"), phone, "[PHONE]"
+            ).alias("redacted"),
+            F.length(F.regexp_replace("text", "[^@]", "")).alias("n_at_signs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NGRAM_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(
+               regexp_replace(text, '[^a-zA-Z ]', '', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT lang, ws[i] || ' ' || ws[i+1] AS bigram
+      FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      WHERE len(ws) >= 2
+    ),
+    counted AS (
+      SELECT lang, bigram, count(*) AS cnt FROM bigrams GROUP BY 1, 2
+    )
+    SELECT lang, bigram, cnt, rk FROM (
+      SELECT lang, bigram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, bigram) AS rk
+      FROM counted
+    ) WHERE rk <= 5
+    ORDER BY lang, rk
+"""
+
+
+@query("text_ngram_counts", _NGRAM_ORACLE)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — corpus token statistics.
+
+    Physical shape per the dedup lessons: spread before the CPU-bound
+    split, materialize the word arrays before the explode, then a plain
+    count + per-lang top-k window (tiny groups)."""
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "lang",
+            F.expr(
+                "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', '')),"
+                " ' '), w -> w <> '')"
+            ).alias("ws"),
+        )
+        .where(F.size("ws") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    bigrams = words.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat_ws(' ', ws[i], ws[i+1]))"
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        counted.select("lang", "bigram", "cnt", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
     )
