@@ -190,3 +190,39 @@ def filter_boolean_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~(F.col("o_totalprice") < 50000)
         & F.col("o_orderdate").isNotNull()
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_CORR_SCALAR_ORACLE = """
+    SELECT l.l_orderkey, l.l_linenumber,
+           round(l.l_extendedprice::DECIMAL(18,2), 2) AS min_price
+    FROM lineitem l
+    WHERE l.l_orderkey < 2000
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_orderkey = l.l_orderkey
+      )
+    ORDER BY l.l_orderkey, l.l_linenumber
+"""
+
+
+@query("filter_correlated_scalar_subquery", _CORR_SCALAR_ORACLE)
+def filter_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2's shape): cheapest line item
+    per order.  Catalyst decorrelates this into an aggregate + join —
+    one pass, no per-row subquery execution (assert via .explain: no
+    repeated subquery node in the physical plan)."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("kch_corr_lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, l_linenumber,
+               round(CAST(l.l_extendedprice AS DECIMAL(18,2)), 2) AS min_price
+        FROM kch_corr_lineitem l
+        WHERE l.l_orderkey < 2000
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM kch_corr_lineitem l2
+            WHERE l2.l_orderkey = l.l_orderkey
+          )
+        ORDER BY l.l_orderkey, l_linenumber
+        """
+    )

@@ -247,3 +247,37 @@ def win_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
         """
     )
+
+
+_NAMED_WIN_ORACLE = """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           round(SUM(o_totalprice) OVER w::DECIMAL(28,2), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY o_custkey, rn
+"""
+
+
+@query("win_named_windows", _NAMED_WIN_ORACLE)
+def win_named_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named windows: `WINDOW w AS (…)` defined once, referenced by
+    multiple functions (window_as_options, Bingql.g4:954-956) — run as
+    SQL text so the named-window syntax itself is exercised."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS rn,
+               round(CAST(SUM(o_totalprice) OVER w AS DECIMAL(28,2)), 2)
+                 AS running_total
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING)
+        ORDER BY o_custkey, rn
+        """
+    )
