@@ -457,3 +457,37 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_HISTOGRAM_ORACLE = """
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE (1 + floor(o_totalprice / 50000))::BIGINT
+           END AS bucket,
+           count(*) AS cnt,
+           round(min(o_totalprice)::DECIMAL(18,2), 2) AS lo,
+           round(max(o_totalprice)::DECIMAL(18,2), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@query("agg_histogram", _HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram via width_bucket binning — the scale-safe
+    distribution profile (single map-side-combinable aggregation; the
+    naive alternative, ORDER BY + ntile, needs a global sort)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice").cast("decimal(18,2)"), 2).alias("lo"),
+            F.round(F.max("o_totalprice").cast("decimal(18,2)"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
