@@ -491,3 +491,33 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_PIVOT_ORACLE = """
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (o_orderstatus = 'P') AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("agg_pivot", _PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by status spread into columns.  Pivot values
+    are declared explicitly — with them, one pass; without, Spark first
+    runs a distinct scan to discover them (never do that at 100 TB)."""
+    t = Tables(spark, sf_dir)
+    piv = (
+        t.orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    ).orderBy("o_orderpriority")

@@ -318,3 +318,28 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_linenumber").alias("ln_a"),
         F.col("b.l_linenumber").alias("ln_b"),
     )
+
+
+_BHINT_ORACLE = """
+    SELECT n.n_name, count(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@query("join_broadcast_hint", _BHINT_ORACLE)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast() hint on the dimension side — the manual
+    override for when statistics mislead AQE (tests assert the plan is a
+    BroadcastHashJoin with no shuffle on the fact side)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation),
+            t.supplier.s_nationkey == t.nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy("n_name")
+    )

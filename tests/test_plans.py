@@ -105,3 +105,14 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     # orderBy adds a range exchange — but no join-related exchange pair
     assert plan.count("hashpartitioning(user_id") <= 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_broadcast_hint_no_fact_shuffle(spark, sf_dir):
+    from kachess_spark.operators.joins import join_broadcast_hint
+
+    df = join_broadcast_hint(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the fact (supplier) side must not hash-shuffle for the join
+    assert "hashpartitioning(s_nationkey" not in plan
