@@ -569,3 +569,56 @@ def test_temp_table_rename_on_close(spark):
     names = set(f["datasets"].name.dropna())
     assert "tmp_staging_daily_job" in names
     assert not s.temp_tables
+
+
+def test_graph_referential_integrity(extract):
+    """Invariants over a multi-statement session: every edge endpoint
+    exists, every item belongs to a dataset, no self-edges."""
+    s = extract(
+        """
+        use dw;
+        CREATE TABLE summary_t (k bigint, v string);
+        WITH base AS (
+          SELECT a.col100l AS k, a.col101s AS v
+          FROM dw.tab10 a JOIN dw.tab20 b ON a.col100l = b.col200l
+          WHERE b.col202b
+        )
+        INSERT OVERWRITE TABLE summary_t SELECT k, v FROM base;
+        SELECT v, count(*) AS c FROM summary_t GROUP BY 1;
+        CREATE TABLE summary_ctas AS
+        SELECT col301s, count(1) AS n FROM stage.tab30 GROUP BY 1;
+        """
+    )
+    assert not s.skipped
+    f = _pdf(s)
+    ds_ids = set(f["datasets"].id)
+    item_ids = set(f["select_items"].id)
+    assert set(f["select_items"].dataset_id) <= ds_ids
+    rel = f["select_item_rel"]
+    assert set(rel.parent_select_item_id) <= item_ids
+    assert set(rel.child_select_item_id) <= item_ids
+    assert (rel.parent_select_item_id != rel.child_select_item_id).all()
+    dsr = f["dataset_rel"]
+    assert set(dsr.parent_dataset_id) <= ds_ids
+    assert set(dsr.child_dataset_id) <= ds_ids
+    assert (dsr.parent_dataset_id != dsr.child_dataset_id).all()
+    ti = f["table_insert"]
+    assert set(ti.target_dataset_id) <= ds_ids
+    assert set(ti.source_dataset_id) <= ds_ids
+    # item ids are globally unique
+    assert len(f["select_items"]) == len(item_ids)
+
+
+def test_determinism_across_sessions(spark):
+    """Same script + same seed ⇒ identical graph (the reproducibility
+    the reference gets from ParseSingleScript -s)."""
+    def run():
+        s = LineageSession(spark, fixture_metastore(), seed=1000)
+        s.extract_script(CASE_JOIN_SUBQUERY)
+        f = s.frames()
+        return (
+            sorted(map(tuple, f["select_items"].collect())),
+            sorted(map(tuple, f["select_item_rel"].collect())),
+        )
+
+    assert run() == run()
