@@ -622,3 +622,18 @@ def test_determinism_across_sessions(spark):
         )
 
     assert run() == run()
+
+
+def test_export_dot_and_provenance(extract):
+    from kachess_spark.lineage.export import provenance_report, to_dot
+
+    s = extract(CASE_JOIN_SUBQUERY)
+    f = s.frames()
+    dot = to_dot(f)
+    assert dot.startswith("digraph lineage {") and "->" in dot
+    assert "tab40" in dot
+    rep = provenance_report(f).toPandas()
+    assert len(rep) > 0
+    row = rep[(rep.src_column == "col401s")]
+    assert not row.empty and (row.dst_column == "tab40_str").any()
+    assert set(rep.usage_context) <= {"SELECT", "WHERE", "JOIN"}
