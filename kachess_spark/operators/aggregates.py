@@ -521,3 +521,17 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     ).orderBy("o_orderpriority")
+
+
+@query("agg_approx_percentile")  # rows-only: sketch values are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch twin of agg_percentiles: mergeable
+    one-pass quantiles with bounded error, the only viable form at
+    100 TB (exact percentile sorts each group)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.99), 10000)"
+        ).alias("approx_p50_p99"),
+        F.count("*").alias("n"),
+    )

@@ -374,3 +374,37 @@ def scalar_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_SURROGATE_ORACLE = """
+    SELECT o_orderkey,
+           md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR) AS sk_md5,
+           (strpos('0123456789abcdef',
+                   substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR), 1, 1)) - 1)::BIGINT * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR), 2, 1)) - 1)
+             AS sk_bucket
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+"""
+
+
+@query("scalar_surrogate_keys", _SURROGATE_ORACLE)
+def scalar_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys from business keys: content-hash ids
+    (stable across reruns and clusters — what monotonically_increasing_id
+    is NOT) plus a 256-way hash bucket for distribution-friendly keys."""
+    t = Tables(spark, sf_dir)
+    key = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string")
+    )
+    sk = F.md5(key)
+    bucket = (
+        F.conv(F.substring(sk, 1, 2), 16, 10).cast("bigint").alias("sk_bucket")
+    )
+    return (
+        t.orders.where(F.col("o_orderkey") < 500)
+        .select("o_orderkey", sk.alias("sk_md5"), bucket)
+        .orderBy("o_orderkey")
+    )
