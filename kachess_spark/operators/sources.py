@@ -1,0 +1,109 @@
+"""Additional source formats (SURVEY.md §2.1 "sources" beyond parquet):
+CSV, JSON-lines, and parquet schema evolution.
+
+Fixtures are committed under tests/fixtures/ so both engines read the
+same static bytes in any order.  Schema declarations are explicit on the
+Spark side — at 100 TB, schema inference means a full extra pass over
+the data (never ship an inferred-schema job).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.registry import query
+
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+
+
+def _fx(name: str) -> str:
+    return os.path.join(_FIXTURES, name)
+
+
+_CSV_ORACLE = f"""
+    SELECT item_id,
+           count(*) AS n_ratings,
+           ROUND(SUM(rating)::DOUBLE / count(*), 4) AS avg_rating
+    FROM read_csv('{_fx("ratings.csv")}', header=true,
+                  columns={{'user_id': 'BIGINT', 'item_id': 'BIGINT',
+                            'rating': 'BIGINT'}})
+    GROUP BY item_id
+    HAVING count(*) >= 3
+    ORDER BY item_id
+"""
+
+
+@query("source_csv_ratings", _CSV_ORACLE)
+def source_csv_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an explicit schema (no inference pass), aggregated.
+    Integer sums → exact cross-engine average."""
+    df = spark.read.csv(
+        _fx("ratings.csv"),
+        header=True,
+        schema="user_id BIGINT, item_id BIGINT, rating BIGINT",
+    )
+    return (
+        df.groupBy("item_id")
+        .agg(
+            F.count("*").alias("n_ratings"),
+            F.round(F.sum("rating").cast("double") / F.count("*"), 4).alias(
+                "avg_rating"
+            ),
+        )
+        .where(F.col("n_ratings") >= 3)
+        .orderBy("item_id")
+    )
+
+
+_JSON_ORACLE = f"""
+    SELECT page,
+           count(DISTINCT session) AS n_sessions,
+           SUM(ms)::BIGINT AS total_ms
+    FROM read_json('{_fx("clicks.jsonl")}',
+                   columns={{'session': 'VARCHAR', 'page': 'VARCHAR',
+                             'ms': 'BIGINT'}})
+    GROUP BY page
+    ORDER BY page
+"""
+
+
+@query("source_jsonl_clicks", _JSON_ORACLE)
+def source_jsonl_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema; per-page session stats."""
+    df = spark.read.json(
+        _fx("clicks.jsonl"), schema="session STRING, page STRING, ms BIGINT"
+    )
+    return (
+        df.groupBy("page")
+        .agg(
+            F.countDistinct("session").alias("n_sessions"),
+            F.sum("ms").cast("bigint").alias("total_ms"),
+        )
+        .orderBy("page")
+    )
+
+
+_EVO_ORACLE = f"""
+    SELECT id, name, score
+    FROM read_parquet(['{_fx("evo_v1.parquet")}', '{_fx("evo_v2.parquet")}'],
+                      union_by_name=true)
+    ORDER BY id
+"""
+
+
+@query("source_schema_evolution", _EVO_ORACLE)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: v2 files added a column; mergeSchema
+    unions the schemas and older files read NULL for it — how long-lived
+    100 TB tables absorb schema change without rewrites."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        _fx("evo_v1.parquet"), _fx("evo_v2.parquet")
+    )
+    return df.select("id", "name", "score").orderBy("id")

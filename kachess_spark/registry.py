@@ -47,6 +47,7 @@ def load_all() -> None:
         setops,
         sinks,
         sorts,
+        sources,
         windows,
     )
     from kachess_spark.functions import udfs  # noqa: F401
