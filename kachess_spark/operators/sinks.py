@@ -211,3 +211,48 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_ORC_ORACLE = """
+    SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+@query("sink_orc_roundtrip", _ORC_ORACLE)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED AS ORC (§2.1 file_format, Bingql.g4:284-289) executed:
+    write ORC, read it back, aggregate — the oracle checks the round
+    trip end-to-end without itself needing an ORC reader."""
+    t = Tables(spark, sf_dir)
+    path = _scratch("orc_nation")
+    t.nation.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+_CSV_SINK_ORACLE = """
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+"""
+
+
+@query("sink_csv_roundtrip", _CSV_SINK_ORACLE)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink (ROW FORMAT DELIMITED equivalent) with explicit schema on
+    re-read — text round trip preserves exact values for int/string."""
+    t = Tables(spark, sf_dir)
+    path = _scratch("csv_region")
+    (
+        t.region.select("r_regionkey", "r_name")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        spark.read.csv(path, header=True, schema="r_regionkey BIGINT, r_name STRING")
+        .orderBy("r_regionkey")
+    )
