@@ -637,3 +637,24 @@ def test_export_dot_and_provenance(extract):
     row = rep[(rep.src_column == "col401s")]
     assert not row.empty and (row.dst_column == "tab40_str").any()
     assert set(rep.usage_context) <= {"SELECT", "WHERE", "JOIN"}
+
+
+IDENT_SHAPES = {
+    "backtick": "SELECT `col101s`, `col103i` FROM `dw`.`tab10`;",
+    "case_insensitive": "SELECT COL101S FROM DW.TAB10 WHERE Col103i > 1;",
+    "hiveconf_table": (
+        "set target_tbl=tab10;\nSELECT col101s FROM dw.${hiveconf:target_tbl};"
+    ),
+    "deep_struct": "use adhoc;\nSELECT col402x[0].user.id AS uid FROM tab40;",
+    "quoted_alias": "SELECT col101s AS `my col` FROM dw.tab10;",
+}
+
+
+@pytest.mark.parametrize("shape", sorted(IDENT_SHAPES))
+def test_identifier_shapes_resolve(extract, shape):
+    """Backticks, case-insensitivity, hivevar table names, struct
+    subscripts, quoted aliases — all resolve with edges and no skips."""
+    s = extract(IDENT_SHAPES[shape], lenient=True)
+    assert not s.skipped and not s.warnings
+    f = _pdf(s)
+    assert len(f["select_item_rel"]) >= 1
