@@ -107,3 +107,37 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fx("evo_v1.parquet"), _fx("evo_v2.parquet")
     )
     return df.select("id", "name", "score").orderBy("id")
+
+
+_SPINE_ORACLE = """
+    SELECT d::DATE AS day,
+           (dayofweek(d) IN (0, 6)) AS is_weekend,
+           CAST(EXTRACT(month FROM d) AS INT) AS month,
+           CAST(EXTRACT(week FROM d) AS INT) AS iso_week
+    FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                         INTERVAL 1 DAY) AS t(d)
+    ORDER BY day
+"""
+
+
+@query("source_date_spine", _SPINE_ORACLE)
+def source_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generated in-engine (sequence + explode) — the
+    standard date-spine pattern; no input files, fully deterministic.
+    DuckDB dayofweek is 0=Sunday; Spark weekday() is 0=Monday, so the
+    weekend test maps weekday>=5."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return days.select(
+        "day",
+        (F.weekday("day") >= 5).alias("is_weekend"),
+        F.month("day").cast("int").alias("month"),
+        F.weekofyear("day").cast("int").alias("iso_week"),
+    ).orderBy("day")
