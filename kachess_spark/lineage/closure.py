@@ -24,6 +24,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# below this many edges the graph is metadata-sized: a driver-side BFS
+# beats paying per-iteration job/checkpoint overhead (the distributed
+# loop only wins when the edge set itself needs a cluster)
+SMALL_GRAPH_EDGES = 50_000
+
+
+def _closure_bfs_local(
+    spark, rows: list[tuple[int, int]], max_hops: int
+) -> DataFrame:
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for a, b in rows:
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    out: list[tuple[int, int, int]] = []
+    for src in adj:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        out.extend((src, v, d) for v, d in dist.items() if v != src)
+    return spark.createDataFrame(
+        out, "ancestor_id BIGINT, descendant_id BIGINT, distance INT"
+    )
+
+
 def transitive_closure(
     edges: DataFrame,
     src_col: str = "parent_select_item_id",
@@ -35,6 +68,10 @@ def transitive_closure(
     Returns columns ``(ancestor_id, descendant_id, distance)`` with the
     minimum hop count per pair (column_lineage.distance,
     db_setup_ddl.sql:187).
+
+    Hybrid execution: metadata-sized graphs (≤ SMALL_GRAPH_EDGES) run a
+    driver BFS — per-iteration Spark job overhead would dominate;
+    enterprise-scale edge sets run the distributed iterative self-join.
     """
     base = (
         edges.select(
@@ -44,6 +81,11 @@ def transitive_closure(
         .where(F.col("ancestor_id") != F.col("descendant_id"))
         .distinct()
     )
+    sample = base.limit(SMALL_GRAPH_EDGES + 1).collect()
+    if len(sample) <= SMALL_GRAPH_EDGES:
+        return _closure_bfs_local(
+            edges.sparkSession, [(r[0], r[1]) for r in sample], max_hops
+        )
     closure = base.withColumn("distance", F.lit(1))
     frontier = closure
     # pre-shuffle once on the join key; every iteration reuses this layout

@@ -147,3 +147,24 @@ def test_insert_by_name_columns(spark):
     assert set(zp.definition) == {"col103i"}
     assert set(xp.definition) == {"col100l"}
     assert rel[rel.child_select_item_id.isin(y)].empty  # unlisted column
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(dags())
+def test_distributed_closure_path_matches_bfs(spark, edges):
+    """Force the distributed iterative-self-join path (normally taken
+    only above SMALL_GRAPH_EDGES) and check it against BFS too."""
+    from kachess_spark.lineage import closure as C
+
+    old = C.SMALL_GRAPH_EDGES
+    C.SMALL_GRAPH_EDGES = 0
+    try:
+        df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+        got = {
+            (r.ancestor_id, r.descendant_id): r.distance
+            for r in C.transitive_closure(df, "src", "dst").collect()
+        }
+        assert got == _bfs_closure(edges)
+    finally:
+        C.SMALL_GRAPH_EDGES = old
