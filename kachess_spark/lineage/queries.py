@@ -144,3 +144,17 @@ def lineage_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.frames()["select_item_rel"]
         .orderBy("parent_select_item_id", "child_select_item_id", "usage_context")
     )
+
+
+@query("lineage_provenance_report")  # driver-side parse → rows-only check
+def lineage_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat (physical source column → derived column) report over the
+    corpus — the consumption query analysts run against the lineage
+    store (validate_0010's discovery pattern as a library call)."""
+    from kachess_spark.lineage.export import provenance_report
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+
+    s = LineageSession(spark, fixture_metastore(), seed=1000)
+    s.extract_script(_CORPUS)
+    return provenance_report(s.frames())

@@ -535,3 +535,36 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p50_p99"),
         F.count("*").alias("n"),
     )
+
+
+_MODERN_AGG_ORACLE = """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+           bool_and(o_totalprice > 900) AS all_over_900,
+           bool_or(o_totalprice > 500000) AS any_over_500k
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("agg_modern_functions", _MODERN_AGG_ORACLE)
+def agg_modern_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax), count_if, bool_and/bool_or — the modern
+    aggregate surface (all single-pass, partial-aggregatable).
+    o_totalprice values are distinct enough that argmax is unique ⇒
+    deterministic across engines."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+            F.bool_or(F.col("o_totalprice") > 500000).alias("any_over_500k"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -256,3 +256,54 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.csv(path, header=True, schema="r_regionkey BIGINT, r_name STRING")
         .orderBy("r_regionkey")
     )
+
+
+_UPSERT_ORACLE = """
+    WITH target AS (
+      SELECT n_nationkey, n_name, 'old' AS version FROM nation
+      WHERE n_regionkey <= 2
+    ),
+    updates AS (
+      SELECT n_nationkey, n_name, 'new' AS version FROM nation
+      WHERE n_regionkey >= 2
+    )
+    SELECT coalesce(u.n_nationkey, t.n_nationkey) AS n_nationkey,
+           coalesce(u.n_name, t.n_name) AS n_name,
+           coalesce(u.version, t.version) AS version
+    FROM target t FULL OUTER JOIN updates u USING (n_nationkey)
+    ORDER BY n_nationkey
+"""
+
+
+@query("sink_upsert_scd1", _UPSERT_ORACLE)
+def sink_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style SCD-1 upsert WITHOUT a transactional format: stage
+    target + updates, full-outer join on the key, updates win, rewrite.
+    The reference's grammar parses MERGE without extracting (§2.1); this
+    is the executed equivalent on plain parquet.  At scale you'd rewrite
+    only affected partitions (dynamic partition overwrite) — the join
+    logic is identical."""
+    t = Tables(spark, sf_dir)
+    path = _scratch("upsert_nation")
+    target = (
+        t.nation.where(F.col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name", F.lit("old").alias("version"))
+    )
+    target.write.mode("overwrite").parquet(path)
+    updates = (
+        t.nation.where(F.col("n_regionkey") >= 2)
+        .select("n_nationkey", "n_name", F.lit("new").alias("version"))
+    )
+    cur = spark.read.parquet(path).alias("t")
+    u = updates.alias("u")
+    merged = (
+        cur.join(u, on="n_nationkey", how="full_outer")
+        .select(
+            "n_nationkey",
+            F.coalesce(F.col("u.n_name"), F.col("t.n_name")).alias("n_name"),
+            F.coalesce(F.col("u.version"), F.col("t.version")).alias("version"),
+        )
+    )
+    out = _scratch("upsert_nation_v2")
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).orderBy("n_nationkey")
