@@ -568,3 +568,38 @@ def agg_modern_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_SKEW_PROFILE_ORACLE = """
+    WITH per_key AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+    )
+    SELECT count(*) AS n_keys,
+           max(cnt) AS max_rows,
+           min(cnt) AS min_rows,
+           ROUND(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS avg_rows,
+           ROUND(CAST(max(cnt) AS DOUBLE)
+                 / (CAST(sum(cnt) AS DOUBLE) / count(*)), 4) AS skew_factor
+    FROM per_key
+"""
+
+
+@query("agg_key_skew_profile", _SKEW_PROFILE_ORACLE)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key cardinality profile and the
+    max/avg skew factor — the number that decides whether a key needs
+    salting (agg_skew_two_phase) or AQE skew-join will suffice.  Runs as
+    two cheap aggregations; at 100 TB profile a sample first."""
+    t = Tables(spark, sf_dir)
+    per_key = t.orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_rows"),
+        F.min("cnt").alias("min_rows"),
+        F.round(F.sum("cnt").cast("double") / F.count("*"), 4).alias("avg_rows"),
+        F.round(
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count("*")),
+            4,
+        ).alias("skew_factor"),
+    )

@@ -408,3 +408,36 @@ def scalar_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", sk.alias("sk_md5"), bucket)
         .orderBy("o_orderkey")
     )
+
+
+_REGEX_GROUPS_ORACLE = """
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           regexp_extract(text, '\\b([A-Z][a-z]+)\\b', 1) AS first_capitalized,
+           CASE WHEN regexp_matches(text, '[0-9]{{4}}') THEN 1 ELSE 0 END
+             AS has_4digits
+    FROM documents
+    WHERE doc_id % 31 = 0
+    ORDER BY doc_id
+"""
+
+
+@query("scalar_regexp_groups", _REGEX_GROUPS_ORACLE.replace("{{", "{").replace("}}", "}"))
+def scalar_regexp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract with capture groups + boolean regexp match —
+    patterns restricted to the Java-regex ∩ RE2 common subset."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.where(F.col("doc_id") % 31 == 0)
+        .select(
+            "doc_id",
+            F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+            F.regexp_extract("text", r"\b([A-Z][a-z]+)\b", 1).alias(
+                "first_capitalized"
+            ),
+            F.when(F.col("text").rlike(r"[0-9]{4}"), 1).otherwise(0).alias(
+                "has_4digits"
+            ),
+        )
+        .orderBy("doc_id")
+    )
