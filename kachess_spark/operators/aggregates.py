@@ -603,3 +603,31 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_factor"),
     )
+
+
+_STRING_AGG_ORACLE = """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+"""
+
+
+@query("agg_string_concat_groups", _STRING_AGG_ORACLE)
+def agg_string_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/string_agg): collect_list is
+    combine-order-nondeterministic, so sort the array before joining —
+    the only way grouped string concat is stable on ANY engine."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )

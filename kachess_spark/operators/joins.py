@@ -343,3 +343,46 @@ def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_suppliers"))
         .orderBy("n_name")
     )
+
+
+_NULLSAFE_JOIN_ORACLE = """
+    WITH a AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE doc_id % 5 END AS k
+      FROM documents WHERE doc_id < 100
+    ),
+    b AS (
+      SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN NULL
+                          ELSE doc_id % 5 END AS k
+      FROM documents WHERE doc_id BETWEEN 100 AND 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("join_null_safe_keys", _NULLSAFE_JOIN_ORACLE)
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other — still a hash join (the null-safe operator is a
+    valid equi-join key), NOT a fallback to nested-loop."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    a = base.where(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("doc_a"),
+        F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("doc_id") % 5)
+        .alias("k"),
+    )
+    b = base.where(F.col("doc_id").between(100, 200)).select(
+        F.col("doc_id").alias("doc_b"),
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .otherwise(F.col("doc_id") % 5)
+        .alias("kb"),
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["kb"]))
+        .select("doc_a", "doc_b", "k")
+        .orderBy("doc_a", "doc_b")
+    )
