@@ -11,7 +11,7 @@ CLUSTER BY avoid the global sort entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kachess_spark.catalog import Tables
@@ -84,3 +84,39 @@ def sort_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("l_suppkey")
         .sortWithinPartitions("l_suppkey", "l_orderkey", "l_linenumber")
     )
+
+
+_NULLS_ORDER_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS k
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id, k,
+           ROW_NUMBER() OVER (ORDER BY k ASC NULLS FIRST, doc_id) AS rn_nf,
+           ROW_NUMBER() OVER (ORDER BY k DESC NULLS LAST, doc_id) AS rn_nl
+    FROM d
+    ORDER BY doc_id
+"""
+
+
+@query("sort_nulls_ordering", _NULLS_ORDER_ORACLE)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST: engines disagree on the default (Spark
+    sorts nulls first ascending, DuckDB last) — portable queries always
+    pin it.  Row numbers encode the ordering into checkable values."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.where(F.col("doc_id") < 60).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("n_chars"))
+        .alias("k"),
+    )
+    w_nf = Window.orderBy(F.col("k").asc_nulls_first(), F.col("doc_id"))
+    w_nl = Window.orderBy(F.col("k").desc_nulls_last(), F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        "k",
+        F.row_number().over(w_nf).alias("rn_nf"),
+        F.row_number().over(w_nl).alias("rn_nl"),
+    ).orderBy("doc_id")

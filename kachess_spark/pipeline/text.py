@@ -290,3 +290,45 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .orderBy("lang", "rk")
     )
+
+
+_READABILITY_ORACLE = """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '[.!?]+'),
+                           s -> trim(s) <> '')) AS n_sentences,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+           ROUND(CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                      AS DOUBLE)
+                 / GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                            s -> trim(s) <> '')), 1),
+                 4) AS avg_sentence_len
+    FROM documents
+    WHERE doc_id % 41 = 0
+    ORDER BY doc_id
+"""
+
+
+@query("text_readability", _READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile: sentence count (punctuation-split), word
+    count, average sentence length — the cheap fluency features next to
+    text_quality_score in a filtering stack."""
+    t = Tables(spark, sf_dir)
+    sentences = F.size(
+        F.filter(
+            F.split("text", r"[.!?]+"), lambda s: F.trim(s) != ""
+        )
+    )
+    words = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    return (
+        t.documents.where(F.col("doc_id") % 41 == 0)
+        .select(
+            "doc_id",
+            sentences.alias("n_sentences"),
+            words.alias("n_words"),
+            F.round(
+                words.cast("double") / F.greatest(sentences, F.lit(1)), 4
+            ).alias("avg_sentence_len"),
+        )
+        .orderBy("doc_id")
+    )
