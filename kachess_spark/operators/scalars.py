@@ -441,3 +441,44 @@ def scalar_regexp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ARRAY_SETOPS_ORACLE = """
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(
+               regexp_replace(text, '[^a-zA-Z ]', '', 'g')), ' '),
+               x -> x <> '')) AS ws
+      FROM documents WHERE doc_id IN (0, 1)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.ws, b.ws)) AS n_common,
+           len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS n_union,
+           len(list_filter(a.ws, x -> NOT list_contains(b.ws, x)))
+             AS n_only_a
+    FROM w a JOIN w b ON a.doc_id < b.doc_id
+"""
+
+
+@query("scalar_array_setops", _ARRAY_SETOPS_ORACLE)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (array_intersect/union/except) emitted as sizes
+    — element ORDER of array results is engine-specific, cardinalities
+    are not."""
+    t = Tables(spark, sf_dir)
+    w = t.documents.where(F.col("doc_id").isin(0, 1)).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(filter(split(lower("
+            "regexp_replace(text, '[^a-zA-Z ]', '')), ' '), x -> x <> ''))"
+        ).alias("ws"),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    inter = F.array_intersect(F.col("a.ws"), F.col("b.ws"))
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(inter).alias("n_common"),
+        (F.size("a.ws") + F.size("b.ws") - F.size(inter)).alias("n_union"),
+        F.size(F.array_except(F.col("a.ws"), F.col("b.ws"))).alias("n_only_a"),
+    )

@@ -281,3 +281,35 @@ def win_named_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, rn
         """
     )
+
+
+_RATIO_ORACLE = """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS cnt,
+           ROUND(CAST(count(*) AS DOUBLE)
+                 / SUM(count(*)) OVER (PARTITION BY o_orderpriority),
+                 6) AS share_of_priority
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+@query("win_ratio_to_total", _RATIO_ORACLE)
+def win_ratio_to_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: aggregate then window-over-the-aggregate (share
+    of each status within its priority) — two-level computation in one
+    plan, no self-join against the totals."""
+    t = Tables(spark, sf_dir)
+    counted = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return counted.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.sum("cnt").over(w), 6).alias(
+            "share_of_priority"
+        ),
+    ).orderBy("o_orderpriority", "o_orderstatus")
