@@ -158,3 +158,152 @@ def lineage_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = LineageSession(spark, fixture_metastore(), seed=1000)
     s.extract_script(_CORPUS)
     return provenance_report(s.frames())
+
+
+# ---------------------------------------------------------------------------
+# Side tables fed from OUTSIDE parsing (db_setup_ddl.sql: table_symlinked
+# :148-162, table_add_partition :134-146, sqoop_table :192-200).  Frozen
+# fixtures model a mini warehouse DAG; both engines consume the same rows.
+
+TBL_NAME_EDGES: list[tuple[str, str, str, str]] = [
+    ("raw", "orders_ingest", "stage", "orders_clean"),
+    ("raw", "customer_ingest", "stage", "customer_clean"),
+    ("stage", "orders_clean", "dw", "fct_orders"),
+    ("stage", "customer_clean", "dw", "dim_customer"),
+    ("dw", "fct_orders", "mart", "daily_sales"),
+    ("dw", "dim_customer", "mart", "daily_sales"),
+    ("ext", "fx_rates", "mart", "daily_sales"),
+]
+
+SYMLINKS: list[tuple[str, str, str, str, str, str]] = [
+    ("dw", "fct_orders", "dw", "fct_orders_latest",
+     "LatestOperator", "resolved latest partition view"),
+    ("mart", "daily_sales", "mart_ro", "daily_sales",
+     "storage_linked", "s3://wh/mart/daily_sales"),
+]
+
+ADD_PARTITIONS: list[tuple[str, str, str]] = [
+    ("mart", "daily_sales", "s3://wh/mart/daily_sales"),
+    ("mart_ro", "daily_sales", "s3://wh/mart/daily_sales"),
+    ("dw", "fct_orders", "s3://wh/dw/fct_orders"),
+    ("dw", "fct_orders_latest", "s3://wh/dw/fct_orders"),
+    ("ext", "fx_rates", "s3://vendor/fx"),
+]
+
+SQOOP: list[tuple[str, str, str]] = [
+    ("raw", "orders_ingest", "sqoop_orders_daily"),
+    ("raw", "customer_ingest", "sqoop_customer_daily"),
+]
+
+
+def _values(rows, cols: str) -> str:
+    body = ", ".join(
+        "(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows
+    )
+    return f"(VALUES {body}) AS t({cols})"
+
+
+_EDGE_COLS = "parent_schema, parent_table, child_schema, child_table"
+
+_SYMLINK_EXPAND_ORACLE = f"""
+WITH e AS (SELECT * FROM {_values(TBL_NAME_EDGES, _EDGE_COLS)}),
+sl AS (SELECT src_schema, src_table, dst_schema, dst_table
+       FROM {_values([s[:4] for s in SYMLINKS],
+                     'src_schema, src_table, dst_schema, dst_table')}),
+p AS (
+  SELECT * FROM e
+  UNION
+  SELECT sl.dst_schema, sl.dst_table, e.child_schema, e.child_table
+  FROM e JOIN sl ON e.parent_schema = sl.src_schema
+                AND e.parent_table = sl.src_table
+)
+SELECT DISTINCT * FROM (
+  SELECT * FROM p
+  UNION
+  SELECT p.parent_schema, p.parent_table, sl.dst_schema, sl.dst_table
+  FROM p JOIN sl ON p.child_schema = sl.src_schema
+                AND p.child_table = sl.src_table
+)
+ORDER BY parent_schema, parent_table, child_schema, child_table
+"""
+
+
+@query("lineage_symlink_expand", _SYMLINK_EXPAND_ORACLE)
+def lineage_symlink_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_symlinked alias expansion: lineage edges re-emitted under
+    external alias names (db_setup_ddl.sql:148-162 — "the dst tables are
+    found outside parsing such as by LatestOperator or Storage-Linked")."""
+    from kachess_spark.lineage.sidetables import expand_symlinks
+
+    edges = spark.createDataFrame(TBL_NAME_EDGES, _EDGE_COLS.split(", "))
+    sl = spark.createDataFrame(
+        SYMLINKS,
+        "src_schema string, src_table string, dst_schema string,"
+        " dst_table string, linkage_src_key string, linkage_src_value string",
+    )
+    return expand_symlinks(edges, sl).orderBy(
+        "parent_schema", "parent_table", "child_schema", "child_table"
+    )
+
+
+_STORAGE_LINKS_ORACLE = f"""
+WITH p AS (SELECT * FROM {_values(ADD_PARTITIONS,
+                                  'db_schema, db_table, location')})
+SELECT DISTINCT
+  a.db_schema AS src_schema, a.db_table AS src_table,
+  b.db_schema AS dst_schema, b.db_table AS dst_table,
+  'storage_linked' AS linkage_src_key,
+  a.location AS linkage_src_value
+FROM p a JOIN p b ON a.location = b.location
+WHERE a.db_schema <> b.db_schema OR a.db_table <> b.db_table
+ORDER BY src_schema, src_table, dst_schema, dst_table
+"""
+
+
+@query("lineage_storage_links", _STORAGE_LINKS_ORACLE)
+def lineage_storage_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symlink rows derived from shared ADD PARTITION locations
+    (table_add_partition.location "may tie tables together",
+    db_setup_ddl.sql:139)."""
+    from kachess_spark.lineage.sidetables import storage_links
+
+    parts = spark.createDataFrame(
+        ADD_PARTITIONS, "db_schema string, db_table string, location string"
+    )
+    return storage_links(parts).orderBy(
+        "src_schema", "src_table", "dst_schema", "dst_table"
+    )
+
+
+_SQOOP_ROOTS_ORACLE = f"""
+WITH e AS (SELECT * FROM {_values(TBL_NAME_EDGES, _EDGE_COLS)}),
+sq AS (SELECT * FROM {_values(SQOOP,
+                              'db_schema, db_table, etl_task_name')}),
+roots AS (
+  SELECT DISTINCT parent_schema AS db_schema, parent_table AS db_table
+  FROM e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e c
+    WHERE c.child_schema = e.parent_schema
+      AND c.child_table = e.parent_table
+  )
+)
+SELECT r.db_schema, r.db_table, sq.etl_task_name
+FROM roots r LEFT JOIN sq
+  ON r.db_schema = sq.db_schema AND r.db_table = sq.db_table
+ORDER BY r.db_schema, r.db_table
+"""
+
+
+@query("lineage_sqoop_roots", _SQOOP_ROOTS_ORACLE)
+def lineage_sqoop_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage roots annotated with their sqoop ingest task
+    (sqoop_table, db_setup_ddl.sql:192-200); NULL task = unmanaged
+    external source."""
+    from kachess_spark.lineage.sidetables import sqoop_root_provenance
+
+    edges = spark.createDataFrame(TBL_NAME_EDGES, _EDGE_COLS.split(", "))
+    sq = spark.createDataFrame(
+        SQOOP, "db_schema string, db_table string, etl_task_name string"
+    )
+    return sqoop_root_provenance(edges, sq).orderBy("db_schema", "db_table")
