@@ -503,3 +503,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= COS_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id, {", ".join(_oracle_minhash(i) for i in range(N_HASHES))}
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh_2 || '|' || mh_3 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh_4 || '|' || mh_5 AS band_key FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE r.u <> e.v
+    ),
+    comp AS (
+      SELECT s.doc_id,
+             least(s.doc_id, coalesce(min(r.v), s.doc_id)) AS component_id
+      FROM sigs s LEFT JOIN reach r ON r.u = s.doc_id
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size,
+           CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS keep
+    FROM comp
+    ORDER BY doc_id
+"""
+
+
+@query("dedup_connected_components", _CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs → connected components →
+    one canonical doc per component.
+
+    A duplicate cluster of k docs surfaces as up to k·(k-1)/2 LSH pairs;
+    keeping "one per pair" under-deletes.  Components give the real
+    groups (operators/graph.py — hybrid union-find / distributed
+    min-label propagation), with component_id = min doc_id as the
+    deterministic canonical.  Docs with no candidate pair are singleton
+    components (keep=1).
+    """
+    from kachess_spark.operators.graph import dedup_groups
+
+    t = Tables(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    universe = _with_shingles(t.documents).select("doc_id")
+    return dedup_groups(pairs, universe).orderBy("doc_id")

@@ -168,3 +168,87 @@ def test_distributed_closure_path_matches_bfs(spark, edges):
         assert got == _bfs_closure(edges)
     finally:
         C.SMALL_GRAPH_EDGES = old
+
+
+# ------------------------------------------------- connected components
+
+
+def _cc_reference(edges):
+    """Reference union-find on the driver."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    # canonical = min node in component
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        lo = min(members)
+        for m in members:
+            out[m] = lo
+    return out
+
+
+@st.composite
+def undirected_graphs(draw):
+    n = draw(st.integers(min_value=2, max_value=16))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=30,
+            unique=True,
+        )
+    )
+    return edges
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(undirected_graphs())
+def test_connected_components_matches_union_find(spark, edges):
+    from kachess_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        r.node: r.component_id
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    assert got == _cc_reference(edges)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(undirected_graphs())
+def test_distributed_cc_path_matches_union_find(spark, edges):
+    """Force the min-label-propagation path (normally taken only above
+    SMALL_GRAPH_EDGES) and check it against driver union-find."""
+    from kachess_spark.operators import graph as G
+
+    old = G.SMALL_GRAPH_EDGES
+    G.SMALL_GRAPH_EDGES = 0
+    try:
+        df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+        got = {
+            r.node: r.component_id
+            for r in G.connected_components(df, "src", "dst").collect()
+        }
+        assert got == _cc_reference(edges)
+    finally:
+        G.SMALL_GRAPH_EDGES = old
