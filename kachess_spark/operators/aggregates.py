@@ -631,3 +631,136 @@ def agg_string_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+_SESSIONIZE_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           floor(epoch(min(ts)))::BIGINT AS session_start,
+           floor(epoch(max(ts)))::BIGINT AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000 AS total_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+"""
+
+
+@query("agg_sessionize_batch", _SESSIONIZE_ORACLE)
+def agg_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-minute inactivity timeout):
+    lag-gap flag → running sum = session index → per-session rollup.
+
+    The batch twin of streaming session windows.  Scale shape: ONE
+    shuffle on user_id serves the lag window, the running sum, and the
+    final rollup (all partition-local after it); no self-joins.  The
+    (ts, event_id) ordering is a total order, so session assignment is
+    deterministic under ties.
+    """
+    from pyspark.sql import Window
+
+    from kachess_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap_s <= 1800, 0).otherwise(1)
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+            F.unix_timestamp(F.max("ts")).alias("session_end"),
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "o_totalprice"),
+    ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+_PROFILE_ORACLE = (
+    "WITH s AS (SELECT count(*) AS n_rows, "
+    + ", ".join(
+        f"count({expr}) AS nn_{c}, count(DISTINCT {expr}) AS nd_{c},"
+        f" CAST(min({expr}) AS VARCHAR) AS mn_{c},"
+        f" CAST(max({expr}) AS VARCHAR) AS mx_{c}"
+        for c, expr in _PROFILE_COLS
+    )
+    + " FROM orders) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nonnull,"
+        f" nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value"
+        f" FROM s"
+        for c, _ in _PROFILE_COLS
+    )
+    + " ORDER BY column_name"
+)
+
+
+@query("profile_table_stats", _PROFILE_ORACLE)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (ANALYZE-style summary): one
+    aggregation computes rows / non-null / exact-distinct / min / max
+    for every column, then a stack() unpivot emits one row per column.
+
+    Scale: one scan of the table; the multi-distinct rewrites into
+    Catalyst's expand plan (one shuffle) instead of N per-column jobs.
+    At 100 TB you'd swap count(DISTINCT) for approx_count_distinct and
+    keep the identical shape.
+    """
+    t = Tables(spark, sf_dir)
+    aggs = [F.count("*").alias("n_rows")]
+    for c, expr in _PROFILE_COLS:
+        col = F.expr(expr)
+        aggs += [
+            F.count(col).alias(f"nn_{c}"),
+            F.countDistinct(col).alias(f"nd_{c}"),
+            F.min(col).cast("string").alias(f"mn_{c}"),
+            F.max(col).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = t.orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_value", "max_value",
+    ).orderBy("column_name")

@@ -226,3 +226,74 @@ def filter_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataF
         ORDER BY l.l_orderkey, l_linenumber
         """
     )
+
+
+_Q20_ORACLE = """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_11'
+      AND s_suppkey IN (
+        SELECT l1.l_suppkey
+        FROM lineitem l1
+        WHERE l1.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+          AND l1.l_shipdate >= DATE '1996-01-01'
+          AND l1.l_shipdate <  DATE '1997-01-01'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING 8 * SUM(CAST(l1.l_quantity AS BIGINT)) > (
+          SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      )
+    ORDER BY s_name, s_acctbal
+"""
+
+
+@query("filter_q20_nested_in", _Q20_ORACLE)
+def filter_q20_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: lineitem stands in for partsupp):
+    IN-subquery containing another IN plus a correlated aggregate
+    threshold — suppliers who shipped >12.5% of a part's all-time volume
+    in one year.
+
+    DataFrame side decorrelates by hand into the plan Catalyst should
+    reach: semi-join part keys into the fact (broadcast — part-side is
+    small after the LIKE), aggregate once per (supplier, part), join the
+    per-part totals, integer-exact threshold compare, then semi-join
+    into supplier.  No correlated re-scan of lineitem per group.
+    """
+    t = Tables(spark, sf_dir)
+    bolt_parts = t.part.where(F.col("p_name").like("%bolt%")).select("p_partkey")
+    li = t.lineitem
+    li_bolt = li.join(
+        F.broadcast(bolt_parts), li["l_partkey"] == bolt_parts["p_partkey"], "left_semi"
+    )
+    per_part_total = li_bolt.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total")
+    )
+    y96 = li_bolt.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    per_supp_part = y96.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_96")
+    )
+    qualified = (
+        per_supp_part.join(per_part_total, on="l_partkey")
+        .where(8 * F.col("qty_96") > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = t.nation.where(F.col("n_name") == "NATION_11").select("n_nationkey")
+    return (
+        t.supplier.join(
+            F.broadcast(nat),
+            t.supplier["s_nationkey"] == nat["n_nationkey"],
+            "left_semi",
+        )
+        .join(
+            qualified,
+            t.supplier["s_suppkey"] == qualified["l_suppkey"],
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )
