@@ -4,6 +4,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec}, "sf": <dir>}
+
+``--profile`` additionally reads the JVM AppStatusStore (the store
+behind the Spark UI/REST API — works with the UI disabled) and attaches
+per-query stage metrics {input_mb, shuffle_read_mb, shuffle_write_mb,
+tasks}: the numbers that decide whether a plan survives a 100× scale-up
+— a shuffle that is 10× the input is the bottleneck to fix, whatever
+the local wall-clock says.  Output stays one JSON line.
 """
 
 from __future__ import annotations
@@ -39,8 +46,43 @@ HEADLINE = [
 ]
 
 
+def _stage_snapshot(spark) -> dict[int, tuple[int, int, int, int]]:
+    """stageId -> (inputBytes, shuffleReadBytes, shuffleWriteBytes, tasks)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    empty = sc._jvm.java.util.ArrayList()
+    defaults = [getattr(store, f"stageList$default${i}")() for i in range(2, 6)]
+    out: dict[int, tuple[int, int, int, int]] = {}
+    it = store.stageList(empty, *defaults).iterator()
+    while it.hasNext():
+        sd = it.next()
+        out[sd.stageId()] = (
+            sd.inputBytes(),
+            sd.shuffleReadBytes(),
+            sd.shuffleWriteBytes(),
+            sd.numTasks(),
+        )
+    return out
+
+
+def _profile_delta(before, after) -> dict[str, float]:
+    tot = [0, 0, 0, 0]
+    for sid, m in after.items():
+        if sid not in before:
+            for i in range(4):
+                tot[i] += m[i]
+    mb = 1024 * 1024
+    return {
+        "input_mb": round(tot[0] / mb, 2),
+        "shuffle_read_mb": round(tot[1] / mb, 2),
+        "shuffle_write_mb": round(tot[2] / mb, 2),
+        "tasks": tot[3],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    profile = "--profile" in sys.argv
 
     from kachess_spark import registry
     from kachess_spark.session import get_spark
@@ -55,25 +97,28 @@ def main() -> None:
     Tables(spark, sf_dir).lineitem.limit(1).collect()
 
     per_query: dict[str, float] = {}
+    per_profile: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        before = _stage_snapshot(spark) if profile else None
         t0 = time.perf_counter()
         # count() forces full execution without driver-side materialization
         fn(spark, sf_dir).count()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        if profile:
+            per_profile[name] = _profile_delta(before, _stage_snapshot(spark))
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_dir,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+    }
+    if profile:
+        out["profile"] = per_profile
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
