@@ -80,3 +80,51 @@ def provenance_report(frames: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("src_schema", "src_table", "src_column", "dst_column")
     )
+
+
+def dashboard_column_lineage(frames: dict[str, DataFrame]) -> DataFrame:
+    """ts_dboard_lineage: every physical (schema, table, column) a
+    dashboard's datasets transitively read (db_setup_ddl.sql:126-135 —
+    "all physical table columns a ... dashboard ever used").
+
+    Walks the select_item DAG upstream from the dashboard's datasets
+    (dashboard_dataset, :118-125) to TABLE-typed sources.  The closure
+    runs on the data-sized edge frame (closure.py's hybrid); everything
+    else is metadata-sized joins.
+    """
+    from kachess_spark.lineage.closure import transitive_closure
+
+    dd = frames["dashboard_dataset"].alias("dd")
+    si = frames["select_items"].alias("si")
+    rel = frames["select_item_rel"]
+    ds = frames["datasets"].alias("ds")
+
+    start = dd.join(si, F.col("dd.dataset_id") == F.col("si.dataset_id")).select(
+        F.col("dd.source_id").alias("dboard_id"),
+        F.col("si.id").alias("item_id"),
+    )
+    cl = transitive_closure(
+        rel, "parent_select_item_id", "child_select_item_id"
+    )
+    upstream = start.join(
+        cl, start["item_id"] == cl["descendant_id"]
+    ).select("dboard_id", F.col("ancestor_id").alias("item_id"))
+    reachable = start.unionByName(upstream).distinct()
+
+    phys = si.join(
+        ds.where(F.col("ds.type") == "TABLE"),
+        F.col("si.dataset_id") == F.col("ds.id"),
+    ).select(
+        F.col("si.id").alias("item_id"),
+        F.col("ds.schema_name").alias("src_db_schema"),
+        F.col("ds.table_name").alias("src_db_table"),
+        F.coalesce(F.col("si.name"), F.col("si.definition")).alias(
+            "src_db_column"
+        ),
+    )
+    return (
+        reachable.join(phys, on="item_id")
+        .select("dboard_id", "src_db_schema", "src_db_table", "src_db_column")
+        .distinct()
+        .orderBy("dboard_id", "src_db_schema", "src_db_table", "src_db_column")
+    )

@@ -307,3 +307,18 @@ def lineage_sqoop_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         SQOOP, "db_schema string, db_table string, etl_task_name string"
     )
     return sqoop_root_provenance(edges, sq).orderBy("db_schema", "db_table")
+
+
+@query("lineage_dashboard_columns")  # driver-side parse → rows-only check
+def lineage_dashboard_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_dboard_lineage summary: physical columns the dashboard's
+    top-level SELECT transitively uses (db_setup_ddl.sql:126-135)."""
+    from kachess_spark.lineage.export import dashboard_column_lineage
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+
+    s = LineageSession(
+        spark, fixture_metastore(), seed=1000, system_source="DASHBOARD"
+    )
+    s.extract_script(_CORPUS)
+    return dashboard_column_lineage(s.frames())

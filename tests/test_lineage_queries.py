@@ -39,3 +39,24 @@ def test_column_closure_vs_duckdb(spark):
 
 def test_table_closure_vs_duckdb(spark):
     _check(spark, lineage_table_closure, "lineage_table_closure")
+
+
+def test_dashboard_columns_golden(spark):
+    """ts_dboard_lineage over _CORPUS as a DASHBOARD source: the full
+    physical column set the top-level SELECT transitively reads."""
+    from kachess_spark.lineage.queries import lineage_dashboard_columns
+
+    got = sorted(tuple(r) for r in lineage_dashboard_columns(spark, "").collect())
+    assert got == [
+        (1, "adhoc", "tab40", "col400l"),
+        (1, "adhoc", "tab40", "col401s"),
+        (1, "adhoc", "tab40", "col403i"),
+        (1, "dw", "tab10", "col100l"),
+        (1, "dw", "tab10", "col101s"),
+        (1, "dw", "tab10", "col102b"),
+        (1, "dw", "tab10", "col103i"),
+        (1, "dw", "tab20", "col200l"),
+        (1, "dw", "tab20", "col202b"),
+        (1, "stage", "tab30", "col300l"),
+        (1, "stage", "tab30", "col303i"),
+    ]
