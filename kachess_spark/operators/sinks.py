@@ -307,3 +307,42 @@ def sink_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch("upsert_nation_v2")
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).orderBy("n_nationkey")
+
+
+_PART_INTROSPECT_ORACLE = """
+    SELECT max(o_orderpriority) AS max_part,
+           min(o_orderpriority) AS min_part,
+           count(DISTINCT o_orderpriority) AS n_parts
+    FROM orders
+"""
+
+
+@query("catalog_partition_introspection", _PART_INTROSPECT_ORACLE)
+def catalog_partition_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive partition-introspection functions (MAX_PART_STRING /
+    MIN_PART_STRING / PART_COUNT, Bingql.g4:1422-1429) as catalog
+    helpers: write a partitioned table, then answer from SHOW PARTITIONS
+    metadata — no data scan (functions/partitions.py).
+
+    The oracle recomputes the same values FROM THE DATA, pinning the
+    catalog metadata to the storage truth.
+    """
+    from kachess_spark.functions import partitions as P
+
+    t = Tables(spark, sf_dir)
+    tbl = "kch_part_orders"
+    (
+        t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    row = (
+        P.max_part_string(spark, tbl, "o_orderpriority"),
+        P.min_part_string(spark, tbl, "o_orderpriority"),
+        P.part_count(spark, tbl),
+    )
+    return spark.createDataFrame(
+        [row], "max_part string, min_part string, n_parts bigint"
+    )

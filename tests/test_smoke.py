@@ -64,3 +64,30 @@ def test_ivf_recall(spark, sf_dir):
     assert all(len(vs) <= TOP_K for vs in per_q.values())
     # some overlap with exact top-k overall
     assert exact & approx
+
+
+def test_partition_introspection_helpers(spark):
+    """MAX_PART_*/PART_COUNT/PART_LOC catalog helpers (Bingql.g4:1422-1429)
+    answer from SHOW PARTITIONS / DESCRIBE metadata, multi-level specs
+    included."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from kachess_spark.functions import partitions as P
+
+    spark.sql("DROP TABLE IF EXISTS kch_pt_test")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/kch_pt_test", ignore_errors=True)
+    spark.createDataFrame(
+        [(1, "2024-01-01", 5), (2, "2024-02-03", 5), (3, "2024-01-15", 7)],
+        "id int, dt string, hr int",
+    ).write.mode("overwrite").partitionBy("dt", "hr").format(
+        "parquet"
+    ).saveAsTable("kch_pt_test")
+    assert str(P.max_part_date(spark, "kch_pt_test", "dt")) == "2024-02-03"
+    assert P.min_part_string(spark, "kch_pt_test", "dt") == "2024-01-01"
+    assert P.max_part_int(spark, "kch_pt_test", "hr") == 7
+    assert P.part_count(spark, "kch_pt_test") == 3
+    loc = P.part_loc(spark, "kch_pt_test", {"dt": "2024-01-01", "hr": "5"})
+    assert loc and loc.endswith("dt=2024-01-01/hr=5")
+    spark.sql("DROP TABLE kch_pt_test")
