@@ -262,3 +262,86 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cosine_topk(spark, cand_vecs, queries, TOP_K)
     return scored.join(cand_ids, ["qid", "vid"], "left_semi")
+
+
+def kmeans_centroids(
+    spark: SparkSession, emb: DataFrame, k: int, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means trained inside the engine (IVF coarse quantizer).
+
+    Deterministic throughout: seeding = the k lowest-id vectors (no RNG),
+    per-dimension means via exact DECIMAL sums (combine-order-proof), and
+    ties in assignment broken by cell id (ivf_assign's row_number).
+
+    Scale shape per iteration: one broadcast-join assignment pass over
+    the data + one (cell, pos) aggregation — both shuffle-light; the
+    centroid frame is k rows and localCheckpointed so the loop never
+    builds an iters-deep plan.  Returns (vec_id=cell, embedding).
+    """
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = _exploded(emb, "vid", "dv").localCheckpoint(eager=False)
+    for _ in range(iters):
+        assign = ivf_assign(spark, emb, cent, n=1).select("vid", "cell")
+        means = (
+            d.join(assign, "vid")
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("dv").cast(PDEC)) / F.count("*")
+                ).cast("double").alias("mv")
+            )
+        )
+        cent = (
+            means.groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, mv))),"
+                    " s -> s.mv)"
+                ).alias("embedding")
+            )
+            .select(F.col("cell").alias("vec_id"), "embedding")
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+@query("sim_ivf_kmeans_topk")  # rows-only: approximate; recall in tests
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over a k-means-trained coarse quantizer: train
+    centroids in-engine (kmeans_centroids), assign data to cells, probe
+    the query's N_PROBE nearest cells, exact top-k within candidates.
+
+    vs sim_ivf_topk's fixed seed centroids: trained cells track the data
+    distribution, so probes recover more true neighbors at the same
+    probe budget."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    centroids = kmeans_centroids(spark, emb, N_CELLS, iters=3)
+    assign = ivf_assign(spark, emb, centroids, n=1).select(
+        "vid", F.col("cell").alias("data_cell")
+    )
+    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
+    qprobe = ivf_assign(spark, queries, centroids, n=N_PROBE).select(
+        F.col("vid").alias("qid"), F.col("cell").alias("data_cell")
+    )
+    cand_ids = (
+        assign.join(broadcast(qprobe), "data_cell")
+        .where(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    cand_vecs = (
+        cand_ids.select("vid").distinct()
+        .join(emb, cand_ids["vid"] == emb["vec_id"])
+        .select("vec_id", "embedding")
+    )
+    scored = cosine_topk(spark, cand_vecs, queries, TOP_K)
+    return scored.join(cand_ids, ["qid", "vid"], "left_semi")

@@ -91,3 +91,22 @@ def test_partition_introspection_helpers(spark):
     loc = P.part_loc(spark, "kch_pt_test", {"dt": "2024-01-01", "hr": "5"})
     assert loc and loc.endswith("dt=2024-01-01/hr=5")
     spark.sql("DROP TABLE kch_pt_test")
+
+
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """k-means-trained IVF must recover most brute-force neighbors at
+    the test corpus size (deterministic training: seeded centroids,
+    DECIMAL means), and only emit valid query ids."""
+    from kachess_spark.pipeline.similarity import (
+        QUERY_IDS,
+        sim_cosine_topk,
+        sim_ivf_kmeans_topk,
+    )
+
+    exact = {(r.qid, r.vid) for r in sim_cosine_topk(spark, sf_dir).collect()}
+    approx = {
+        (r.qid, r.vid) for r in sim_ivf_kmeans_topk(spark, sf_dir).collect()
+    }
+    assert approx
+    assert all(q in QUERY_IDS for q, _ in approx)
+    assert len(exact & approx) / len(exact) >= 0.5
