@@ -764,3 +764,40 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_nonnull", "n_distinct",
         "min_value", "max_value",
     ).orderBy("column_name")
+
+
+_HEAVY_HITTERS_ORACLE = """
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), t AS (SELECT sum(cnt) AS n FROM c)
+    SELECT user_id, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share
+    FROM c, t
+    WHERE 400 * cnt >= 3 * n
+    ORDER BY user_id
+"""
+
+
+@query("agg_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys holding >=0.75% of all rows.  The
+    threshold compare is integer-exact (400*cnt >= 3n, no float
+    boundary).  Scale shape: per-key counts are map-side combined; the
+    global total joins in as a 1-row broadcast — at 100 TB you'd run the
+    identical plan, or swap in count-min sketches for a one-pass
+    approximation when the key space doesn't fit."""
+    from kachess_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("n"))
+    return (
+        c.join(F.broadcast(t))
+        .where(400 * F.col("cnt") >= 3 * F.col("n"))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy("user_id")
+    )

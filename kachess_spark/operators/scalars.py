@@ -482,3 +482,45 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("a.ws") + F.size("b.ws") - F.size(inter)).alias("n_union"),
         F.size(F.array_except(F.col("a.ws"), F.col("b.ws"))).alias("n_only_a"),
     )
+
+
+_LEVENSHTEIN_ORACLE = """
+    WITH names AS (
+      SELECT DISTINCT p_partkey, p_name FROM part WHERE p_partkey <= 200
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY key_a, key_b
+"""
+
+
+@query("scalar_levenshtein", _LEVENSHTEIN_ORACLE)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein) on a blocked candidate
+    set — the verification step of fuzzy entity resolution.  The
+    self-join is bounded (key< key dedup + key cap); at 100 TB the
+    blocking key would come from phonetic/q-gram LSH, the verify math is
+    this."""
+    t = Tables(spark, sf_dir)
+    names = (
+        t.part.where(F.col("p_partkey") <= 200)
+        .select("p_partkey", "p_name")
+        .distinct()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .where(dist <= 3)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("key_a", "key_b")
+    )

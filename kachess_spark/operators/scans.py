@@ -11,7 +11,7 @@ projects *before* anything else so Catalyst pushes both into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kachess_spark.catalog import Tables
@@ -143,4 +143,41 @@ def scan_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r_name, count(*) AS n_nations
         FROM kch_v_region_nations GROUP BY r_name ORDER BY r_name
         """
+    )
+
+
+_STRAT_SAMPLE_ORACLE = """
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY o_orderpriority, rn
+"""
+
+
+@query("scan_stratified_sample", _STRAT_SAMPLE_ORACLE)
+def scan_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: fixed N per stratum, ordered
+    by a content hash (md5 of the key) — a seedless, engine-portable
+    'random' draw that is reproducible across runs and engines, unlike
+    TABLESAMPLE/sampleBy RNG.  One shuffle on the stratum key; per-
+    stratum heaps would replace row_number at extreme stratum sizes."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        t.orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .orderBy("o_orderpriority", "rn")
     )

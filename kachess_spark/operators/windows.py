@@ -313,3 +313,43 @@ def win_ratio_to_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_priority"
         ),
     ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+_PCT_NTH_ORACLE = """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_cheapest
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, pct_rank, o_orderkey
+"""
+
+
+@query("win_percent_nth", _PCT_NTH_ORACLE)
+def win_percent_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + NTH_VALUE with an explicit full-frame (§2.5):
+    percent_rank is (rank-1)/(n-1) — one exact IEEE division, portable;
+    nth_value needs the UNBOUNDED FOLLOWING frame to see the whole
+    partition on both engines."""
+    t = Tables(spark, sf_dir)
+    order_w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    full_w = order_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        t.orders.where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(order_w), 6).alias("pct_rank"),
+            F.nth_value("o_orderkey", 3).over(full_w).alias("third_cheapest"),
+        )
+        .orderBy("o_orderpriority", "pct_rank", "o_orderkey")
+    )
