@@ -331,10 +331,12 @@ def catalog_partition_introspection(spark: SparkSession, sf_dir: str) -> DataFra
 
     t = Tables(spark, sf_dir)
     tbl = "kch_part_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (
         t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
         .write.mode("overwrite")
         .partitionBy("o_orderpriority")
+        .option("path", _scratch(tbl))
         .format("parquet")
         .saveAsTable(tbl)
     )
