@@ -379,15 +379,15 @@ _FUNNEL_ORACLE = """
     WITH stages AS (
       SELECT user_id,
              min(ts) FILTER (event_type = 'signup')   AS t_signup,
-             min(ts) FILTER (event_type = 'login')    AS t_login,
+             min(ts) FILTER (event_type = 'click')    AS t_click,
              min(ts) FILTER (event_type = 'purchase') AS t_purchase
       FROM events GROUP BY user_id
     )
     SELECT
       count(*) AS n_users,
       count(t_signup) AS n_signed_up,
-      count(*) FILTER (t_login > t_signup) AS n_logged_in_after,
-      count(*) FILTER (t_purchase > t_login AND t_login > t_signup)
+      count(*) FILTER (t_click > t_signup) AS n_clicked_after,
+      count(*) FILTER (t_purchase > t_click AND t_click > t_signup)
         AS n_converted
     FROM stages
 """
@@ -395,7 +395,7 @@ _FUNNEL_ORACLE = """
 
 @query("agg_funnel_events", _FUNNEL_ORACLE)
 def agg_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequential funnel (signup → login → purchase) via conditional
+    """Sequential funnel (signup → click → purchase) via conditional
     first-timestamps — one shuffle on user_id, no self-joins (the naive
     funnel is an N-way self-join; min-per-stage makes it a single
     aggregation at any scale)."""
@@ -404,19 +404,19 @@ def agg_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     stages = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
-        F.min(F.when(F.col("event_type") == "login", F.col("ts"))).alias("t_login"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
     )
     return stages.agg(
         F.count("*").alias("n_users"),
         F.count("t_signup").alias("n_signed_up"),
-        F.count(F.when(F.col("t_login") > F.col("t_signup"), 1)).alias(
-            "n_logged_in_after"
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_clicked_after"
         ),
         F.count(
             F.when(
-                (F.col("t_purchase") > F.col("t_login"))
-                & (F.col("t_login") > F.col("t_signup")),
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
                 1,
             )
         ).alias("n_converted"),

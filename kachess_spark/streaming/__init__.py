@@ -9,6 +9,8 @@ oracle-checked; the streaming paths run the same logical plans through
 
 from kachess_spark.streaming.windows import (
     streaming_dedup_events,
+    streaming_interval_join,
+    streaming_static_enrich,
     session_window_stats,
     sliding_window_avg,
     stream_events,
@@ -22,6 +24,8 @@ from kachess_spark.streaming.windows import (
 __all__ = [
     "stream_events",
     "streaming_dedup_events",
+    "streaming_interval_join",
+    "streaming_static_enrich",
     "tumbling_window_counts",
     "sliding_window_avg",
     "session_window_stats",

@@ -292,3 +292,126 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("event_id", "user_id", "event_type")
     )
+
+
+# -------------------------------------------------- stream-static join
+
+_STATIC_ENRICH_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(e.value)::DECIMAL(28,2), 2) AS seg_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+@query("stream_static_enrich", _STATIC_ENRICH_ORACLE)
+def static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: purchases joined
+    to the customer dimension, revenue per segment."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("seg_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins the
+    static dimension — Spark re-plans the join per batch, so the dim may
+    even change between batches (slowly-changing enrich).  The static
+    side is broadcast: no state store, no shuffle of the stream."""
+    ev = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("seg_value"),
+        )
+    )
+
+
+# -------------------------------------------------- stream-stream join
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, l.event_id AS click_id, p.user_id,
+       (floor(epoch(p.ts)) - floor(epoch(l.ts)))::BIGINT AS secs_after_click
+FROM events p JOIN events l
+  ON p.user_id = l.user_id
+ AND p.event_type = 'purchase' AND l.event_type = 'click'
+ AND p.ts >= l.ts AND p.ts < l.ts + INTERVAL 1 HOUR
+ORDER BY purchase_id, click_id
+"""
+
+
+@query("stream_interval_join", _INTERVAL_JOIN_ORACLE)
+def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: purchases matched
+    to same-user clicks in the preceding hour."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    l = ev.where(F.col("event_type") == "click").alias("l")
+    return (
+        p.join(
+            l,
+            (F.col("p.user_id") == F.col("l.user_id"))
+            & (F.col("p.ts") >= F.col("l.ts"))
+            & (F.col("p.ts") < F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("l.event_id").alias("click_id"),
+            F.col("p.user_id").alias("user_id"),
+            (F.unix_timestamp("p.ts") - F.unix_timestamp("l.ts")).alias(
+                "secs_after_click"
+            ),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with watermarks: both sides carry a watermark
+    and the join condition is time-bounded, so each side's state store
+    holds only one hour (+watermark slack) of rows — the bounded-state
+    requirement for joining two infinite streams (SURVEY.md §2.9)."""
+    ev = stream_events(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .alias("p")
+    )
+    l = (
+        ev.where(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .alias("l")
+    )
+    return p.join(
+        l,
+        (F.col("p.user_id") == F.col("l.user_id"))
+        & (F.col("p.ts") >= F.col("l.ts"))
+        & (F.col("p.ts") < F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("p.user_id").alias("user_id"),
+        (F.unix_timestamp("p.ts") - F.unix_timestamp("l.ts")).alias(
+            "secs_after_click"
+        ),
+    )

@@ -104,3 +104,28 @@ def test_streaming_dedup(spark, sf_dir):
     )
     assert got.count() == want
     assert got.select("user_id", "event_type").distinct().count() == want
+
+
+def test_streaming_static_enrich(spark, sf_dir):
+    """Stream-static broadcast join must agree with its batch twin."""
+    from kachess_spark.streaming import streaming_static_enrich
+    from kachess_spark.streaming.windows import static_enrich_batch
+
+    got = _run_stream(spark, streaming_static_enrich(spark, sf_dir), "complete")
+    want = static_enrich_batch(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join must produce exactly the
+    batch join's pairs (append mode: each pair emitted once)."""
+    from kachess_spark.streaming import streaming_interval_join
+    from kachess_spark.streaming.windows import interval_join_batch
+
+    got = _run_stream(spark, streaming_interval_join(spark, sf_dir), "append")
+    want = interval_join_batch(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
