@@ -348,3 +348,52 @@ def catalog_partition_introspection(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         [row], "max_part string, min_part string, n_parts bigint"
     )
+
+
+_SORTED_ZONEMAP_ORACLE = """
+    SELECT CAST(l_shipdate AS DATE) AS ship_day,
+           count(*) AS n_items,
+           round(sum(l_extendedprice)::DECIMAL(28,2), 2) AS day_revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-03-08'
+    GROUP BY 1
+    ORDER BY ship_day
+"""
+
+
+@query("sink_sorted_zonemap", _SORTED_ZONEMAP_ORACLE)
+def sink_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition + sortWithinPartitions write: time-clustered
+    parquet WITHOUT directory-per-day partitioning.
+
+    At 100 TB, `PARTITIONED BY (day)` over years of data explodes into
+    ~10⁵ directories of small files; repartitionByRange(ship_date) +
+    sort clusters each file's row groups into narrow min/max ranges
+    instead, so a date-range scan skips almost every row group via
+    parquet zone maps — same pruning effect, constant file count.  The
+    read-back filter must still reach the scan (plan-asserted in
+    tests/test_plans.py).
+    """
+    t = Tables(spark, sf_dir)
+    path = _scratch("sorted_lineitem")
+    (
+        t.lineitem.select("l_shipdate", "l_extendedprice")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-03-08")
+        )
+        .groupBy(F.col("l_shipdate").cast("date").alias("ship_day"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,2)")), 2)
+            .alias("day_revenue"),
+        )
+        .orderBy("ship_day")
+    )

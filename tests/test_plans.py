@@ -116,3 +116,29 @@ def test_broadcast_hint_no_fact_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the fact (supplier) side must not hash-shuffle for the join
     assert "hashpartitioning(s_nationkey" not in plan
+
+
+def test_sorted_zonemap_filter_pushed(spark, sf_dir):
+    """The date filter on the sorted read-back must reach the parquet
+    scan (zone-map skipping needs the predicate AT the scan, not above
+    it), and only the two needed columns are read."""
+    from kachess_spark.operators.sinks import sink_sorted_zonemap
+
+    df = sink_sorted_zonemap(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "struct<l_shipdate:timestamp" in plan.replace("\n", "")
+
+
+def test_q20_broadcasts_and_semi_joins(spark, sf_dir):
+    """Q20 shape: nested INs must decorrelate to semi joins; the part
+    key list and nation filter must broadcast (no fact-side shuffle for
+    either)."""
+    from kachess_spark.operators.filters import filter_q20_nested_in
+
+    df = filter_q20_nested_in(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
