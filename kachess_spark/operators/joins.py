@@ -386,3 +386,92 @@ def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "k")
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SKEW_AQE_ORACLE = """
+    WITH skewed AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS skew_key,
+             value
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT user_id AS skew_key, user_id % 7 AS tier
+            FROM events)
+    SELECT s.skew_key, d.tier, count(*) AS cnt,
+           round(sum(s.value)::DECIMAL(28,2), 2) AS total
+    FROM skewed s JOIN dim d ON s.skew_key = d.skew_key
+    GROUP BY s.skew_key, d.tier
+    ORDER BY s.skew_key
+"""
+
+
+_SKEW_CONFS = {
+    # lower AQE size thresholds to test-data scale so the runtime skew
+    # splitter engages on ~MB inputs; at 100 TB the DEFAULTS (256 MB
+    # threshold, 64 MB advisory, 1 MB min partition) trigger identically
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    # the demo aggregates on the join key downstream, which would reuse
+    # the join's partitioning; force tells AQE the skew split is worth
+    # the extra exchange it then needs (the default behavior declines)
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def skew_join_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed-join plan (unexecuted): half the fact rows collapse
+    onto one hot key; the fact side is repartitioned so the join shuffle
+    has many mappers — AQE's skew split is per-mapper chunks, so a
+    single-mapper stage (one small parquet file) can never split."""
+    from kachess_spark.catalog import load_table
+
+    spread = spark.sparkContext.defaultParallelism
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.repartition(spread).select(
+        F.when(F.col("user_id") % 2 == 0, 0)
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "value",
+    )
+    dim = ev.select(
+        F.col("user_id").alias("skew_key"),
+        (F.col("user_id") % 7).alias("tier"),
+    ).distinct()
+    joined = skewed.hint("merge").join(dim, "skew_key")
+    return (
+        joined.groupBy("skew_key", "tier")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(28,2)")), 2).alias(
+                "total"
+            ),
+        )
+        .orderBy("skew_key")
+    )
+
+
+@query("join_skew_aqe", _SKEW_AQE_ORACLE)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join splitting, forced observable at test scale.
+
+    Half of the fact rows collapse onto one hot key (the classic
+    power-law consumer).  With AQE thresholds lowered to test-data
+    sizes, the oversized post-shuffle partition is detected at runtime
+    and split across tasks by mapper-chunk ranges —
+    ``SortMergeJoin(skew=true)`` (asserted in tests/test_plans.py).  At
+    100 TB the default thresholds trigger the same re-plan with no query
+    change: the no-salting path for skewed equi-joins, complementing the
+    manual two-phase salt in agg_skew_two_phase.
+    """
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # materialize INSIDE the conf window (the plan is lazy; without
+        # this the finally-block restores defaults before execution and
+        # the splitter never engages)
+        return skew_join_build(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)

@@ -142,3 +142,27 @@ def test_q20_broadcasts_and_semi_joins(spark, sf_dir):
     plan = _plan(df)
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_skew_join_splits(spark):
+    """The runtime skew splitter must engage on the hot-key join: final
+    adaptive plan shows SortMergeJoin(skew=true) + a skewed
+    AQEShuffleRead.  Pinned to sf0.01 — the hot partition must clear the
+    (already lowered) 16k size threshold, which sf0.001 cannot."""
+    from kachess_spark.operators.joins import _SKEW_CONFS, skew_join_build
+
+    sf_dir = "/root/testdata/sf0.01"
+
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = skew_join_build(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "skew=true" in plan
+        # the read may print "skewed" or "coalesced and skewed"
+        assert "skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
