@@ -564,6 +564,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kachess_spark.operators.graph import dedup_groups
 
     t = Tables(spark, sf_dir)
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    universe = _with_shingles(t.documents).select("doc_id")
+    # ONE signature pass: universe and LSH bands both derive from sigs
+    # (running dedup_minhash_lsh + a separate shingle pass would run the
+    # regex/shingle/md5 chain twice — measured 10.3s -> ~6s at sf0.1)
+    sigs = minhash_signature(t.documents).localCheckpoint(eager=False)
+    band_structs = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_structs).alias("band", "band_key")
+    ).localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    universe = sigs.select("doc_id")
     return dedup_groups(pairs, universe).orderBy("doc_id")
