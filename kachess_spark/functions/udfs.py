@@ -190,3 +190,60 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+_UDTF_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(
+               regexp_replace(text, '[^a-zA-Z ]', '', 'g')), ' '),
+               x -> x <> '') AS ws
+      FROM documents WHERE doc_id <= 2
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(ws, 1) - 1 AS INT) AS pos,
+           unnest(ws) AS word,
+           unnest(ws) IN {_STOPWORDS} AS is_stop
+    FROM d
+    ORDER BY doc_id, pos
+"""
+
+
+@query("udf_python_udtf", _UDTF_ORACLE)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, SURVEY.md §2.10 `LATERAL VIEW fn`):
+    one input row → many output rows, declared as a class with eval()
+    yielding tuples.  Invoked via SQL LATERAL so the call sits in the
+    FROM clause exactly like the reference's UDTF surface.
+
+    UDTFs are the slow-path escape hatch (row-at-a-time Python); the
+    twin query lateral_view_sql_words computes the same expansion with
+    the built-in explode for the fast path — keep UDTFs for logic that
+    genuinely can't be an array expression."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string, is_stop boolean")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            import re
+
+            clean = re.sub(r"[^a-zA-Z ]", "", text).lower()
+            for pos, word in enumerate(clean.split()):
+                yield pos, word, word in _STOPWORDS
+
+    spark.udtf.register("kch_split_words", SplitWords)
+    from kachess_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.pos, w.word, w.is_stop
+        FROM documents d, LATERAL kch_split_words(d.text) w
+        WHERE d.doc_id <= 2
+        ORDER BY d.doc_id, w.pos
+        """
+    )

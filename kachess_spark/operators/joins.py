@@ -475,3 +475,78 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+_Q7_ORACLE = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(floor(volume * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             EXTRACT(year FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate <  DATE '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("join_q7_volume_shipping", _Q7_ORACLE)
+def join_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with a symmetric nation-pair predicate
+    and per-year revenue rollup.
+
+    Scale plan: nation (25 rows) broadcasts twice; supplier and customer
+    broadcast under the 64 MB threshold at cluster scale too; the only
+    big-big shuffle is lineitem⋈orders on orderkey.  The nation-pair
+    disjunction filters AFTER the nation joins (it references both
+    sides), but the per-side `IN ('NATION_1','NATION_2')` implication is
+    pushed to each dimension scan to shrink the broadcast.
+    """
+    from kachess_spark.operators._util import dsum
+
+    t = Tables(spark, sf_dir)
+    nations = ("NATION_1", "NATION_2")
+    n1 = t.nation.where(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.where(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = t.supplier.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    c = t.customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    joined = (
+        li.join(t.orders, li["l_orderkey"] == t.orders["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
