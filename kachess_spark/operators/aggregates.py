@@ -801,3 +801,35 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query("agg_count_min_sketch")  # rows-only: sketch estimates; pytest bounds
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: one mergeable sub-linear
+    sketch over the stream, then point queries against it.
+
+    Completes the mergeable-sketch trio (HLL distinct =
+    agg_approx_distinct, KLL-style quantiles = agg_approx_percentile).
+    The sketch is built JVM-side by the `count_min_sketch` aggregate —
+    partial sketches merge associatively, so at 100 TB it costs one
+    map-side pass + a tiny reduce, and can be persisted and re-probed
+    without rescanning.  Estimates are biased UP only (CMS guarantee:
+    true <= est <= true + eps*N w.h.p.) — pytest asserts both bounds.
+    """
+    from kachess_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = bytes(
+        ev.agg(
+            F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk")
+        ).collect()[0]["sk"]
+    )
+    jvm = spark.sparkContext._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
+    )
+    probes = list(range(20))
+    rows = [
+        (k, int(sk.estimateCount(jvm.java.lang.Long(k)))) for k in probes
+    ]
+    return spark.createDataFrame(rows, "user_id bigint, est_count bigint")

@@ -110,3 +110,26 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     assert approx
     assert all(q in QUERY_IDS for q, _ in approx)
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_count_min_sketch_bounds(spark, sf_dir):
+    """CMS guarantee: exact <= estimate <= exact + eps*N (eps=0.001,
+    overwhelming probability at delta=0.99)."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.operators.aggregates import agg_count_min_sketch
+
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in agg_count_min_sketch(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(exact.values())
+    for k, e in est.items():
+        true = exact.get(k, 0)
+        assert true <= e <= true + max(1, int(0.001 * n) + 1)
