@@ -182,3 +182,40 @@ def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT (select_list_set, Bingql.g4:962-965)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+# same ANSI text runs on BOTH engines (Spark 4 native recursion)
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE walk(src, dst, distance) AS (
+      SELECT src, dst, 1 FROM (
+        VALUES (1000, 1034), (1005, 1034), (1010, 1024),
+               (1015, 1020), (1020, 1024), (1024, 1034)
+      ) AS e(src, dst)
+      UNION ALL
+      SELECT w.src, e.dst, w.distance + 1
+      FROM walk w
+      JOIN (
+        VALUES (1000, 1034), (1005, 1034), (1010, 1024),
+               (1015, 1020), (1020, 1024), (1024, 1034)
+      ) AS e(src, dst) ON w.dst = e.src
+      WHERE w.distance < 10
+    )
+    SELECT src, dst, MIN(distance) AS distance
+    FROM walk
+    GROUP BY src, dst
+    ORDER BY src, dst
+"""
+
+
+@query("cte_recursive", _RECURSIVE_CTE_SQL)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `WITH RECURSIVE` (Spark 4): the transitive-closure walk as
+    ONE SQL statement — the exact text DuckDB runs as the oracle.
+
+    Complements the DataFrame-loop closure (lineage/closure.py): the
+    declarative form hands iteration control to the engine (each
+    recursive step is a planned join, unioned to a fixpoint/depth
+    bound); the loop form keeps control for checkpoint/convergence
+    tuning.  Same edges as lineage_table_closure, so the two paths
+    cross-check each other."""
+    return spark.sql(_RECURSIVE_CTE_SQL)
