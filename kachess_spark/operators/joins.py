@@ -550,3 +550,55 @@ def join_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("volume", "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+_BLOOM_ORACLE = """
+    SELECT o_orderpriority, count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+"""
+
+_BLOOM_CONFS = {
+    # disable broadcast so the join is shuffle-based (broadcast joins
+    # don't need a bloom filter — the hash relation IS the filter), and
+    # lower the application-side threshold to test-data scale; at 100 TB
+    # the defaults (10 MB creation side / 10 GB probe side) fire on any
+    # selective dim filter against a big fact
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+}
+
+
+def bloom_join_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim shuffle join eligible for a runtime bloom filter
+    (unexecuted plan; build under _BLOOM_CONFS)."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t.lineitem.join(o, t.lineitem["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+@query("join_bloom_runtime_filter", _BLOOM_ORACLE)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pushdown: the selective orders filter builds
+    a bloom_filter_agg over its join keys, and Catalyst injects
+    `might_contain(...)` into the LINEITEM SCAN — fact rows that cannot
+    match are dropped before the shuffle, cutting shuffle volume by the
+    dim filter's selectivity (~1/5 here).  Plan-asserted in
+    tests/test_plans.py.  The optimizer rule runs at PLANNING time, so
+    the confs must wrap DataFrame construction, not just execution.
+    """
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return bloom_join_build(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)

@@ -166,3 +166,23 @@ def test_aqe_skew_join_splits(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """The shuffle join with a selective dim filter must carry a
+    might_contain(bloom) predicate on the fact scan side."""
+    from kachess_spark.operators.joins import _BLOOM_CONFS, bloom_join_build
+
+    sf_dir = "/root/testdata/sf0.01"
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = bloom_join_build(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
