@@ -397,3 +397,62 @@ def sink_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_day")
     )
+
+
+_DPP_ORACLE = """
+    WITH dim(prio, tier) AS (
+      VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+             ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold')
+    )
+    SELECT d.tier, count(*) AS n_orders,
+           round(sum(o.o_totalprice)::DECIMAL(28,2), 2) AS total
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.prio
+    WHERE d.tier = 'hot'
+    GROUP BY d.tier
+"""
+
+_DPP_DIM = [
+    ("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+    ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"),
+]
+
+
+def dpp_join_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-fact ⋈ filtered-dim plan eligible for dynamic
+    partition pruning (build side; writes the partitioned fact once)."""
+    t = Tables(spark, sf_dir)
+    path = _scratch("dpp_orders")
+    (
+        t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(_DPP_DIM, "prio string, tier string")
+    return (
+        fact.join(dim, fact["o_orderpriority"] == dim["prio"])
+        .where(F.col("tier") == "hot")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+            .alias("total"),
+        )
+    )
+
+
+@query("filter_dynamic_partition_pruning", _DPP_ORACLE)
+def filter_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the filter sits on a DIM attribute
+    (`tier`), not the partition column — static pruning is impossible.
+    At runtime Catalyst evaluates the dim side first and injects
+    `dynamicpruningexpression(o_orderpriority IN <subquery>)` into the
+    fact scan's PartitionFilters, so only the matching directories are
+    read (plan-asserted in tests/test_plans.py).
+
+    This is THE optimization for star-schema scans at 100 TB: a
+    date-dim filter ("fiscal Q3") prunes a years-partitioned fact to
+    weeks without the query naming a single partition value.
+    """
+    return dpp_join_build(spark, sf_dir)

@@ -186,3 +186,14 @@ def test_bloom_runtime_filter_injected(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning PartitionFilter driven
+    by the dim-side subquery."""
+    from kachess_spark.operators.sinks import dpp_join_build
+
+    df = dpp_join_build(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower()
