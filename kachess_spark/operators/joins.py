@@ -484,7 +484,7 @@ _Q7_ORACLE = """
     FROM (
       SELECT n1.n_name AS supp_nation,
              n2.n_name AS cust_nation,
-             EXTRACT(year FROM l.l_shipdate) AS l_year,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
