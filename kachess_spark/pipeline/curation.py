@@ -94,3 +94,122 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_MIXTURE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ordered
+    WHERE cum_tokens <= 2000
+    ORDER BY source, cum_tokens
+"""
+
+
+@query("pipeline_mixture_sample", _MIXTURE_ORACLE)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture builder: per-source token budgets filled by a
+    deterministic content-hash draw.
+
+    Each source contributes docs in md5(doc_id) order until its
+    cumulative token count reaches the budget (2000 here) — a seedless,
+    engine-portable, reproducible sample whose mixture proportions are
+    exact in tokens, not documents.  One shuffle on `source`; the
+    cumulative sum is partition-local after it.  At 100 TB budgets come
+    from a config dim and broadcast-join in; the plan is unchanged.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')")).alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= 2000)
+        .orderBy("source", "cum_tokens")
+    )
+
+
+_DECONTAM_ORACLE = """
+    WITH eval_shingles AS (
+      SELECT DISTINCT unnest(list_transform(
+        range(1, len(string_split(lower(
+          regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) - 1),
+        i -> string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')[i]
+          || ' ' || string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')[i+1]
+          || ' ' || string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')[i+2]
+      )) AS shingle
+      FROM documents WHERE doc_id < 5
+    ),
+    train AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(string_split(lower(
+          regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) - 1),
+        i -> string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')[i]
+          || ' ' || string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')[i+1]
+          || ' ' || string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')[i+2]
+      ))) AS shingle
+      FROM documents WHERE doc_id >= 5
+    )
+    SELECT DISTINCT t.doc_id AS contaminated_doc,
+           1 AS hit
+    FROM train t JOIN eval_shingles e ON t.shingle = e.shingle
+    ORDER BY contaminated_doc
+"""
+
+
+@query("pipeline_decontaminate", _DECONTAM_ORACLE)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing any word
+    3-gram with the eval set (docs 0-4 standing in as the benchmark).
+
+    Relational formulation: explode both sides to (doc, shingle) and
+    equi-join on the shingle — contamination detection is a semi-join,
+    never a per-pair array intersection, so it scales as a hash join on
+    a well-distributed key.  The eval side is tiny → broadcast.  A real
+    pipeline would then anti-join the flags back to drop the docs.
+    """
+    from kachess_spark.pipeline.dedup import _with_shingles
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    ev = (
+        _with_shingles(docs.where(F.col("doc_id") < 5))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train = _with_shingles(docs.where(F.col("doc_id") >= 5)).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .select(F.col("doc_id").alias("contaminated_doc"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        .orderBy("contaminated_doc")
+    )
