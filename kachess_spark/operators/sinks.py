@@ -456,3 +456,52 @@ def filter_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     weeks without the query naming a single partition value.
     """
     return dpp_join_build(spark, sf_dir)
+
+
+_COMPACTION_ORACLE = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("sink_compaction", _COMPACTION_ORACLE)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite a fragmented dataset (200 files
+    here — the steady-state of frequent small appends) into a few
+    right-sized files, preserving content exactly.
+
+    The compaction uses AQE coalescing — `.repartition()` on read-back
+    with `coalescePartitions` sizes output splits by bytes, not by the
+    input's accidental file count.  At 100 TB this is the maintenance
+    job that keeps scan task counts sane (a 10⁶-file table spends more
+    time in scheduler+footer overhead than IO).  Data equality is the
+    oracle; the file-count drop is pytest-asserted.
+    """
+    import glob
+
+    t = Tables(spark, sf_dir)
+    frag = _scratch("frag_orders")
+    compact = _scratch("compact_orders")
+    (
+        t.orders.select("o_orderkey", "o_orderpriority")
+        .repartition(200)
+        .write.mode("overwrite")
+        .parquet(frag)
+    )
+    (
+        spark.read.parquet(frag)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    n_frag = len(glob.glob(f"{frag}/part-*"))
+    n_compact = len(glob.glob(f"{compact}/part-*"))
+    assert n_compact < n_frag / 10, (n_frag, n_compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
