@@ -1,0 +1,855 @@
+"""Remaining TPC-H query shapes (SURVEY.md §2 breadth sweep).
+
+The reference parses Hive/Presto/Spark SQL without executing it
+(README.md:79); its grammar accepts the full SELECT surface these
+queries exercise (Bingql.g4 fullselect/subquery/exists/case rules, e.g.
+bool_expr_unary Bingql.g4:1193-1199 for EXISTS, expr_case_searched
+:1349-1351).  This module proves the *execution* side of that surface:
+every remaining classic TPC-H shape not already covered by the flagship
+modules (q1/q3/q5/q7/q18/q20 live in aggregates.py / joins.py /
+filters.py), adapted to the driver's reduced schemas — the testdata has
+no partsupp table and lineitem lacks commitdate/receiptdate/shipmode, so
+q4/q9/q11/q12/q16/q21/q22 keep their *plan shape* (the interesting part:
+decorrelation, anti-joins, scalar-subquery thresholds, disjunctive
+pushdown) over the columns that exist.
+
+Scale notes are per-query; the global rules: dims broadcast, facts
+shuffle at most once on their natural key, aggregates go partial before
+the exchange, and every money sum uses the fixed-point encoding from
+operators/_util.py (exact at any scale factor AND deterministic across
+run orders — sums of raw doubles are neither).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kachess_spark.catalog import Tables
+from kachess_spark.operators._util import dsum, money, oracle_dsum, oracle_money
+from kachess_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking: EXISTS → left-semi join
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", _Q4_ORACLE)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi
+    join with a non-equi residual (late-shipment proxy for the missing
+    commitdate/receiptdate pair).
+
+    Scale plan: orders is filtered to one quarter BEFORE the semi join,
+    so the orderkey shuffle moves ~1/28th of orders; the semi join keeps
+    at most one match per order (no fan-out), and the final priority agg
+    is 5 groups — partial-agg collapses it map-side.
+    """
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change: pure scan-agg, pushdown showcase
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", _Q6_ORACLE)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table scan-aggregate with three conjunctive
+    range predicates — the canonical predicate-pushdown query.
+
+    Scale plan: all three filters reach the parquet reader as
+    PushedFilters (min/max row-group pruning on l_shipdate does the
+    heavy lifting on date-sorted data); projection prunes to 4 columns;
+    the global sum is a partial-agg → single-row exchange.  No joins,
+    no wide shuffle — at 100 TB this is IO-bound, as it should be.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: two-level agg with conditional numerator
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+    SELECT l_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol_scaled
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(vol_scaled) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS l_year,
+             {oracle_money('l.l_extendedprice * (1 - l.l_discount)')} AS vol_scaled,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY l_year
+    ORDER BY l_year
+"""
+
+
+@query("tpch_q8_market_share", _Q8_ORACLE)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's market,
+    per year — a ratio of a conditional sum to a total sum in one pass.
+
+    Scale plan: the ratio needs ONE aggregation, not two (numerator via
+    CASE inside the same groupBy — never compute total and conditional
+    sums as separate joined queries).  part/supplier/customer/nation/
+    region all broadcast; lineitem⋈orders is the only big-big shuffle.
+    Both sums stay in exact scaled-bigint until the final division.
+    """
+    t = Tables(spark, sf_dir)
+    asia_cust = (
+        t.customer.join(
+            broadcast(
+                t.nation.join(
+                    broadcast(t.region.where(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = t.supplier.join(
+        broadcast(t.nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    econ_part = t.part.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = t.orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    joined = (
+        t.lineitem.join(broadcast(econ_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("l_year"),
+            vol.alias("vol_scaled"),
+            "supp_nation",
+        )
+        .groupBy("l_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("vol_scaled")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("vol_scaled").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product type profit: multi-join with derived measure
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+    SELECT nation, o_year,
+           CAST(SUM(amount_scaled) AS DOUBLE) / 10000 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                         - 0.5 * p.p_retailprice * l.l_quantity) * 10000 + 0.5)
+                  AS BIGINT) AS amount_scaled
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query("tpch_q9_product_profit", _Q9_ORACLE)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year for parts
+    matching a name pattern.  The testdata has no partsupp, so supply
+    cost is modeled as half the part's retail price — the measure
+    (price×(1-disc) − cost×qty) and the 5-way star join are the shape.
+
+    Scale plan: the %gear% LIKE can't prune row groups but DOES
+    broadcast — filter part first, broadcast the surviving keys into
+    the lineitem scan; supplier+nation broadcast; lineitem⋈orders is
+    the one big shuffle.  The measure is computed per-row then
+    fixed-point encoded BEFORE the sum (negative amounts round the
+    same way in both engines: floor(x+0.5) is round-half-up).
+    """
+    t = Tables(spark, sf_dir)
+    p = t.part.where(F.col("p_name").like("%gear%")).select("p_partkey", "p_retailprice")
+    s_n = t.supplier.join(
+        broadcast(t.nation.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("nk"),
+    ).select("s_suppkey", "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t.lineitem.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(s_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            money(amount).alias("amount_scaled"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_scaled").cast("double") / 10000).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned item reporting: top-20 revenue loss
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+    SELECT c.c_custkey, c.c_name,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_items", _Q10_ORACLE)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returns per customer, top 20.
+
+    Scale plan: both fact filters (quarter on orders, returnflag on
+    lineitem) apply before the orderkey shuffle; customer/nation
+    broadcast AFTER the aggregation shrinks the stream to ≤#customers
+    rows — aggregate on o_custkey first, then decorate with names.
+    Top-k via TakeOrderedAndProject (no global sort), custkey
+    tiebreaker for a total order.
+    """
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = t.lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    c_n = t.customer.join(
+        broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        per_cust.join(broadcast(c_n), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — value concentration: HAVING against a global scalar subquery
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = f"""
+    SELECT l_partkey,
+           CAST(SUM({oracle_money('l_extendedprice')}) AS DOUBLE) / 10000
+             AS total_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM({oracle_money('l_extendedprice')})
+           > (SELECT 1.5 * CAST(SUM({oracle_money('l_extendedprice')}) AS DOUBLE)
+                     / COUNT(DISTINCT l_partkey)
+              FROM lineitem)
+    ORDER BY total_value DESC, l_partkey
+"""
+
+
+@query("tpch_q11_value_concentration", _Q11_ORACLE)
+def tpch_q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free): parts whose total lineitem value
+    is more than 1.5x the average per-part value — a grouped agg
+    HAVING-filtered against an uncorrelated scalar subquery.  (The
+    classic fixed-fraction-of-total threshold shrinks as 1/#parts and
+    selects nothing beyond tiny scale factors; a multiple-of-average
+    threshold is scale-invariant.)
+
+    Scale plan: one shuffle computes the per-part sums; the global total
+    re-aggregates THOSE partials (a second tiny exchange over ~#parts
+    rows, not a second scan of lineitem — reuse the grouped result via
+    a cross-joined single-row total).  Comparison happens in exact
+    scaled-bigint; int64 sums stay exact past 10^14 value-units.
+    """
+    t = Tables(spark, sf_dir)
+    per_part = (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.sum(money("l_extendedprice")).alias("value_scaled"))
+    )
+    total = per_part.agg(
+        (F.lit(1.5) * F.sum("value_scaled").cast("double") / F.count("*")).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_part.join(broadcast(total))
+        .where(F.col("value_scaled") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            (F.col("value_scaled").cast("double") / 10000).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping delay classification: CASE-sum pivot
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+    SELECT CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) >= 60 THEN 'SLOW'
+                WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) >= 30 THEN 'MEDIUM'
+                ELSE 'FAST' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+"""
+
+
+@query("tpch_q12_ship_priority", _Q12_ORACLE)
+def tpch_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by priority class per shipping-delay
+    bucket (shipmode column absent — the delay bucket derived from
+    datediff(shipdate, orderdate) replaces it; the CASE-sum pivot is
+    the shape).
+
+    Scale plan: shipdate filter pushes to the lineitem scan; one
+    orderkey shuffle; 3 output groups → partial agg collapses map-side.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(delay >= 60, "SLOW")
+            .when(delay >= 30, "MEDIUM")
+            .otherwise("FAST")
+            .alias("delay_bucket"),
+            F.when(is_high, 1).otherwise(0).alias("hi"),
+            F.when(~is_high, 1).otherwise(0).alias("lo"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("hi").alias("high_line_count"),
+            F.sum("lo").alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: double aggregation
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("tpch_q13_customer_distribution", _Q13_ORACLE)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of per-customer order counts, keeping
+    zero-order customers via LEFT JOIN (the join-side filter must live
+    in the ON clause — a WHERE would turn the outer join inner and
+    silently drop the zero bucket).
+
+    Scale plan: pre-aggregate orders per custkey BEFORE the outer join
+    (count is distributive), so the join matches one row per customer
+    instead of fanning out; the second agg is over ~#distinct-counts
+    groups — tiny.
+    """
+    t = Tables(spark, sf_dir)
+    per_cust_orders = (
+        t.orders.where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    c_counts = (
+        t.customer.join(
+            per_cust_orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        c_counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect: conditional ratio in one pass
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN {oracle_money('l.l_extendedprice * (1 - l.l_discount)')}
+                    ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM({oracle_money('l.l_extendedprice * (1 - l.l_discount)')})
+                        AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+@query("tpch_q14_promo_effect", _Q14_ORACLE)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percentage of one month's revenue from PROMO parts.
+
+    Scale plan: single-month filter pushes to the lineitem scan; part
+    broadcasts (only p_partkey+p_type read — column pruning matters at
+    100 TB part scale); numerator and denominator in ONE aggregation
+    via CASE, exact scaled-bigint until the final division.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = t.part.select("p_partkey", "p_type")
+    rev = money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            rev.alias("rev_scaled"),
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).alias("promo_scaled"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum("promo_scaled").cast("double")
+                / F.sum("rev_scaled").cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: agg CTE + scalar-subquery max (ties kept)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({oracle_money('l_extendedprice * (1 - l_discount)')})
+               AS total_scaled
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_scaled AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_scaled = (SELECT MAX(total_scaled) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("tpch_q15_top_supplier", _Q15_ORACLE)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    reference's CREATE VIEW + scalar-subquery pattern (Bingql.g4:245-247
+    create_view_stmt) expressed as a reused DataFrame.
+
+    Scale plan: the revenue aggregate is computed ONCE and reused for
+    both the max and the final join (in SQL the view would be inlined
+    twice — here the DataFrame is shared and AQE reuses the exchange).
+    Tie semantics: equality against MAX keeps all tied suppliers —
+    exact because revenue stays in scaled-bigint, never a double.
+    """
+    t = Tables(spark, sf_dir)
+    revenue = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_scaled"))
+    )
+    best = revenue.agg(F.max("total_scaled").alias("best_scaled"))
+    return (
+        revenue.join(broadcast(best))
+        .where(F.col("total_scaled") == F.col("best_scaled"))
+        .join(broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_scaled").cast("double") / 10000).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts by part attributes: distinct-agg + NOT IN
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+"""
+
+
+@query("tpch_q16_supplier_cnt", _Q16_ORACLE)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp-free): how many distinct suppliers
+    ship each surviving (brand, size) — negated predicates, an IN list,
+    and a NOT IN exclusion subquery feeding a COUNT(DISTINCT).
+
+    Scale plan: the NOT IN subquery is null-free (s_suppkey is a key)
+    so it plans as a broadcast left-anti join — NEVER materialize the
+    exclusion list to the driver.  part filters broadcast; distinct-agg
+    shuffles on (brand, size, suppkey) partial-deduped map-side.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.part.where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    ).select("p_partkey", "p_brand", "p_size")
+    bad_supp = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity revenue: correlated avg threshold, decorrelated
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+    SELECT CAST(SUM({oracle_money('l.l_extendedprice')}) AS DOUBLE)
+             / 10000 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("tpch_q17_small_qty_revenue", _Q17_ORACLE)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from orders far below a part's average
+    quantity — the classic correlated aggregate, decorrelated to a
+    per-part threshold join.
+
+    Scale plan: compute AVG(l_quantity) per part ONCE (one shuffle over
+    the filtered parts only — the brand filter semi-joins into the
+    threshold scan too), then rejoin; Catalyst plans the same shape
+    for the SQL form.  AVG here is exact: quantities are integral
+    doubles, so their float sum is order-independent in both engines.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = t.lineitem.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li.join(broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / 10000 / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue: disjunction of conjunctions
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+    SELECT {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_disjunctive_revenue", _Q19_ORACLE)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: an OR of three brand/size/quantity conjunctions
+    spanning both join sides — the CNF-extraction stress test.
+
+    Scale plan: Catalyst extracts the single-side implications
+    (p_brand IN (...) AND p_size <= 15 onto part; l_quantity BETWEEN
+    1 AND 30 onto lineitem) and pushes them below the join, leaving
+    the cross-side disjunction as a post-join residual; part then
+    broadcasts.  Writing the OR as one predicate (not a UNION of three
+    joins) scans lineitem once.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    joined = li.join(broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+    branch = lambda brand, max_size, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, max_size)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return joined.where(
+        branch("Brand#12", 5, 1, 11)
+        | branch("Brand#23", 10, 10, 20)
+        | branch("Brand#34", 15, 20, 30)
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS pair
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+"""
+
+
+@query("tpch_q21_waiting_supplier", _Q21_ORACLE)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole supplier who shipped late on a
+    multi-supplier finished order (late = shipped >45 days after the
+    order date, standing in for the missing commit/receipt dates).
+
+    The EXISTS / NOT-EXISTS pair decorrelates to ONE per-order
+    aggregate: n_supp = distinct suppliers, n_late = distinct LATE
+    suppliers; a late line is a "waiting" line iff n_supp > 1 and
+    n_late = 1 (the late supplier is then necessarily l1's own).
+
+    Scale plan: lineitem⋈orders shuffles once on orderkey; the
+    per-order summary reuses that partitioning (groupBy on the join
+    key — no second exchange); the summary joins back to the late
+    lines still co-partitioned on orderkey.  supplier broadcasts at
+    the end onto ≤#suppliers aggregated rows.
+    """
+    t = Tables(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    lo = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
+        )
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = (
+        lo.where(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — dormant high-balance customers: scalar threshold + anti-join
+# ---------------------------------------------------------------------------
+
+_KEY_NATIONS = (1, 2, 3, 10, 17, 20, 24)
+
+_Q22_ORACLE = f"""
+    SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+           {oracle_dsum('c.c_acctbal', 'totacctbal')}
+    FROM customer c
+    WHERE c.c_nationkey IN {_KEY_NATIONS}
+      AND c.c_acctbal > (SELECT CAST(SUM({oracle_money('c2.c_acctbal')}) AS DOUBLE)
+                                / 10000 / COUNT(*)
+                         FROM customer c2
+                         WHERE c2.c_acctbal > 0.0
+                           AND c2.c_nationkey IN {_KEY_NATIONS})
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+"""
+
+
+@query("tpch_q22_dormant_customers", _Q22_ORACLE)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in key nations with above-average
+    balances and no recent orders (no phone column → nationkey is the
+    country code; "no orders at all" never happens in the testdata, so
+    dormancy = no order since 2000-01-01).
+
+    Scale plan: the average-balance scalar computes on the filtered
+    customer slice and broadcasts as a 1-row threshold; the NOT EXISTS
+    is a left-anti join against orders pre-filtered to the recent
+    window (filter BEFORE the anti-join — anti preserves the left
+    side, so the date predicate can't be pushed through it afterward).
+    The threshold stays deterministic via the fixed-point sum.
+    """
+    t = Tables(spark, sf_dir)
+    key_cust = t.customer.where(F.col("c_nationkey").isin(*_KEY_NATIONS))
+    threshold = key_cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(money("c_acctbal")).cast("double") / 10000 / F.count("*")).alias(
+            "avg_bal"
+        )
+    )
+    recent = t.orders.where(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    return (
+        key_cust.join(broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -48,6 +48,7 @@ def load_all() -> None:
         sinks,
         sorts,
         sources,
+        tpch,
         windows,
     )
     from kachess_spark.functions import udfs  # noqa: F401
