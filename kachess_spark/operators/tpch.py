@@ -756,16 +756,21 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier finished order (late = shipped >45 days after the
     order date, standing in for the missing commit/receipt dates).
 
-    The EXISTS / NOT-EXISTS pair decorrelates to ONE per-order
-    aggregate: n_supp = distinct suppliers, n_late = distinct LATE
-    suppliers; a late line is a "waiting" line iff n_supp > 1 and
-    n_late = 1 (the late supplier is then necessarily l1's own).
+    The EXISTS / NOT-EXISTS pair decorrelates to a two-level
+    aggregation with NO distinct-aggs and NO join-back:
+    level 1 groups by (order, supplier) counting that supplier's late
+    lines; level 2 groups by order counting suppliers, late suppliers,
+    and total late lines, and capturing THE late supplier (well-defined
+    exactly when n_late_supp = 1 — the rows we keep).  A supplier's
+    numwait is then the sum of late lines over its qualifying orders —
+    identical to counting l1 rows in the correlated form.
 
-    Scale plan: lineitem⋈orders shuffles once on orderkey; the
-    per-order summary reuses that partitioning (groupBy on the join
-    key — no second exchange); the summary joins back to the late
-    lines still co-partitioned on orderkey.  supplier broadcasts at
-    the end onto ≤#suppliers aggregated rows.
+    Scale plan: ONE scan of lineitem (the naive decorrelation scans it
+    twice and joins back), and no countDistinct — two distinct-aggs
+    would force an Expand (2× the shuffle volume).  Level 1 shuffles
+    on (orderkey, suppkey) after map-side partial agg; level 2 re-
+    shuffles the already-collapsed (order, supplier) rows on orderkey.
+    supplier broadcasts onto ≤#suppliers aggregated rows at the end.
     """
     t = Tables(spark, sf_dir)
     o = t.orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
@@ -777,19 +782,20 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
         )
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    per_supp_order = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_lines")
     )
-    waiting = (
-        lo.where(F.col("is_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    per_order = per_supp_order.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0)).alias("n_late_supp"),
+        F.sum("late_lines").alias("tot_late_lines"),
+        F.max(F.when(F.col("late_lines") > 0, F.col("l_suppkey"))).alias("late_supp"),
     )
     return (
-        waiting.groupBy("l_suppkey")
-        .agg(F.count("*").alias("numwait"))
-        .join(broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("tot_late_lines").alias("numwait"))
+        .join(broadcast(t.supplier), F.col("late_supp") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)

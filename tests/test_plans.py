@@ -17,6 +17,14 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _formatted(df) -> str:
+    """explain("formatted") as a string — unlike toString(), this does
+    not truncate PushedFilters/DataFilters lists."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def test_q3_pushdown_and_pruning(spark, sf_dir):
     from kachess_spark.operators.joins import join_inner_q3
 
@@ -197,3 +205,70 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     df.collect()
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_q6_full_pushdown(spark, sf_dir):
+    """Q6's three range predicates must all reach the parquet scan, the
+    read schema must prune to the 4 referenced columns, and the global
+    sum must go partial before the exchange."""
+    from kachess_spark.operators.tpch import tpch_q6_forecast_revenue
+
+    df = tpch_q6_forecast_revenue(spark, sf_dir)
+    df.count()
+    plan = _formatted(df)
+    flat = plan.replace("\n", "")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert (
+        "struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"
+        in flat
+    )
+    assert "partial_sum" in plan
+
+
+def test_q19_disjunction_extracted_and_pushed(spark, sf_dir):
+    """Catalyst must extract the per-side implications of the OR-of-ANDs
+    and push them below the join: the lineitem scan carries the quantity
+    disjunction, the part scan carries the brand/size disjunction, and
+    part broadcasts (one lineitem scan total — not a UNION of three)."""
+    from kachess_spark.operators.tpch import tpch_q19_disjunctive_revenue
+
+    df = tpch_q19_disjunctive_revenue(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # quantity bounds pushed onto the fact scan as a data filter
+    assert "l_quantity" in plan.split("lineitem.parquet")[0].split("FileScan")[-1]
+    assert plan.count("lineitem.parquet") == 1
+    # brand/size implication pushed onto the part scan
+    part_scan = [s for s in plan.split("FileScan") if "part.parquet" in s][0]
+    assert "Brand#12" in part_scan
+
+
+def test_q4_exists_semi_join_with_residual(spark, sf_dir):
+    """The correlated EXISTS must plan as ONE semi join carrying the
+    non-equi shipdate residual — not a per-row subquery."""
+    from kachess_spark.operators.tpch import tpch_q4_order_priority
+
+    df = tpch_q4_order_priority(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "INTERVAL '30' DAY" in plan
+    # the quarter filter reaches the orders scan
+    orders_scan = [s for s in plan.split("FileScan") if "orders.parquet" in s][0]
+    assert "o_orderdate" in orders_scan
+
+
+def test_q21_single_fact_scan_no_expand(spark, sf_dir):
+    """The two-level decorrelation must scan lineitem ONCE and avoid the
+    Expand node that two countDistinct aggs would force (2x shuffle
+    volume at 100 TB)."""
+    from kachess_spark.operators.tpch import tpch_q21_waiting_supplier
+
+    df = tpch_q21_waiting_supplier(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" not in plan
