@@ -332,3 +332,121 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_REPETITION_ORACLE = """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(
+               regexp_replace(text, '[^a-zA-Z ]', '', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM words)
+      GROUP BY doc_id, w
+    ),
+    wstats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(MAX(c) AS BIGINT) AS top_cnt
+      FROM wc GROUP BY doc_id
+    ),
+    bstats AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             count(DISTINCT bg) AS n_distinct_bigrams
+      FROM (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        WHERE len(ws) >= 2
+      ) GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           ROUND(CAST(w.top_cnt AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
+             AS top_word_frac,
+           ROUND(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE)
+                       / CAST(b.n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+           (CAST(w.top_cnt AS DOUBLE) / CAST(w.n_words AS DOUBLE) > 0.1
+            OR 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE)
+                     / CAST(b.n_bigrams AS DOUBLE) > 0.5) AS is_repetitive
+    FROM wstats w JOIN bstats b ON b.doc_id = w.doc_id
+    ORDER BY w.doc_id
+"""
+
+
+@query("text_repetition_profile", _REPETITION_ORACLE)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    most-frequent-word fraction and the duplicate-bigram fraction, plus
+    the keep/drop flag a curation pipeline would gate on (thresholds
+    from the Gopher paper's "repetitious text" family, adapted to
+    word-stream documents with no line structure).
+
+    Scale plan: both signals come from explode → two-level groupBy
+    keyed on doc_id, so each document's stats compute where its tokens
+    land — no per-doc collect, no quadratic higher-order-function scan
+    of the token array (an O(words^2) transform/filter per row would
+    look cheaper on the plan but melts on long documents).  The word
+    arrays are repartitioned before the CPU-bound split and
+    checkpoint-barriered before explode (the pushdown trap — see
+    dedup._with_shingles); word and bigram stats then join on doc_id,
+    both sides already hash-partitioned by the groupBys.
+    """
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', '')),"
+                " ' '), w -> w <> '')"
+            ).alias("ws"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wc = (
+        words.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"), F.max("c").alias("top_cnt")
+    )
+    bigrams = words.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat_ws(' ', ws[i], ws[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct_bigrams"),
+        )
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_words").cast("double")
+    dup_frac = F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col(
+        "n_bigrams"
+    ).cast("double")
+    return (
+        wstats.join(bstats.withColumnRenamed("doc_id", "b_doc_id"),
+                    F.col("doc_id") == F.col("b_doc_id"))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(top_frac, 6).alias("top_word_frac"),
+            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            ((top_frac > 0.1) | (dup_frac > 0.5)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
