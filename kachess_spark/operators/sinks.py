@@ -505,3 +505,99 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+_SCD2_ORACLE = """
+    WITH target AS (
+      SELECT c_custkey, c_mktsegment AS segment FROM customer
+    ),
+    updates AS (
+      SELECT c_custkey, 'PREMIUM' AS segment FROM customer
+      WHERE c_acctbal > 9000
+    ),
+    changed AS (
+      SELECT t.c_custkey, t.segment AS old_segment, u.segment AS new_segment
+      FROM target t JOIN updates u USING (c_custkey)
+      WHERE t.segment <> u.segment
+    )
+    SELECT c_custkey, segment, valid_from, valid_to, is_current FROM (
+      SELECT c_custkey, old_segment AS segment,
+             DATE '2020-01-01' AS valid_from, DATE '2024-06-01' AS valid_to,
+             false AS is_current
+      FROM changed
+      UNION ALL
+      SELECT c_custkey, new_segment, DATE '2024-06-01', DATE '9999-12-31',
+             true
+      FROM changed
+      UNION ALL
+      SELECT t.c_custkey, t.segment, DATE '2020-01-01', DATE '9999-12-31',
+             true
+      FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM changed c
+                        WHERE c.c_custkey = t.c_custkey)
+    )
+    ORDER BY c_custkey, valid_from
+"""
+
+
+@query("sink_upsert_scd2", _SCD2_ORACLE)
+def sink_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 upsert on plain parquet: changed keys close their
+    current version (valid_to = effective date) AND insert a new current
+    one; unchanged keys pass through.  The reference grammar parses
+    MERGE without executing (Bingql.g4:1143-1160) — this is the
+    history-preserving executed equivalent of the WHEN MATCHED /
+    NOT MATCHED branches.
+
+    Scale plan: ONE join and ONE pass — the per-key branch (1 row
+    unchanged / 2 rows changed) is an explode over a conditionally-built
+    array of version structs, not the textbook 3-branch UNION that scans
+    the target twice and the join once more.  At 100 TB the dimension
+    rewrite would further restrict to affected partitions; the version
+    arithmetic is identical.
+    """
+    t = Tables(spark, sf_dir)
+    eff, lo, hi = "2024-06-01", "2020-01-01", "9999-12-31"
+    target = t.customer.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    updates = t.customer.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("u_custkey"), F.lit("PREMIUM").alias("u_segment")
+    )
+    ver = "segment string, valid_from date, valid_to date, is_current boolean"
+    joined = target.join(
+        updates, F.col("c_custkey") == F.col("u_custkey"), "left"
+    )
+    changed = F.col("u_segment").isNotNull() & (F.col("u_segment") != F.col("segment"))
+    versions = F.when(
+        changed,
+        F.array(
+            F.struct(
+                F.col("segment"),
+                F.lit(lo).cast("date").alias("valid_from"),
+                F.lit(eff).cast("date").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            ),
+            F.struct(
+                F.col("u_segment").alias("segment"),
+                F.lit(eff).cast("date").alias("valid_from"),
+                F.lit(hi).cast("date").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("segment"),
+                F.lit(lo).cast("date").alias("valid_from"),
+                F.lit(hi).cast("date").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+    )
+    out = _scratch("scd2_customer")
+    (
+        joined.select("c_custkey", F.explode(versions).alias("v"))
+        .select("c_custkey", "v.segment", "v.valid_from", "v.valid_to", "v.is_current")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).orderBy("c_custkey", "valid_from")
