@@ -247,3 +247,45 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, w.pos
         """
     )
+
+
+_GROUPED_AGG_ORACLE = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("udf_pandas_grouped_agg", _GROUPED_AGG_ORACLE)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the vectorized UDAF form usable inside
+    ``groupBy().agg`` and window frames (vs applyInPandas, which
+    replaces the whole group with an arbitrary frame).  The kernel
+    mirrors operators/_util.dsum's fixed-point contract in NumPy so the
+    result is run-order deterministic and engine-exact.
+
+    Scale plan: Arrow-batched per group; partial aggregation does NOT
+    apply to Python UDAFs (the whole group's column ships to Python),
+    so this path is for semantics Spark lacks — for a plain sum the
+    built-in wins (see test_no_python_udf_in_sql_operators).
+    """
+    import numpy as np
+    import pandas as pd
+
+    @pandas_udf("long")
+    def fixed_point_sum(prices: pd.Series) -> int:
+        return int(np.floor(prices.to_numpy() * 10000 + 0.5).astype(np.int64).sum())
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(fixed_point_sum("l_extendedprice").alias("scaled"))
+        .select(
+            "l_returnflag",
+            (F.col("scaled").cast("double") / 10000).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -833,3 +833,36 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k, int(sk.estimateCount(jvm.java.lang.Long(k)))) for k in probes
     ]
     return spark.createDataFrame(rows, "user_id bigint, est_count bigint")
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING__ID (Bingql.g4:1290-1293, a no-param function in the
+    reference's grammar) → Spark's grouping_id(): the bitmask that
+    distinguishes rollup levels when the grouping columns themselves
+    are NULL-ambiguous.  Same bit order as DuckDB's GROUPING_ID.
+
+    Scale plan: rollup = one Expand (×3 here) feeding ONE partial-agg
+    exchange — not three separate aggregations unioned.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
