@@ -415,3 +415,119 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_after_click"
         ),
     )
+
+
+# ------------------------------------------------------- foreachBatch sink
+
+_UPSERT_TOTALS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000 AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("stream_upsert_totals", _UPSERT_TOTALS_ORACLE)
+def upsert_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the foreachBatch upsert: the serving table's final
+    state (per-user event count + exact total) computed in one batch
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    from kachess_spark.operators._util import dsum
+
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .orderBy("user_id")
+    )
+
+
+def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` incremental upsert: each microbatch pre-aggregates
+    its rows, then merges (full-outer, sums combine) into a parquet
+    serving table — the streaming MERGE pattern for sinks without
+    transactional streaming support.
+
+    Scale design: the microbatch is aggregated BEFORE the merge join
+    (delta is ≤#distinct-users rows, not #events); the serving table
+    rewrite is versioned (write new, swap pointer) so readers never see
+    a partial overwrite — on Delta/Iceberg this whole function is
+    ``MERGE INTO`` with the same delta plan.  Counts and fixed-point
+    sums are associative, so restarts that replay a *whole* microbatch
+    stay correct as long as the swap is atomic per batch_id
+    (exactly-once via idempotent versioned writes).
+
+    Returns the final serving-table DataFrame (compare to
+    ``stream_upsert_totals``).
+    """
+    import os
+    import shutil
+
+    from kachess_spark.operators._util import money
+
+    from kachess_spark.operators.sinks import _scratch
+
+    state_root = _scratch("upsert_serving")
+    shutil.rmtree(state_root, ignore_errors=True)
+    os.makedirs(state_root, exist_ok=True)
+    current = os.path.join(state_root, "current")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("d_events"),
+            F.sum(money("value")).alias("d_scaled"),
+        )
+        sp = batch_df.sparkSession
+        if os.path.exists(current):
+            state = sp.read.parquet(current).select(
+                F.col("user_id").alias("s_user"), "n_events", "scaled"
+            )
+            merged = (
+                delta.join(state, delta.user_id == state.s_user, "full_outer")
+                .select(
+                    F.coalesce(delta.user_id, state.s_user).alias("user_id"),
+                    (
+                        F.coalesce(F.col("d_events"), F.lit(0))
+                        + F.coalesce(F.col("n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("d_scaled"), F.lit(0))
+                        + F.coalesce(F.col("scaled"), F.lit(0))
+                    ).alias("scaled"),
+                )
+            )
+        else:
+            merged = delta.select(
+                "user_id",
+                F.col("d_events").alias("n_events"),
+                F.col("d_scaled").alias("scaled"),
+            )
+        version = os.path.join(state_root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(version)
+        # atomic-ish pointer swap: replace the 'current' symlink target
+        tmp_link = current + ".tmp"
+        if os.path.islink(tmp_link) or os.path.exists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(version, tmp_link)
+        os.replace(tmp_link, current)
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(state_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(current)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("scaled").cast("double") / 10000).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

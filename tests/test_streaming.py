@@ -129,3 +129,16 @@ def test_streaming_interval_join(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_streaming_foreach_batch_upsert(spark, sf_dir):
+    """The foreachBatch-merged serving table's final state must equal
+    the one-shot batch aggregation."""
+    from kachess_spark.streaming.windows import (
+        streaming_foreach_batch_upsert,
+        upsert_totals_batch,
+    )
+
+    got = streaming_foreach_batch_upsert(spark, sf_dir).toPandas()
+    want = upsert_totals_batch(spark, sf_dir).toPandas()
+    assert got.equals(want)
