@@ -297,3 +297,38 @@ def filter_q20_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name", "s_acctbal")
     )
+
+
+_NOT_IN_NULL_ORACLE = """
+    WITH keys AS (
+      SELECT CASE WHEN n_nationkey = 0 THEN NULL
+                  ELSE n_nationkey END AS k
+      FROM nation
+    )
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM keys
+                         WHERE keys.k = c.c_nationkey)) AS n_not_exists
+"""
+
+
+@query("filter_not_in_null_trap", _NOT_IN_NULL_ORACLE)
+def filter_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity: ``NOT IN`` against a subquery that
+    yields a NULL returns ZERO rows (every comparison is UNKNOWN),
+    while ``NOT EXISTS`` with the same data returns the real
+    complement.  The reference grammar accepts both forms
+    (bool_expr_single_in Bingql.g4:1201-1203, bool_expr_unary
+    :1193-1199) without modeling the difference; an execution engine
+    must.
+
+    Scale plan: Catalyst plans the NOT IN as a null-aware anti join
+    (BroadcastNestedLoop for the null check) — correct but far more
+    expensive than NOT EXISTS's plain left-anti; this query is also the
+    documentation for why pipelines should prefer NOT EXISTS on
+    nullable keys.
+    """
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_NOT_IN_NULL_ORACLE)

@@ -353,3 +353,58 @@ def win_percent_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "pct_rank", "o_orderkey")
     )
+
+
+_CUM_DISTINCT_ORACLE = """
+    WITH first_seen AS (
+      SELECT event_type, user_id, min(ts) AS first_ts
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, CAST(first_ts AS DATE) AS day,
+             count(*) AS new_users
+      FROM first_seen GROUP BY event_type, day
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    ORDER BY event_type, day
+"""
+
+
+@query("win_cumulative_distinct", _CUM_DISTINCT_ORACLE)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative COUNT(DISTINCT) over time — a window SQL can't express
+    directly (DISTINCT isn't allowed in a running frame).  The classic
+    rewrite: distinct-ness collapses to each user's FIRST event
+    (min-ts), daily new-user counts aggregate those, and a plain
+    running SUM over days is then exactly the cumulative distinct
+    count.
+
+    Scale plan: two shuffles that both shrink data — (type, user)
+    min-agg, then (type, day) count — and the window runs over ~#days
+    rows per type, not #events.  The naive collect_set-over-window
+    holds every user id in every frame: O(users) state per row, a
+    100 TB memory grenade.
+    """
+    t = Tables(spark, sf_dir)
+    first_seen = t.events.groupBy("event_type", "user_id").agg(
+        F.min("ts").alias("first_ts")
+    )
+    daily = first_seen.groupBy(
+        "event_type", F.to_date("first_ts").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    ).orderBy("event_type", "day")
