@@ -1,0 +1,134 @@
+"""Iterative PageRank over a DataFrame edge list.
+
+The reference computes transitive closures downstream of its lineage
+graph (`table_lineage`/`column_lineage`, db_setup_ddl.sql:164-190); this
+module adds the other classic iterative graph computation a data-platform
+needs (e.g. ranking datasets by lineage centrality, or domains by link
+authority in a crawl-curation pipeline).
+
+Determinism contract: ranks are **scaled integers** and every step uses
+integer division, so iteration k's state is bit-identical regardless of
+execution order or engine — float PageRank cannot hash-match across
+engines (per-group sum order varies), integer PageRank can.  The DuckDB
+oracle unrolls the same 10 iterations as chained CTEs.
+
+Scale design: each iteration is ONE shuffle (contribution sum keyed on
+dst) plus a broadcast of the rank vector when #nodes is dim-sized; the
+rank state is localCheckpoint-truncated per round so the plan does not
+grow with iteration count (the lineage/closure.py lesson).  For
+web-scale graphs the same loop holds with the rank vector hash-joined
+instead of broadcast — the code path is identical, only Catalyst's
+join strategy changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+SCALE = 10**12
+N_NATIONS = 25  # nation is a fixed-size dim at every scale factor
+INIT = SCALE // N_NATIONS
+BASE = (15 * INIT) // 100  # (1 - d) mass, d = 0.85
+ITERATIONS = 10
+
+
+def pagerank_integer(
+    nodes: DataFrame, edges: DataFrame, iterations: int = ITERATIONS, init: int = INIT
+) -> DataFrame:
+    """(node) × (src, dst) → (node, rank) after ``iterations`` rounds of
+    damped integer PageRank.  Dangling mass is dropped (documented
+    behavior, identical in the oracle)."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(broadcast(ranks), edges.src == ranks.node)
+            .join(broadcast(outdeg), "src")
+            .select("dst", F.expr("rank div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(broadcast(contrib), nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(BASE)
+                    + F.expr("85 * coalesce(contrib, 0L) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _oracle_sql() -> str:
+    head = f"""
+    WITH edges AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    r0 AS (SELECT node, CAST({INIT} AS BIGINT) AS rank FROM nodes)"""
+    steps = []
+    for i in range(1, ITERATIONS + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT n.node,
+             CAST({BASE} + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT)
+               AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst, CAST(SUM(r.rank // o.od) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN outdeg o  ON o.src = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = n.node
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, rank FROM r{ITERATIONS}
+    ORDER BY rank DESC, node"""
+    )
+
+
+@query("graph_pagerank_trade", _oracle_sql())
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (supplier nation →
+    customer nation edges from actual trades): which nations are the
+    most central demand sinks.
+
+    The edge-building joins do the heavy lifting at scale (lineitem ⋈
+    orders shuffle, dims broadcast, DISTINCT collapses to #nations²
+    rows); the 10 integer-exact iterations then run on dim-sized state.
+    """
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = t.nation.select(F.col("n_nationkey").cast("long").alias("node"))
+    return pagerank_integer(nodes, edges).orderBy(F.col("rank").desc(), F.col("node"))

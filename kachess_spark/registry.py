@@ -42,6 +42,7 @@ def load_all() -> None:
         filters,
         joins,
         lateral,
+        pagerank,
         scalars,
         scans,
         setops,
