@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kachess_spark.catalog import Tables
+from kachess_spark.operators._util import money
 from kachess_spark.registry import query
 
 _WORK_DIR = os.path.join(tempfile.gettempdir(), "kachess_sinks")
@@ -601,3 +602,76 @@ def sink_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).orderBy("c_custkey", "valid_from")
+
+
+def _spread16(x):
+    """Interleave-ready bit spread: 16 data bits → even bit positions
+    (classic Morton magic numbers, all JVM-side integer ops)."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_write(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Write lineitem clustered by the Morton interleave of (ship-day,
+    partkey): range-partition + sort on the z-value so BOTH dimensions
+    get file-level locality.
+
+    A date-sorted layout answers date filters from few files but
+    spreads every partkey across ALL files; the z-order layout trades
+    a little date locality for partkey locality (tests pin the file
+    counts).  At 100 TB with column-stat-based file skipping this is
+    the difference between scanning 0.5% and 100% of a table for the
+    secondary dimension.  16 bits per dimension here; wider domains
+    quantize first (bucket ids), same interleave.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_partkey", "l_shipdate", "l_extendedprice")
+    day = F.datediff("l_shipdate", F.lit("1995-01-01").cast("date")).cast("long")
+    pk = F.col("l_partkey").cast("long")
+    z = _spread16(day).bitwiseOR(F.shiftleft(_spread16(pk), 1))
+    path = _scratch("zorder_lineitem")
+    (
+        li.withColumn("z", z)
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+_ZORDER_ORACLE = """
+    SELECT l_partkey, count(*) AS n_items,
+           CAST(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS total_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 140
+    GROUP BY l_partkey
+    ORDER BY l_partkey
+"""
+
+
+@query("sink_zorder_clustering", _ZORDER_ORACLE)
+def sink_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite + secondary-dimension read-back: the
+    partkey-range query that a date-sorted layout cannot skip files
+    for.  Content preservation is the oracle; the file-skipping
+    advantage is pinned in tests/test_plans.py."""
+    path = zorder_write(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("l_partkey").between(100, 140))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(money("l_extendedprice")).cast("double") / 10000).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("l_partkey")
+    )

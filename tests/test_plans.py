@@ -272,3 +272,34 @@ def test_q21_single_fact_scan_no_expand(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("lineitem.parquet") == 1
     assert "Expand" not in plan
+
+
+def test_zorder_secondary_dimension_skipping(spark):
+    """The z-order layout must give the secondary dimension (partkey)
+    file-level locality a date-sorted layout cannot: the partkey-range
+    probe touches at most half the z-ordered files (it touches ALL
+    date-sorted files), while the date probe retains partial locality."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.operators.sinks import zorder_write
+
+    sf_dir = "/root/testdata/sf0.01"
+    path = zorder_write(spark, sf_dir, n_files=8)
+    df = spark.read.parquet(path)
+    pk_files = (
+        df.where(F.col("l_partkey").between(100, 140))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    date_files = (
+        df.where(
+            (F.col("l_shipdate") >= "1996-06-01")
+            & (F.col("l_shipdate") < "1996-09-01")
+        )
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert pk_files <= 4, pk_files
+    assert date_files <= 6, date_files
