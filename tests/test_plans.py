@@ -236,13 +236,17 @@ def test_q19_disjunction_extracted_and_pushed(spark, sf_dir):
 
     df = tpch_q19_disjunctive_revenue(spark, sf_dir)
     df.count()
-    plan = _plan(df)
+    # _formatted, not _plan: toString truncates filter lists at a fixed
+    # width, and attribute-id growth over a long session pushes the
+    # asserted text past the cut
+    plan = _formatted(df)
     assert "BroadcastHashJoin" in plan
     # quantity bounds pushed onto the fact scan as a data filter
-    assert "l_quantity" in plan.split("lineitem.parquet")[0].split("FileScan")[-1]
+    lineitem_scan = [s for s in plan.split("Scan parquet") if "lineitem.parquet" in s][0]
+    assert "l_quantity" in lineitem_scan.split("PushedFilters")[1].split("\n")[0]
     assert plan.count("lineitem.parquet") == 1
     # brand/size implication pushed onto the part scan
-    part_scan = [s for s in plan.split("FileScan") if "part.parquet" in s][0]
+    part_scan = [s for s in plan.split("Scan parquet") if "part.parquet" in s][0]
     assert "Brand#12" in part_scan
 
 
