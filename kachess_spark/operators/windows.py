@@ -408,3 +408,112 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_distinct_users"),
     ).orderBy("event_type", "day")
+
+
+_ROLLING_TIME_ORACLE = """
+    WITH daily AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spent_scaled
+      FROM orders
+      GROUP BY o_custkey, day
+    )
+    SELECT o_custkey, day,
+           CAST(SUM(spent_scaled) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 10000 AS rolling_7d_spend
+    FROM daily
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, day
+"""
+
+
+@query("win_rolling_time_window", _ROLLING_TIME_ORACLE)
+def win_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each day's row sees the trailing
+    7 calendar days (not 7 rows — gaps in the series must not stretch
+    the window).  Spark expresses interval frames as a rangeBetween on
+    epoch seconds; the day-level pre-aggregation keeps the frame exact
+    and the per-partition state small.
+
+    Scale plan: ONE shuffle on custkey serves both the daily rollup
+    and the window (groupBy key is a superset); frames scan at most 7
+    day-rows per step.  Fixed-point day totals make the rolling sum
+    run-order deterministic.
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.orders.groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("day")
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("bigint")).alias("spent_scaled"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        daily.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "day",
+            (F.sum("spent_scaled").over(w).cast("double") / 10000).alias(
+                "rolling_7d_spend"
+            ),
+        )
+        .orderBy("o_custkey", "day")
+    )
+
+
+_FFILL_ORACLE = """
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_reading
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type IN ('view', 'click') THEN NULL
+                  ELSE value END AS reading
+      FROM events
+    )
+    WHERE user_id < 20
+    ORDER BY user_id, ts, event_id
+"""
+
+
+@query("win_forward_fill", _FFILL_ORACLE)
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) over a sparse
+    series: view/click events carry no reading, so each row takes the
+    most recent non-null value — ``last(..., ignorenulls)`` with a
+    running ROWS frame.  The (ts, event_id) compound order makes the
+    fill total-order deterministic under concurrent timestamps.
+
+    Scale plan: one shuffle on user_id; running frames stream in order
+    with O(1) state per row.  Null-ness is derived in the same pass —
+    no self-join against the dense subset (the naive as-of-join
+    formulation shuffles twice and fans out).
+    """
+    ev = Tables(spark, sf_dir).events
+    reading = F.when(
+        F.col("event_type").isin("view", "click"), F.lit(None)
+    ).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", reading.alias("reading"))
+        .where(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.last("reading", ignorenulls=True).over(w).alias("filled_reading"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -52,9 +52,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # exact integer division — see catalog.load_table's nanos note
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # ------------------------------------------------------------------ batch
