@@ -322,3 +322,32 @@ def lineage_dashboard_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s.extract_script(_CORPUS)
     return dashboard_column_lineage(s.frames())
+
+
+_DF_CAPTURE_ORACLE = """
+    SELECT * FROM (VALUES
+      ('o_key',     'lineitem', 'l_orderkey'),
+      ('orderdate', 'orders',   'o_orderdate'),
+      ('priority',  'orders',   'o_orderpriority'),
+      ('revenue',   'lineitem', 'l_discount'),
+      ('revenue',   'lineitem', 'l_extendedprice')
+    ) AS t(out_column, src_table, src_column)
+    ORDER BY out_column, src_table, src_column
+"""
+
+
+@query("lineage_dataframe_capture", _DF_CAPTURE_ORACLE)
+def lineage_dataframe_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column lineage of a DataFrame-API pipeline (no SQL text to
+    parse): the flagship Q3 DataFrame's analyzed plan, walked into
+    (out_column → src_table, src_column) edges by lineage/dfcapture.py.
+    The oracle pins the exact expected edge set — e.g. `revenue` must
+    trace to BOTH l_extendedprice and l_discount through the alias and
+    aggregate, and the group keys to their base columns through joins.
+    """
+    from kachess_spark.lineage.dfcapture import lineage_frame
+    from kachess_spark.operators.joins import join_inner_q3
+
+    return lineage_frame(join_inner_q3(spark, sf_dir)).orderBy(
+        "out_column", "src_table", "src_column"
+    )

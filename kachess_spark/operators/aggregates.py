@@ -866,3 +866,37 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "o_orderpriority", "gid", "n")
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
     )
+
+
+@query("agg_hll_sketch_union")  # rows-only: sketch binaries are engine-specific
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistable, MERGEABLE distinct-count sketches (Apache
+    DataSketches HLL via hll_sketch_agg): build one sketch per
+    event_type segment, persist the binaries, then answer the
+    cross-segment distinct-user question by UNIONING SKETCHES —
+    no rescan of the raw events.
+
+    This is the 100 TB pattern approx_count_distinct alone can't do:
+    daily/segment jobs write kilobyte sketches; any later rollup
+    (all-time distincts, arbitrary segment unions) merges them in
+    milliseconds.  Accuracy is pytest-pinned against the exact counts.
+    """
+    from kachess_spark.operators.sinks import _scratch
+
+    ev = Tables(spark, sf_dir).events
+    path = _scratch("hll_sketches")
+    (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    sketches = spark.read.parquet(path)
+    per_type = sketches.select(
+        "event_type", F.hll_sketch_estimate("sketch").alias("approx_users")
+    )
+    merged = sketches.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+    )
+    return per_type.unionByName(merged).orderBy("event_type")

@@ -658,3 +658,27 @@ def test_identifier_shapes_resolve(extract, shape):
     assert not s.skipped and not s.warnings
     f = _pdf(s)
     assert len(f["select_item_rel"]) >= 1
+
+
+def test_dataframe_capture_explode_and_literals(spark, sf_dir):
+    """dfcapture: Generate (explode) output traces to the exploded
+    source column; literal-only outputs yield no edges."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.lineage.dfcapture import dataframe_column_lineage
+
+    t = Tables(spark, sf_dir)
+    df = (
+        t.documents.select(
+            "doc_id",
+            F.lit("const").alias("tag"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"), F.max("doc_id").alias("max_doc"))
+    )
+    edges = dataframe_column_lineage(df)
+    assert ("w", "documents", "text") in edges
+    assert ("max_doc", "documents", "doc_id") in edges
+    assert not [e for e in edges if e[0] in ("tag", "n")]

@@ -133,3 +133,28 @@ def test_count_min_sketch_bounds(spark, sf_dir):
     for k, e in est.items():
         true = exact.get(k, 0)
         assert true <= e <= true + max(1, int(0.001 * n) + 1)
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    """Persisted-sketch estimates (per segment AND merged) must land
+    within 2% of the exact distinct counts — lgK=14 gives ~0.4% RSE."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.operators.aggregates import agg_hll_sketch_union
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in agg_hll_sketch_union(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(1, 0.02 * exact[k]), (k, est, exact[k])
