@@ -675,3 +675,50 @@ def sink_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+_ANALYZE_ORACLE = """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderpriority) AS ndv_priority
+    FROM orders
+"""
+
+
+@query("catalog_analyze_stats", _ANALYZE_ORACLE)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE … COMPUTE STATISTICS (+ FOR COLUMNS): the CBO
+    inputs.  Writes the table, analyzes it, then answers row count and
+    column NDV FROM CATALOG STATISTICS — no data scan at query time.
+    The oracle recomputes both from the data, pinning catalog metadata
+    to storage truth (NDV is HLL-based in ANALYZE, exact at this
+    cardinality — 5 priorities).
+
+    At 100 TB these stats are what let Catalyst pick broadcast vs
+    shuffle joins and order multi-way joins; a stale/absent stats
+    catalog silently degrades every plan downstream.
+    """
+    tbl = "kch_stats_orders"
+    t = Tables(spark, sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        t.orders.write.mode("overwrite")
+        .option("path", _scratch(tbl))
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderpriority")
+    n_rows = None
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+        if row["col_name"] == "Statistics":
+            # "N bytes, M rows"
+            n_rows = int(row["data_type"].split(",")[1].strip().split(" ")[0])
+    ndv = None
+    for row in spark.sql(
+        f"DESCRIBE TABLE EXTENDED {tbl} o_orderpriority"
+    ).collect():
+        if row["info_name"] == "distinct_count":
+            ndv = int(row["info_value"])
+    return spark.createDataFrame(
+        [(n_rows, ndv)], "n_rows bigint, ndv_priority bigint"
+    )

@@ -307,3 +307,26 @@ def test_zorder_secondary_dimension_skipping(spark):
     )
     assert pk_files <= 4, pk_files
     assert date_files <= 6, date_files
+
+
+def test_cache_serves_second_use(spark, sf_dir):
+    """A cached DataFrame's consumers must read InMemoryTableScan, not
+    re-scan parquet — the multi-use pipeline pattern (curation pipelines
+    reuse the cleaned frame for stats AND writes)."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+
+    t = Tables(spark, sf_dir)
+    cleaned = t.orders.where(F.col("o_totalprice") > 1000).cache()
+    try:
+        cleaned.count()  # materialize
+        agg = cleaned.groupBy("o_orderstatus").count()
+        agg.collect()
+        plan = _plan(agg)
+        # the aggregate's input is the in-memory relation (the cached
+        # plan's own FileScan text still prints inside it, so no
+        # negative assertion on the file name)
+        assert "InMemoryTableScan" in plan
+    finally:
+        cleaned.unpersist()
