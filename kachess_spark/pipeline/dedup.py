@@ -592,3 +592,82 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     universe = sigs.select("doc_id")
     return dedup_groups(pairs, universe).orderBy("doc_id")
+
+
+_INCR_ORACLE = f"""
+    WITH sigs AS (
+      SELECT doc_id, {", ".join(_oracle_minhash(i) for i in range(6))}
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh_2 || '|' || mh_3 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh_4 || '|' || mh_5 AS band_key FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS hist_doc
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ORDER BY new_doc, hist_doc
+"""
+
+
+@query("dedup_incremental_lsh", _INCR_ORACLE)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection against a PERSISTED signature
+    store — the ingestion-time shape of MinHash dedup: the historical
+    corpus' band index is written once (here: even doc_ids); each new
+    batch (odd doc_ids) computes signatures only for ITSELF and probes
+    the stored index.
+
+    Scale story: per-batch cost is O(new docs) signature compute plus an
+    index join — the 100 TB corpus is never re-shingled.  The store is
+    partitioned by band so the probe join co-partitions; on a real
+    deployment the index compacts periodically (sink_compaction) and
+    new batches append their own bands after the probe.
+    """
+    import os
+
+    from kachess_spark.operators.sinks import _scratch
+
+    t = Tables(spark, sf_dir)
+    store = _scratch("lsh_band_store")
+
+    def bands_of(docs: DataFrame) -> DataFrame:
+        sigs = minhash_signature(docs)
+        band_structs = F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+                )
+                for b in range(N_HASHES // BAND_SIZE)
+            ]
+        )
+        return sigs.select(
+            "doc_id", F.posexplode(band_structs).alias("band", "band_key")
+        )
+
+    # one-time historical index build (idempotent per scratch dir)
+    hist = t.documents.where(F.col("doc_id") % 2 == 0)
+    bands_of(hist).write.mode("overwrite").partitionBy("band").parquet(store)
+
+    new_docs = t.documents.where(F.col("doc_id") % 2 == 1)
+    new_bands = bands_of(new_docs).localCheckpoint(eager=False)
+    index = spark.read.parquet(store)
+    return (
+        new_bands.alias("a")
+        .join(
+            index.alias("h"),
+            (F.col("a.band") == F.col("h.band"))
+            & (F.col("a.band_key") == F.col("h.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"), F.col("h.doc_id").alias("hist_doc")
+        )
+        .distinct()
+        .orderBy("new_doc", "hist_doc")
+    )
