@@ -900,3 +900,44 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
     )
     return per_type.unionByName(merged).orderBy("event_type")
+
+
+_JOIN_EXPLOSION_ORACLE = """
+    WITH l AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+               GROUP BY l_partkey),
+         r AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+               GROUP BY l_partkey)
+    SELECT CAST(SUM(l.c * r.c) AS BIGINT) AS est_join_rows,
+           CAST(MAX(l.c * r.c) AS BIGINT) AS worst_key_rows,
+           count(*) AS n_join_keys
+    FROM l JOIN r ON l.k = r.k
+"""
+
+
+@query("agg_join_explosion_probe", _JOIN_EXPLOSION_ORACLE)
+def agg_join_explosion_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join fan-out estimator: EXACT output cardinality of a
+    many-to-many join from per-key histograms (sum over shared keys of
+    count_left × count_right), plus the worst single key.
+
+    The 100 TB guard: histograms cost one cheap agg per side; if
+    est_join_rows says the self-join on partkey produces 2M rows from
+    60k — or 10^13 at scale — you restructure (pre-aggregate, or
+    semi-join first) BEFORE burning the cluster.  Used here on the
+    lineitem partkey self-join a naive Q17 formulation would run.
+    """
+    t = Tables(spark, sf_dir)
+    hist = t.lineitem.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    left = hist.alias("l")
+    right = hist.alias("r")
+    prod = F.col("l.c") * F.col("r.c")
+    return (
+        left.join(right, F.col("l.k") == F.col("r.k"))
+        .agg(
+            F.sum(prod).alias("est_join_rows"),
+            F.max(prod).alias("worst_key_rows"),
+            F.count("*").alias("n_join_keys"),
+        )
+    )

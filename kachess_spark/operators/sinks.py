@@ -722,3 +722,49 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_rows, ndv)], "n_rows bigint, ndv_priority bigint"
     )
+
+
+_ROLLUP_REUSE_ORACLE = """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue
+    FROM orders
+    GROUP BY month
+    ORDER BY month
+"""
+
+
+@query("sink_rollup_reuse", _ROLLUP_REUSE_ORACLE)
+def sink_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup reuse (the manual materialized view): a DAY
+    level rollup is persisted once; the MONTH query re-aggregates the
+    rollup, never the base table.  Counts and fixed-point sums
+    re-aggregate losslessly (distributive aggregates) — the oracle
+    recomputes from base data to prove the ladder is exact.
+
+    Scale plan: the day rollup is ~5 orders of magnitude smaller than a
+    100 TB fact table; every coarser period (week/month/quarter) reads
+    it instead.  Non-distributive stats ride along as sketches
+    (agg_hll_sketch_union) — same ladder.
+    """
+    t = Tables(spark, sf_dir)
+    day_path = _scratch("rollup_orders_daily")
+    (
+        t.orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money("o_totalprice")).alias("rev_scaled"),
+        )
+        .write.mode("overwrite")
+        .parquet(day_path)
+    )
+    daily = spark.read.parquet(day_path)
+    return (
+        daily.groupBy(F.trunc("day", "month").alias("month"))
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            (F.sum("rev_scaled").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy("month")
+    )
