@@ -103,14 +103,36 @@ def dataframe_column_lineage(df: DataFrame) -> list[tuple[str, str, str]]:
                 if top.get("class") == _ALIAS:
                     defs[top["exprId"]["id"]] = _refs(expr_flat[1:])
 
-    # --- transitive resolution
+    # --- Union positional merge (JVM walk: Union's output REUSES the
+    # first child's exprIds, so the JSON alone misses branches 2..n —
+    # the reference merges union branches positionally too,
+    # MiscChores.union, util/MiscChores.java:66-81)
+    def _walk(jnode) -> None:
+        if jnode.getClass().getSimpleName() == "Union":
+            out = jnode.output()
+            ch = jnode.children()
+            for c in range(ch.size()):
+                child_out = ch.apply(c).output()
+                for j in range(min(out.size(), child_out.size())):
+                    oid = out.apply(j).exprId().id()
+                    cid = child_out.apply(j).exprId().id()
+                    if cid != oid:
+                        defs.setdefault(oid, []).append(cid)
+        children = jnode.children()
+        for c in range(children.size()):
+            _walk(children.apply(c))
+
+    _walk(jplan)
+
+    # --- transitive resolution (an exprId can be BOTH a leaf attribute
+    # and union-linked to sibling branches — combine, don't shortcut)
     def resolve(eid: int, seen: frozenset[int] = frozenset()) -> set[tuple[str, str]]:
-        if eid in leaf_map:
-            return {leaf_map[eid]}
-        if eid in seen or eid not in defs:
-            return set()
         out: set[tuple[str, str]] = set()
-        for dep in defs[eid]:
+        if eid in leaf_map:
+            out.add(leaf_map[eid])
+        if eid in seen:
+            return out
+        for dep in defs.get(eid, ()):
             out |= resolve(dep, seen | {eid})
         return out
 

@@ -682,3 +682,28 @@ def test_dataframe_capture_explode_and_literals(spark, sf_dir):
     assert ("w", "documents", "text") in edges
     assert ("max_doc", "documents", "doc_id") in edges
     assert not [e for e in edges if e[0] in ("tag", "n")]
+
+
+def test_dataframe_capture_union_and_window(spark, sf_dir):
+    """dfcapture: union output merges ALL branches positionally (the
+    reference's MiscChores.union policy); window outputs trace to
+    partition/order columns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.lineage.dfcapture import dataframe_column_lineage
+
+    t = Tables(spark, sf_dir)
+    u = t.nation.select(F.col("n_name").alias("nm")).union(
+        t.region.select(F.col("r_name").alias("nm"))
+    )
+    assert dataframe_column_lineage(u) == [
+        ("nm", "nation", "n_name"),
+        ("nm", "region", "r_name"),
+    ]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    dfw = t.customer.select("c_custkey", F.rank().over(w).alias("rnk"))
+    edges = dataframe_column_lineage(dfw)
+    assert ("rnk", "customer", "c_acctbal") in edges
+    assert ("rnk", "customer", "c_mktsegment") in edges

@@ -252,3 +252,44 @@ def test_distributed_cc_path_matches_union_find(spark, edges):
         assert got == _cc_reference(edges)
     finally:
         G.SMALL_GRAPH_EDGES = old
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=0xFFFF),
+            st.integers(min_value=0, max_value=0xFFFF),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_morton_interleave_injective(spark, pairs):
+    """_spread16-based z-values must be unique for distinct (x, y) —
+    collisions would silently merge unrelated key ranges in the
+    clustered layout."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.operators.sinks import _spread16
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    z = _spread16(F.col("x")).bitwiseOR(F.shiftleft(_spread16(F.col("y")), 1))
+    n = df.select(z.alias("z")).distinct().count()
+    assert n == len(pairs)
+
+
+def test_pagerank_mass_bounded(spark):
+    """Integer PageRank: total rank mass never exceeds the initial
+    SCALE (integer division only loses mass) and stays positive."""
+    from kachess_spark.operators.pagerank import INIT, SCALE, pagerank_integer
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (0, 5)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank_integer(nodes, edges, 5, INIT).collect()}
+    total = sum(ranks.values())
+    assert 0 < total <= 6 * INIT <= SCALE * 6 // 6
+    assert all(r > 0 for r in ranks.values())
