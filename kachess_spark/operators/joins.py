@@ -602,3 +602,74 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+_SALTED_ORACLE = """
+    WITH skewed AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS skew_key,
+             value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT user_id AS skew_key, user_id % 7 AS tier FROM events
+    )
+    SELECT d.tier, count(*) AS n_rows,
+           CAST(SUM(CAST(floor((s.value) * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS total_value
+    FROM skewed s JOIN dim d ON d.skew_key = s.skew_key
+    GROUP BY d.tier
+    ORDER BY d.tier
+"""
+
+
+@query("join_salted_manual", _SALTED_ORACLE)
+def join_salted_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salting for a skewed shuffle join — the technique for when
+    AQE's splitter can't help (skew invisible at plan time, or the
+    skewed side must SortMergeJoin a non-broadcastable dim): the fact
+    key gains a random-but-deterministic salt in [0, R), the dim side
+    replicates R ways via posexplode, and the join key becomes
+    (key, salt) — the hot key's rows spread over R reducers.
+
+    Scale plan: R=8 multiplies only the DIM side (small) by 8; the fact
+    side gets one extra int column.  Salt must be deterministic
+    per-row (hash-derived, not rand()) so retries and the oracle agree.
+    The result is identical to the unsalted join — the oracle computes
+    the plain form.
+    """
+    from kachess_spark.catalog import load_table
+
+    R = 8
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("user_id") % 2 == 0, 0)
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "value",
+        (F.abs(F.hash("event_id")) % R).alias("salt"),
+    )
+    dim = (
+        ev.select(
+            F.col("user_id").alias("skew_key"),
+            (F.col("user_id") % 7).alias("tier"),
+        )
+        .distinct()
+        .select(
+            "skew_key",
+            "tier",
+            F.explode(F.array(*[F.lit(i) for i in range(R)])).alias("salt"),
+        )
+    )
+    joined = skewed.hint("merge").join(dim, ["skew_key", "salt"])
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+            ).alias("total_value"),
+        )
+        .orderBy("tier")
+    )

@@ -141,3 +141,51 @@ def source_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("day").cast("int").alias("month"),
         F.weekofyear("day").cast("int").alias("iso_week"),
     ).orderBy("day")
+
+
+_PERMISSIVE_ORACLE = f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{_fx("messy.csv")}', header=true,
+                    columns={{'order_id': 'BIGINT', 'amount': 'VARCHAR',
+                              'status': 'VARCHAR'}})
+    )
+    SELECT
+      count(*) FILTER (WHERE TRY_CAST(amount AS BIGINT) IS NOT NULL
+                       OR amount IS NULL)                        AS n_good,
+      count(*) FILTER (WHERE amount IS NOT NULL
+                       AND TRY_CAST(amount AS BIGINT) IS NULL)   AS n_corrupt,
+      CAST(SUM(TRY_CAST(amount AS BIGINT)) AS BIGINT)            AS good_total
+    FROM raw
+"""
+
+
+@query("source_csv_permissive", _PERMISSIVE_ORACLE)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingestion: PERMISSIVE mode with a
+    ``_corrupt_record`` capture column — malformed rows (non-numeric
+    amounts here) land in the capture column instead of failing the
+    job, and are counted/quarantined in the same pass.
+
+    The 100 TB reality: a trillion-row feed WILL contain garbage;
+    FAILFAST kills the job at hour 9, DROPMALFORMED silently loses
+    data — PERMISSIVE + quarantine accounting is the only auditable
+    mode.  The oracle reproduces good/corrupt classification with
+    TRY_CAST.
+    """
+    df = spark.read.csv(
+        _fx("messy.csv"),
+        header=True,
+        schema="order_id BIGINT, amount BIGINT, status STRING, _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    # caching required to observe _corrupt_record alongside parsed
+    # columns (Spark's documented contract for the capture column)
+    df = df.cache()
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("amount"))).alias(
+            "good_total"
+        ),
+    )
