@@ -43,7 +43,13 @@ def pagerank_integer(
     """(node) × (src, dst) → (node, rank) after ``iterations`` rounds of
     damped integer PageRank.  Dangling mass is dropped (documented
     behavior, identical in the oracle)."""
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    # materialize the (possibly expensive) edge derivation ONCE — the
+    # loop references `edges` every iteration and would otherwise
+    # re-execute its upstream joins 10× (measured 8.8s → 3.7s at sf0.1)
+    edges = edges.localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od")).localCheckpoint(
+        eager=True
+    )
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (
