@@ -289,3 +289,79 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_SQL_FN_DDL_ORACLE = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(floor((l_extendedprice * (1 + l_tax)) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000 AS taxed_total
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("udf_sql_function_ddl", _SQL_FN_DDL_ORACLE)
+def udf_sql_function_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`CREATE TEMPORARY FUNCTION … RETURNS … RETURN expr` — the SQL
+    macro form of the reference's create_tmp_extnlfunc_stmt
+    (Bingql.g4:116-118) with a body Spark can INLINE: unlike a Python
+    UDF, the planner substitutes the expression, so the call stays
+    inside whole-stage codegen (no serialization boundary at any
+    scale).  The fixed-point sum proves value parity.
+    """
+    from kachess_spark.catalog import register_views
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kch_taxed(price DOUBLE, tax DOUBLE)"
+        " RETURNS DOUBLE RETURN price * (1 + tax)"
+    )
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(floor(kch_taxed(l_extendedprice, l_tax) * 10000
+                                   + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+                 AS taxed_total
+        FROM lineitem
+        WHERE l_orderkey < 1000
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+_SCRIPTING_ORACLE = "SELECT count(*) AS n_orders FROM orders"
+
+
+@query("scripting_procedural_block", _SCRIPTING_ORACLE)
+def scripting_procedural_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE/SET) — the executable
+    analog of the HPL/SQL procedural surface the reference's grammar
+    inherits but only parses (Bingql.g4:547-609 procedure/loop rules).
+    The loop partitions orders by key residue and accumulates per-slice
+    counts — the total must equal the plain COUNT(*), proving each
+    iteration ran a real query.
+
+    Scale note: scripting is DRIVER-side control flow; each statement
+    inside is a full distributed query.  Use it for orchestration
+    (loops over partitions, retry blocks), never per-row logic.
+    """
+    from kachess_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 1;
+          WHILE i <= 3 DO
+            SET total = total + (SELECT count(*) FROM orders
+                                 WHERE o_orderkey % 3 = i - 1);
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS n_orders;
+        END
+        """
+    )

@@ -768,3 +768,34 @@ def sink_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+_INSERT_VALUES_ORACLE = """
+    SELECT id, label, CAST(score AS DOUBLE) AS score FROM (VALUES
+      (1, 'alpha', 10.5), (2, 'beta', 20.25), (3, 'gamma', 30.0),
+      (4, 'delta', 4.75)
+    ) AS t(id, label, score)
+    ORDER BY id
+"""
+
+
+@query("sink_insert_values", _INSERT_VALUES_ORACLE)
+def sink_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`INSERT INTO … VALUES` executed (the reference parses but skips
+    it — insert_stmt_rows Bingql.g4:687-693, skip at
+    SqlMetaDataExtractor.java:590-593): literal-row seed + append into
+    a real table, read back.  The metadata-table pattern (dim seeds,
+    config rows) — never the bulk path.
+    """
+    tbl = "kch_values_seed"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (id INT, label STRING, score DOUBLE)"
+        f" USING parquet LOCATION '{_scratch(tbl)}'"
+    )
+    spark.sql(
+        f"INSERT OVERWRITE {tbl} VALUES"
+        " (1, 'alpha', 10.5), (2, 'beta', 20.25), (3, 'gamma', 30.0)"
+    )
+    spark.sql(f"INSERT INTO {tbl} VALUES (4, 'delta', 4.75)")
+    return spark.table(tbl).orderBy("id")
