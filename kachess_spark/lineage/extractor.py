@@ -43,6 +43,7 @@ from kachess_spark.lineage import planjson as P
 from kachess_spark.lineage.metastore import MetaDataNotFound, Metastore
 from kachess_spark.lineage.preprocess import (
     preprocess,
+    rewrite_dialect,
     split_statements,
     unsupported_reason,
 )
@@ -121,6 +122,9 @@ class LineageSession:
             (self._source_id, self.source_tag, self.dialect, self.system_source)
         )
         for stmt in split_statements(preprocess(text)):
+            stmt, shims = rewrite_dialect(stmt)
+            if shims:
+                self.warnings.append(f"dialect shims applied: {', '.join(shims)}")
             reason = unsupported_reason(stmt)
             if reason:
                 self.skipped.append((stmt, reason))

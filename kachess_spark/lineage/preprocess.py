@@ -147,3 +147,67 @@ def unsupported_reason(stmt: str) -> str | None:
     parse-only treatment)."""
     m = _UNSUPPORTED.search(stmt)
     return f"unsupported dialect construct: {m.group(0).strip()}" if m else None
+
+
+# ---------------------------------------------------------------- dialect
+# rewrite shims (SURVEY.md §4 item 6): constructs Catalyst rejects but the
+# reference's grammar accepts — rewritten to Spark SQL where the rewrite
+# is semantics-preserving, so the lineage layer EXTRACTS them instead of
+# routing to skipped/.  Anything the shims can't reach (QUALIFY in a
+# subquery, HPL/SQL blocks) still falls through to unsupported_reason.
+
+_SEL_RE = re.compile(r"(?is)^(\s*)SEL\s")
+_TOP_RE = re.compile(r"(?is)^(\s*SELECT)\s+TOP\s+(\d+)\s")
+
+
+def _find_top_level_kw(stmt: str, kw: str) -> int:
+    """Index of case-insensitive word ``kw`` at paren depth 0 outside
+    quotes, or -1."""
+    low = stmt.lower()
+    depth = 0
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            i += 1
+            while i < n and stmt[i] != q:
+                i += 2 if stmt[i] == "\\" and q != "`" else 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith(kw, i):
+            before_ok = i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")
+            after = i + len(kw)
+            after_ok = after >= n or not (low[after].isalnum() or low[after] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def rewrite_dialect(stmt: str) -> tuple[str, list[str]]:
+    """→ (rewritten statement, list of applied shim tags)."""
+    applied: list[str] = []
+    s2 = _SEL_RE.sub(lambda m: m.group(1) + "SELECT ", stmt)
+    if s2 != stmt:
+        applied.append("SEL→SELECT")
+        stmt = s2
+    m = _TOP_RE.match(stmt)
+    if m:
+        n = m.group(2)
+        stmt = _TOP_RE.sub(lambda mm: mm.group(1) + " ", stmt, count=1).rstrip()
+        if not re.search(r"(?is)\bLIMIT\s+\d+\s*$", stmt):
+            stmt = f"{stmt}\nLIMIT {n}"
+        applied.append(f"TOP {n}→LIMIT")
+    idx = _find_top_level_kw(stmt, "qualify")
+    if idx >= 0:
+        body, pred = stmt[:idx].rstrip(), stmt[idx + len("qualify") :]
+        # the standard rewrite: QUALIFY filters on select-list (window)
+        # aliases, which a wrapper WHERE sees as plain columns
+        stmt = f"SELECT * FROM (\n{body}\n) kch_qualify_wrap WHERE{pred}"
+        applied.append("QUALIFY→wrapper WHERE")
+    return stmt, applied

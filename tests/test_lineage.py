@@ -707,3 +707,35 @@ def test_dataframe_capture_union_and_window(spark, sf_dir):
     edges = dataframe_column_lineage(dfw)
     assert ("rnk", "customer", "c_acctbal") in edges
     assert ("rnk", "customer", "c_mktsegment") in edges
+
+
+def test_dialect_shims_extract_teradata_forms(spark):
+    """SEL / TOP n / top-level QUALIFY are rewritten to Spark SQL and
+    EXTRACTED (the reference merely parses them); QUALIFY inside a
+    subquery still routes to skipped."""
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+    from kachess_spark.lineage.preprocess import rewrite_dialect
+
+    s, applied = rewrite_dialect(
+        "SEL TOP 2 col101, ROW_NUMBER() OVER (ORDER BY col102) rn\n"
+        "FROM dw.tab10 QUALIFY rn = 1"
+    )
+    assert applied == ["SEL→SELECT", "TOP 2→LIMIT", "QUALIFY→wrapper WHERE"]
+
+    sess = LineageSession(spark, fixture_metastore(), seed=1000)
+    sess.extract_script(
+        "SEL TOP 2 col101, ROW_NUMBER() OVER (ORDER BY col102) rn "
+        "FROM dw.tab10 QUALIFY rn = 1;"
+    )
+    assert not sess.skipped
+    assert any("dialect shims applied" in w for w in sess.warnings)
+    # the statement produced datasets referencing the physical table
+    names = [d.table_name for d in sess.store.datasets]
+    assert any("tab10" in (n or "") for n in names)
+
+    sess2 = LineageSession(spark, fixture_metastore(), seed=1000)
+    sess2.extract_script(
+        "SELECT * FROM (SELECT col101 FROM dw.tab10 QUALIFY col101 = 1) q;"
+    )
+    assert sess2.skipped and "QUALIFY" in sess2.skipped[0][1]
