@@ -18,18 +18,25 @@ def test_batch_routing(spark, tmp_path):
     bad.write_text("SELEC oops FRM nowhere;\n")
     qualify = tmp_path / "teradata.sql"
     qualify.write_text(
-        "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1;\n"
+        "SEL col101s FROM dw.tab10 "
+        "QUALIFY row_number() OVER (ORDER BY col101s) = 1;\n"
     )
+    hplsql = tmp_path / "proc.sql"
+    hplsql.write_text("CREATE PROCEDURE p() BEGIN SELECT 1; END;\n")
 
     result = run_batch(spark, str(tmp_path), fixture_metastore(), lenient=True)
-    assert [p.endswith("etl_dag.load_task.sql") for p in result.parsed] == [True]
+    # teradata.sql now parses via the dialect shims (SEL/QUALIFY rewrite)
+    assert sorted(p.rsplit("/", 1)[-1] for p in result.parsed) == [
+        "etl_dag.load_task.sql",
+        "teradata.sql",
+    ]
     assert len(result.skipped) == 2
     reasons = " | ".join(result.skipped.values())
     assert "parse error" in reasons and "unsupported dialect" in reasons
 
     f = result.frames()
     ds = f["datasets"].toPandas()
-    assert (ds.type == "SUBQUERY").sum() == 1
+    assert (ds.type == "SUBQUERY").sum() >= 2
     si = f["select_items"].toPandas()
     # hivevar substituted into the WHERE predicate
     where_items = si[si.usage_context == "WHERE"]
