@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kachess_spark.catalog import Tables, load_table
+from kachess_spark.catalog import Tables, load_table, register_views
 from kachess_spark.registry import query
 
 
@@ -523,4 +523,35 @@ def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
         .orderBy("key_a", "key_b")
+    )
+
+
+_LATERAL_ALIAS_ORACLE = """
+    SELECT o_orderkey,
+           o_totalprice * 0.9 AS discounted,
+           o_totalprice * 0.9 * 1.08 AS with_tax
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+"""
+
+
+@query("scalar_lateral_alias", _LATERAL_ALIAS_ORACLE)
+def scalar_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column alias: a select-list expression referencing an
+    alias defined EARLIER IN THE SAME SELECT (`discounted` feeding
+    `with_tax`) — Spark 3.4+ resolves it without a subquery wrapper,
+    exactly the layered-derivation style ETL SQL is full of.  Per-row
+    double arithmetic → IEEE-exact parity.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_totalprice * 0.9 AS discounted,
+               discounted * 1.08 AS with_tax
+        FROM orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey
+        """
     )

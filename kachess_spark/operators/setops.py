@@ -219,3 +219,47 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuning.  Same edges as lineage_table_closure, so the two paths
     cross-check each other."""
     return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+_UNPIVOT_ORACLE = """
+    SELECT n_name, metric, val
+    FROM (
+      SELECT n.n_name,
+             count(DISTINCT c.c_custkey) AS n_customers,
+             count(DISTINCT s.s_suppkey) AS n_suppliers
+      FROM nation n
+      LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ) wide
+    UNPIVOT (val FOR metric IN (n_customers, n_suppliers))
+    ORDER BY n_name, metric
+"""
+
+
+@query("setop_unpivot_stack", _UNPIVOT_ORACLE)
+def setop_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): per-nation entity counts melted into
+    (metric, val) rows — the inverse of agg_pivot, via DataFrame
+    ``unpivot`` (SQL ``stack``/UNPIVOT).  Long form feeds generic
+    per-metric pipelines without per-column code.
+
+    Scale plan: unpivot is a zero-shuffle projection (each input row
+    emits k rows map-side); do it AFTER aggregation — melting raw
+    facts first would k-plicate the shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    wide = (
+        t.nation.join(
+            t.customer, t.customer.c_nationkey == t.nation.n_nationkey, "left"
+        )
+        .join(t.supplier, t.supplier.s_nationkey == t.nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        "n_name", ["n_customers", "n_suppliers"], "metric", "val"
+    ).orderBy("n_name", "metric")

@@ -530,3 +530,76 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------------ resample + gap fill
+
+_RESAMPLE_ORACLE = """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY event_type, day
+    )
+    SELECT t.event_type, s.day, COALESCE(a.n, 0) AS n_events
+    FROM spine s
+    CROSS JOIN (SELECT event_type FROM types
+                WHERE event_type IN ('signup', 'purchase')) t
+    LEFT JOIN actual a ON a.event_type = t.event_type AND a.day = s.day
+    ORDER BY t.event_type, s.day
+"""
+
+
+@query("ts_resample_gapfill", _RESAMPLE_ORACLE)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a dense daily grid: bucket counts joined
+    onto a generated (day × series) spine so silent days appear as
+    explicit zeros — the shape every downstream rate/anomaly model
+    needs (a missing row and a zero are different facts).
+
+    Scale plan: the spine is sequence()-generated ON the cluster
+    (#days × #series rows — tiny) and broadcast against the aggregated
+    actuals, never against raw events; the raw side is one
+    bucket-count aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ("signup", "purchase")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 day)")
+        ).alias("day")
+    )
+    types = (
+        ev.where(F.col("event_type").isin(*kinds))
+        .select("event_type")
+        .distinct()
+    )
+    actual = (
+        ev.where(F.col("event_type").isin(*kinds))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(actual), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
