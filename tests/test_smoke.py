@@ -158,3 +158,50 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(1, 0.02 * exact[k]), (k, est, exact[k])
+
+
+def test_pq_adc_recall(spark, sf_dir):
+    """PQ shortlist + exact re-rank must recover most of the true L2
+    top-5 (deterministic pipeline: no RNG anywhere, so this is a stable
+    bound, not a flaky stochastic one)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        PDEC,
+        QUERY_IDS,
+        TOP_K,
+        _exploded,
+        sim_pq_adc_topk,
+    )
+
+    got = sim_pq_adc_topk(spark, sf_dir).collect()
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    d = _exploded(emb, "vid", "dv")
+    q = _exploded(emb.where(F.col("vec_id").isin(*QUERY_IDS)), "qid", "qv")
+    dist = (
+        d.join(broadcast(q), "pos")
+        .groupBy("qid", "vid")
+        .agg(
+            F.sum(
+                ((F.col("qv") - F.col("dv")) * (F.col("qv") - F.col("dv"))).cast(PDEC)
+            ).alias("d2")
+        )
+        .where(F.col("qid") != F.col("vid"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vid"))
+    exact = (
+        dist.select("qid", "vid", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= TOP_K)
+        .collect()
+    )
+    ex, gt = {}, {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["vid"])
+    for r in got:
+        gt.setdefault(r["qid"], set()).add(r["vid"])
+    total = sum(len(ex[k] & gt.get(k, set())) for k in ex)
+    assert total >= 9, (total, {k: len(ex[k] & gt.get(k, set())) for k in ex})
