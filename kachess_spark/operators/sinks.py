@@ -799,3 +799,37 @@ def sink_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"INSERT INTO {tbl} VALUES (4, 'delta', 4.75)")
     return spark.table(tbl).orderBy("id")
+
+
+_CREATE_LIKE_ORACLE = """
+    SELECT n_name, n_regionkey FROM nation
+    WHERE n_regionkey = 3 ORDER BY n_name
+"""
+
+
+@query("sink_create_table_like", _CREATE_LIKE_ORACLE)
+def sink_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`CREATE TABLE … LIKE` executed (the reference extracts the clone's
+    schema lineage, visitCreate_table_stmt LIKE branch
+    SqlMetaDataExtractor.java:680-699): clone an existing table's
+    schema WITHOUT data, then populate the clone and read it back —
+    the staging-table idiom (same shape as production, isolated data).
+    """
+    t = Tables(spark, sf_dir)
+    src, clone = "kch_like_src", "kch_like_clone"
+    for tbl in (src, clone):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        t.nation.select("n_name", "n_regionkey")
+        .where(F.col("n_regionkey") == 0)
+        .write.mode("overwrite")
+        .option("path", _scratch(src))
+        .format("parquet")
+        .saveAsTable(src)
+    )
+    spark.sql(f"CREATE TABLE {clone} LIKE {src} LOCATION '{_scratch(clone)}'")
+    assert spark.table(clone).count() == 0  # schema clone, no data
+    t.nation.select("n_name", "n_regionkey").where(
+        F.col("n_regionkey") == 3
+    ).write.insertInto(clone)
+    return spark.table(clone).orderBy("n_name")

@@ -395,7 +395,7 @@ def _pq_kmeans_l2(sub: DataFrame, k: int, iters: int) -> DataFrame:
     )
     d = _exploded(sub, "vid", "dv").localCheckpoint(eager=False)
     for _ in range(iters):
-        assign = _assign_l2(sub, cent.select(F.col("vec_id"), "embedding").withColumnRenamed("vec_id", "vec_id"))
+        assign = _assign_l2(sub, cent)
         means = (
             d.join(assign, "vid")
             .groupBy("code", "pos")
