@@ -815,10 +815,15 @@ def sink_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema WITHOUT data, then populate the clone and read it back —
     the staging-table idiom (same shape as production, isolated data).
     """
+    import shutil
+
     t = Tables(spark, sf_dir)
     src, clone = "kch_like_src", "kch_like_clone"
     for tbl in (src, clone):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # DROP on an external-LOCATION table leaves files behind; a
+        # previous run's data would make the "empty clone" assert lie
+        shutil.rmtree(_scratch(tbl), ignore_errors=True)
     (
         t.nation.select("n_name", "n_regionkey")
         .where(F.col("n_regionkey") == 0)
