@@ -142,3 +142,36 @@ def test_streaming_foreach_batch_upsert(spark, sf_dir):
     got = streaming_foreach_batch_upsert(spark, sf_dir).toPandas()
     want = upsert_totals_batch(spark, sf_dir).toPandas()
     assert got.equals(want)
+
+
+def test_streaming_file_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming parquet file sink: the _spark_metadata commit log makes
+    output exactly-once — a reader sees ONLY committed files, and the
+    streamed content equals the batch read of the same source."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming.windows import stream_events
+
+    out = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    q = (
+        stream_events(spark, sf_dir)
+        .select("event_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import os
+
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    got = spark.read.parquet(out)
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert (
+        got.groupBy("event_type").count().orderBy("event_type").collect()
+        == want.groupBy("event_type").count().orderBy("event_type").collect()
+    )
