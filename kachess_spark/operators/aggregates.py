@@ -941,3 +941,53 @@ def agg_join_explosion_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_join_keys"),
         )
     )
+
+
+_RETENTION_ORACLE = """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT f.cohort,
+           CAST(datediff('day', f.cohort, a.week) / 7 AS BIGINT) AS week_no,
+           count(DISTINCT a.user_id) AS active_users
+    FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort, week_no
+    ORDER BY f.cohort, week_no
+"""
+
+
+@query("agg_cohort_retention", _RETENTION_ORACLE)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted as active in each subsequent week — the product-analytics
+    staple (signup cohort × week-N activity).
+
+    Scale plan: both inputs derive from ONE shuffle on user_id (min-ts
+    cohorts and distinct active weeks share the partitioning); the
+    cohort join is user-aligned so it reuses it too; the final
+    (cohort, week) agg is #weeks² cells.  No per-cohort scans — the
+    naive one-query-per-cohort loop multiplies the scan by #cohorts.
+    """
+    from kachess_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("week", "cohort") / 7).cast("bigint").alias("week_no"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "week_no")
+    )

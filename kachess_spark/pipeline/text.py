@@ -450,3 +450,89 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_TFIDF_ORACLE = """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(
+               regexp_replace(text, '[^a-zA-Z ]', '', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS w FROM words)
+      GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             ROUND(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON df.w = tf.w
+    )
+    SELECT doc_id, w AS term, tfidf
+    FROM (
+      SELECT doc_id, w, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, w) AS rk
+      FROM scored
+    )
+    WHERE rk = 1 AND doc_id % 17 = 0
+    ORDER BY doc_id
+"""
+
+
+@query("text_tfidf_top_term", _TFIDF_ORACLE)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF feature extraction: per-document term frequencies weighted
+    by corpus-level inverse document frequency; each document's single
+    most characteristic term.
+
+    Scale plan: TF is one (doc, term) agg; DF re-aggregates TF's
+    output (never rescans the corpus); the document count broadcasts
+    as a 1-row literal and the DF table broadcasts into the scoring
+    join when vocab-sized — at web scale the (doc,term) ⋈ term join
+    hash-partitions on term, which is exactly TF's output layout.
+    The ln() ratio is one IEEE op chain — engine-identical.
+    """
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', '')),"
+                " ' '), w -> w <> '')"
+            ).alias("ws"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tf = (
+        words.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = t.documents.count()
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    return (
+        scored.select(
+            "doc_id", F.col("w").alias("term"), "tfidf",
+            F.row_number().over(win).alias("rk"),
+        )
+        .where((F.col("rk") == 1) & (F.col("doc_id") % 17 == 0))
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id")
+    )
