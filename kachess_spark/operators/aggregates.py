@@ -991,3 +991,100 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort", "week_no")
     )
+
+
+_BITMAP_ORACLE = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query("agg_bitmap_exact_distinct", _BITMAP_ORACLE)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation: each 32k-key
+    bucket becomes one bitmap (bit per key), buckets sum — no Expand,
+    no per-key shuffle rows, and unlike HLL the answer is exact.
+
+    The 100 TB distinct-count ladder: COUNT(DISTINCT) for small
+    cardinality, bitmap_construct_agg for dense integer keys (this),
+    HLL sketches when approximate is acceptable (agg_hll_sketch_union).
+    Bitmap state is cardinality/8 bytes worst-case, mergeable
+    map-side.  The oracle is the plain COUNT(DISTINCT) — exactness is
+    the contract.
+    """
+    from kachess_spark.catalog import load_table, register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type, SUM(part_count) AS n_users
+        FROM (
+          SELECT event_type,
+                 bitmap_bucket_number(user_id) AS bucket,
+                 bitmap_count(
+                   bitmap_construct_agg(bitmap_bit_position(user_id))
+                 ) AS part_count
+          FROM events
+          GROUP BY event_type, bucket
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+_ISLANDS_ORACLE = """
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderkey < 3000 AND o_orderkey % 7 <> 0
+    ),
+    grp AS (
+      SELECT k,
+             k - ROW_NUMBER() OVER (ORDER BY k) AS island
+      FROM keys
+    )
+    SELECT CAST(min(k) AS BIGINT) AS range_start,
+           CAST(max(k) AS BIGINT) AS range_end,
+           count(*) AS n_keys
+    FROM grp
+    GROUP BY island
+    ORDER BY range_start
+"""
+
+
+@query("agg_gaps_islands_ranges", _ISLANDS_ORACLE)
+def agg_gaps_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over an integer key space: collapse consecutive
+    runs into (start, end, length) ranges via the k − row_number()
+    constant-per-island trick — the ID-audit / missing-sequence
+    operator (time flavor: agg_sessionize_batch).
+
+    Scale note: a global ORDER BY row_number serializes to one task;
+    acceptable for key-audit slices, and at full scale the island key
+    is computed per range-partition with boundary stitching (the as-of
+    join pattern) — same algebra.
+    """
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    keys = (
+        t.orders.where(
+            (F.col("o_orderkey") < 3000) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    grp = keys.select("k", (F.col("k") - F.row_number().over(w)).alias("island"))
+    return (
+        grp.groupBy("island")
+        .agg(
+            F.min("k").alias("range_start"),
+            F.max("k").alias("range_end"),
+            F.count("*").alias("n_keys"),
+        )
+        .select("range_start", "range_end", "n_keys")
+        .orderBy("range_start")
+    )
