@@ -555,3 +555,36 @@ def scalar_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+_TRY_ARITH_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0.0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_disc,
+           CASE WHEN l_quantity = 0.0 THEN NULL
+                ELSE l_extendedprice / l_quantity END AS unit_price
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("scalar_try_arith", _TRY_ARITH_ORACLE)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try_divide`` — NULL-on-error arithmetic (zero discounts are
+    ~10% of lineitem): the pipeline-safe alternative to ANSI-mode
+    exceptions killing a 10-hour job on one bad row, and to silently
+    wrong Inf values in permissive mode.  Oracle expresses the same
+    contract with explicit CASE guards.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide("l_extendedprice", "l_discount").alias("price_per_disc"),
+            F.try_divide("l_extendedprice", "l_quantity").alias("unit_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

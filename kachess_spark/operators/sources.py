@@ -189,3 +189,49 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_total"
         ),
     )
+
+
+_FILE_METADATA_ORACLE = """
+    SELECT o_orderpriority, count(*) AS n_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("source_file_metadata", _FILE_METADATA_ORACLE)
+def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` columns on file sources: per-row provenance
+    (file path, size, modification time) without any data column — the
+    ingestion-audit primitive (which file contributed which rows,
+    quarantine by file, late-file detection).
+
+    Here: a partitioned rewrite is read back and every row's priority
+    is recovered FROM ITS FILE PATH alone (regexp over
+    ``_metadata.file_path``), proving the per-file row accounting
+    matches the data's own group counts.
+    """
+    import os
+
+    from kachess_spark.catalog import Tables
+
+    t = Tables(spark, sf_dir)
+    path = os.path.join("/tmp/kachess_sinks", "meta_orders")
+    (
+        t.orders.select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"o_orderpriority=([^/]+)/", 1
+            ).alias("encoded")
+        )
+        .select(F.url_decode("encoded").alias("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("o_orderpriority")
+    )
