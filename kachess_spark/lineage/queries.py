@@ -351,3 +351,44 @@ def lineage_dataframe_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineage_frame(join_inner_q3(spark, sf_dir)).orderBy(
         "out_column", "src_table", "src_column"
     )
+
+
+_IMPACT_ROOT = min(p for p, _ in _ITEM_PAIRS)
+
+_IMPACT_ORACLE = f"""
+WITH RECURSIVE edges(src, dst) AS (
+  SELECT DISTINCT src, dst FROM {_edges_values_sql(_ITEM_PAIRS)}
+),
+walk(src, dst, distance) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.src, e.dst, w.distance + 1
+  FROM walk w JOIN edges e ON w.dst = e.src
+  WHERE w.distance < 20 AND w.src <> e.dst
+)
+SELECT dst AS impacted_item_id, CAST(MIN(distance) AS BIGINT) AS distance
+FROM walk WHERE src = {_IMPACT_ROOT}
+GROUP BY dst ORDER BY impacted_item_id
+"""
+
+
+@query("lineage_impact_analysis", _IMPACT_ORACLE)
+def lineage_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact analysis — the lineage tool's actual end-use: every
+    select-item transitively downstream of one changed column (with hop
+    distance), i.e. "what breaks if this column changes".  The
+    reference computes this consumption-side via SQL over its MySQL
+    closure tables (validate_0010's user/team discovery); here it is
+    closure.impacted_by over the same frozen edge fixture, and the
+    oracle recomputes it with an independent WITH RECURSIVE walk.
+    """
+    from kachess_spark.lineage.closure import impacted_by
+
+    edges = spark.createDataFrame(
+        _ITEM_PAIRS, "parent_select_item_id BIGINT, child_select_item_id BIGINT"
+    )
+    return (
+        impacted_by(edges, [_IMPACT_ROOT])
+        .select("impacted_item_id", F.col("distance").cast("long").alias("distance"))
+        .orderBy("impacted_item_id")
+    )
