@@ -1088,3 +1088,39 @@ def agg_gaps_islands_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("range_start", "range_end", "n_keys")
         .orderBy("range_start")
     )
+
+
+_CORR_ORACLE = """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_linenumber), 6)       AS qty_line_corr,
+           ROUND(covar_samp(l_quantity, l_linenumber), 6) AS qty_line_covar,
+           ROUND(covar_pop(l_quantity, l_linenumber), 6)  AS qty_line_covar_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("agg_corr_covar", _CORR_ORACLE)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / covar_pop — bivariate statistics in one
+    grouped pass.  Determinism: both inputs are INTEGRAL-valued, so
+    every internal sum (x, y, xy, x², y²) is an exact integer in
+    double and combine-order-proof; the final divisions/sqrt are then
+    single IEEE ops.  (On fractional doubles these aggregates are NOT
+    cross-engine-stable — route those through fixed-point first.)
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_linenumber"), 6).alias("qty_line_corr"),
+            F.round(F.covar_samp("l_quantity", "l_linenumber"), 6).alias(
+                "qty_line_covar"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_linenumber"), 6).alias(
+                "qty_line_covar_pop"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

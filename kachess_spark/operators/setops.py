@@ -263,3 +263,39 @@ def setop_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "n_name", ["n_customers", "n_suppliers"], "metric", "val"
     ).orderBy("n_name", "metric")
+
+
+_UNION_BY_NAME_ORACLE = """
+    SELECT * FROM (
+      SELECT n_name AS name, n_nationkey AS k, NULL AS region
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL BY NAME
+      SELECT r_name AS name, r_regionkey AS k, r_name AS region
+      FROM region
+    )
+    ORDER BY k, name
+"""
+
+
+@query("setop_union_by_name", _UNION_BY_NAME_ORACLE)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — name-aligned union
+    across drifted schemas (one branch lacks a column → NULL-filled),
+    vs the reference's strictly positional union merge
+    (MiscChores.union, util/MiscChores.java:66-81).  The evolution-safe
+    way to stack heterogeneous batches.
+    """
+    t = Tables(spark, sf_dir)
+    a = t.nation.where(F.col("n_nationkey") < 5).select(
+        F.col("n_name").alias("name"), F.col("n_nationkey").alias("k")
+    )
+    b = t.region.select(
+        F.col("r_name").alias("name"),
+        F.col("r_regionkey").alias("k"),
+        F.col("r_name").alias("region"),
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .select("name", "k", "region")
+        .orderBy("k", "name")
+    )
