@@ -1124,3 +1124,42 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_REGR_ORACLE = """
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("agg_linear_regression", _REGR_ORACLE)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regr_slope / regr_intercept / regr_r2 / regr_count — ordinary
+    least squares fitted per group in ONE distributed pass (price vs
+    quantity per return flag): the in-engine trend estimator.
+
+    Determinism: x (quantity) is integral and y (price) has 2 decimals,
+    so Σx, Σy, Σxy, Σx² are exact in double far below 2^53 at this
+    scale — at 100 TB the same aggregates would go through the
+    fixed-point encoding first (see _util.money), identical shape.
+    Rounded to absorb the final division's last-bit wiggle.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
