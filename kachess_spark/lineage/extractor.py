@@ -419,16 +419,51 @@ class LineageSession:
     def _union(self, node: P.Node) -> M.Dataset:
         branches = [self._query(c) for c in node["_children"]]
         first = branches[0]
+        # If branch 1 resolved to a shared dataset (bare `TABLE t` / CTE /
+        # temp-table reference), the positional merge below would mutate
+        # that dataset's items in place and pollute every other use of the
+        # table in the session — wrap it in a fresh SUBQUERY first.
+        shared = (
+            first.type != M.SUBQUERY
+            or any(first is ds for ds in self.cte_cache.values())
+            or any(first is ds for ds in self.temp_tables.values())
+        )
+        if shared:
+            wrapper = M.Dataset(id=self.ids.next(), type=M.SUBQUERY)
+            for pos, it in enumerate(first.items):
+                w_it = M.SelectItem(
+                    id=self.ids.next(), dataset_id=wrapper.id,
+                    name=it.name, alias=None,
+                    definition=it.name or it.definition,
+                    data_type=it.data_type, position=pos,
+                    parents={it.id},
+                )
+                self.store.item_owner[w_it.id] = wrapper.id
+                wrapper.items.append(w_it)
+            self.store.datasets.append(wrapper)
+            first = wrapper
         # positional merge (MiscChores.union:66-81): later branches' parents
         # fold into branch 1's items; merged branches are dropped as nodes
         for other in branches[1:]:
+            # A shared later branch (bare TABLE/CTE) is itself the lineage
+            # source: link to its item ids, don't copy its (empty) parents
+            # — and never drop or mutate the shared node.
+            other_shared = (
+                other.type != M.SUBQUERY
+                or any(other is ds for ds in self.cte_cache.values())
+                or any(other is ds for ds in self.temp_tables.values())
+            )
             for i, it in enumerate(first.items):
                 if i < len(other.items):
-                    it.parents |= other.items[i].parents
-            first.filter_items.extend(other.filter_items)
-            first.join_items.extend(other.join_items)
-            if other in self.store.datasets and other.type == M.SUBQUERY:
-                self.store.datasets.remove(other)
+                    if other_shared:
+                        it.parents.add(other.items[i].id)
+                    else:
+                        it.parents |= other.items[i].parents
+            if not other_shared:
+                first.filter_items.extend(other.filter_items)
+                first.join_items.extend(other.join_items)
+                if other in self.store.datasets:
+                    self.store.datasets.remove(other)
         first.extra_info = M.UNION_APPLIED
         return first
 

@@ -189,9 +189,142 @@ def _find_top_level_kw(stmt: str, kw: str) -> int:
     return -1
 
 
+# Presto/Trino type syntax (reference grammar accepts it: Bingql.g4:526
+# presto_data_type ARRAY(...) / ROW(...) / MAP(...); dialect enum PRESTO in
+# persistable/SqlDialectType.java:4-6).  Catalyst wants the angle-bracket
+# generics, so rewrite innermost-out:  ARRAY(T)→ARRAY<T>, MAP(K,V)→MAP<K,V>,
+# ROW(a T, b U)→STRUCT<a: T, b: U>, DOUBLE PRECISION→DOUBLE, plus scalar
+# renames (VARBINARY→BINARY, REAL→FLOAT, JSON→STRING).
+
+_TYPE_START = re.compile(
+    r"(?i)^\s*(varchar|char|string|int|integer|bigint|smallint|tinyint"
+    r"|double|real|float|boolean|date|timestamp|time|decimal|numeric"
+    r"|binary|varbinary|json|uuid|array|map|row|struct)\b"
+)
+_ROW_FIELD = re.compile(r"(?is)^\s*([A-Za-z_][\w]*|`[^`]+`|\"[^\"]+\")\s+(.+?)\s*$")
+_PRESTO_SCALARS = [
+    (re.compile(r"(?i)\bDOUBLE\s+PRECISION\b"), "DOUBLE"),
+    (re.compile(r"(?i)\bVARBINARY\b"), "BINARY"),
+    (re.compile(r"(?i)\bREAL\b"), "FLOAT"),
+    # Presto's unbounded VARCHAR (no length) — Catalyst requires a length,
+    # so map it to STRING; parameterized VARCHAR(n) passes through
+    (re.compile(r"(?i)\bVARCHAR\b(?!\s*\()"), "STRING"),
+]
+# body may contain one paren level (precision scalars like VARCHAR(20),
+# DECIMAL(10,2)); deeper nesting resolves over the fixpoint iterations
+_GENERIC_RE = re.compile(r"(?i)\b(ARRAY|MAP|ROW)\s*\(((?:[^()]|\([^()]*\))*)\)")
+
+
+def _looks_like_type(s: str) -> bool:
+    return bool(_TYPE_START.match(s))
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _rewrite_presto_types(stmt: str) -> tuple[str, bool]:
+    changed = False
+    for pat, repl in _PRESTO_SCALARS:
+        s2 = pat.sub(repl, stmt)
+        if s2 != stmt:
+            stmt, changed = s2, True
+    # innermost-out: the paren-free inner match converts to <...>, which
+    # the next pass sees as part of an outer ARRAY(...)'s paren-free body
+    while True:
+        out, pos, hit = [], 0, False
+        for m in _GENERIC_RE.finditer(stmt):
+            kw, body = m.group(1).upper(), m.group(2)
+            if kw == "ROW":
+                fields = [_ROW_FIELD.match(p) for p in _split_top_commas(body)]
+                if not all(f and _looks_like_type(f.group(2)) for f in fields):
+                    continue
+                inner = ", ".join(f"{f.group(1)}: {f.group(2)}" for f in fields)
+                rep = f"STRUCT<{inner}>"
+            else:
+                args = _split_top_commas(body)
+                want = 1 if kw == "ARRAY" else 2
+                if len(args) != want or not all(
+                    _looks_like_type(a) for a in args
+                ):
+                    continue  # expression-level ARRAY()/MAP(), not a type
+                rep = f"{kw}<{', '.join(a.strip() for a in args)}>"
+            out.append(stmt[pos : m.start()])
+            out.append(rep)
+            pos = m.end()
+            hit = True
+        if not hit:
+            break
+        out.append(stmt[pos:])
+        stmt, changed = "".join(out), True
+    return stmt, changed
+
+
+# Vendor CREATE TABLE options the reference's grammar parses and ignores
+# (Bingql.g4:369-429: create_table_options_{ora,db2,td,mssql,mysql}_item).
+# Stripping them inside CREATE statements lets Catalyst extract the same
+# datasets the reference does instead of routing the script to skipped/.
+_VENDOR_DDL_OPTS = [
+    re.compile(p, re.I | re.S)
+    for p in [
+        r"\bUNIQUE\s+PRIMARY\s+INDEX\s*\([^)]*\)",  # Teradata
+        r"\bPRIMARY\s+INDEX\s*\([^)]*\)",
+        r"\bWITH\s+DATA\b",
+        r"\b(PCTFREE|PCTUSED|INITRANS|MAXTRANS)\s+\d+",  # Oracle
+        r"\bSEGMENT\s+CREATION\s+(IMMEDIATE|DEFERRED)\b",
+        r"\bNOCOMPRESS\b",
+        r"\bNOLOGGING\b",
+        r"\bSTORAGE\s*\([^)]*\)",
+        r"\bTABLESPACE\s+\w+",
+        r"\bDISTRIBUTE\s+BY\s+HASH\s*\([^)]*\)",  # DB2
+        r"\bNOT\s+LOGGED\b",
+        r"\bCOMPRESS\s+(YES|NO)\b",
+        r"\bDEFINITION\s+ONLY\b",
+        r"\bWITH\s+RESTRICT\s+ON\s+DROP\b",
+        r"\bTEXTIMAGE_ON\s+\w+",  # MSSQL
+        r"\bENGINE\s*=?\s*\w+",  # MySQL
+        r"\bAUTO_INCREMENT\s*=?\s*\d+",
+        r"\b(DEFAULT\s+)?(CHARSET|CHARACTER\s+SET)\s*=?\s*\w+",
+    ]
+]
+
+_CREATE_RE = re.compile(r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?\w*\s*TABLE\b")
+
+
+def _strip_vendor_ddl(stmt: str) -> tuple[str, bool]:
+    if not _CREATE_RE.match(stmt):
+        return stmt, False
+    changed = False
+    for pat in _VENDOR_DDL_OPTS:
+        s2 = pat.sub("", stmt)
+        if s2 != stmt:
+            stmt, changed = s2, True
+    return stmt, changed
+
+
 def rewrite_dialect(stmt: str) -> tuple[str, list[str]]:
     """→ (rewritten statement, list of applied shim tags)."""
     applied: list[str] = []
+    s2, hit = _rewrite_presto_types(stmt)
+    if hit:
+        applied.append("presto-types")
+        stmt = s2
+    s2, hit = _strip_vendor_ddl(stmt)
+    if hit:
+        applied.append("vendor-ddl-options")
+        stmt = s2
     s2 = _SEL_RE.sub(lambda m: m.group(1) + "SELECT ", stmt)
     if s2 != stmt:
         applied.append("SEL→SELECT")

@@ -262,16 +262,24 @@ def agg_count_star_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sum_distinct",
     oracle="""
     SELECT l_linestatus,
-           SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS sum_distinct_qty
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_distinct_qty
     FROM lineitem
     GROUP BY l_linestatus
     """,
 )
 def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUM(DISTINCT ...) — ALL/DISTINCT set quantifier on aggregates."""
+    """SUM(DISTINCT ...) — ALL/DISTINCT set quantifier on aggregates.
+
+    Distinct-set summation is exact in DECIMAL; the final value is
+    cast to DOUBLE so the output schema is canonicalization-safe
+    (driver hash compares stringified values — DECIMAL formats differ
+    between engines)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_linestatus").agg(
-        F.sum_distinct(F.col("l_quantity").cast(DEC)).alias("sum_distinct_qty")
+        F.sum_distinct(F.col("l_quantity").cast(DEC))
+        .cast("double")
+        .alias("sum_distinct_qty")
     )
 
 
@@ -280,8 +288,10 @@ _Q18_MIN_QTY = 250
 _Q18_ORACLE = f"""
     SELECT c.c_name, o.o_orderkey,
            (epoch(o.o_orderdate) // 86400)::BIGINT AS order_day,
-           round(o.o_totalprice::DECIMAL(18,2), 2) AS o_totalprice,
-           round(sum(l.l_quantity)::DECIMAL(18,2), 2) AS total_qty
+           CAST(round(o.o_totalprice::DECIMAL(18,2), 2) AS DOUBLE)
+               AS o_totalprice,
+           CAST(round(sum(l.l_quantity)::DECIMAL(18,2), 2) AS DOUBLE)
+               AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -324,7 +334,15 @@ def agg_q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
             .alias("total_qty")
+        )
+        # Final outputs cast to DOUBLE after exact decimal math so the
+        # result schema is canonicalization-safe (DECIMAL stringification
+        # differs between engines).
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+        .select(
+            "c_name", "o_orderkey", "order_day", "o_totalprice", "total_qty"
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
@@ -465,8 +483,8 @@ _HISTOGRAM_ORACLE = """
                 ELSE (1 + floor(o_totalprice / 50000))::BIGINT
            END AS bucket,
            count(*) AS cnt,
-           round(min(o_totalprice)::DECIMAL(18,2), 2) AS lo,
-           round(max(o_totalprice)::DECIMAL(18,2), 2) AS hi
+           CAST(round(min(o_totalprice)::DECIMAL(18,2), 2) AS DOUBLE) AS lo,
+           CAST(round(max(o_totalprice)::DECIMAL(18,2), 2) AS DOUBLE) AS hi
     FROM orders
     GROUP BY 1
     ORDER BY 1
@@ -486,8 +504,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.min("o_totalprice").cast("decimal(18,2)"), 2).alias("lo"),
-            F.round(F.max("o_totalprice").cast("decimal(18,2)"), 2).alias("hi"),
+            F.round(F.min("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("lo"),
+            F.round(F.max("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -529,10 +551,15 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass quantiles with bounded error, the only viable form at
     100 TB (exact percentile sorts each group)."""
     t = Tables(spark, sf_dir)
+    # Sketch result projected into scalar columns (array-typed outputs
+    # break downstream canonicalizers that sort rows by value).
     return t.orders.groupBy("o_orderpriority").agg(
         F.expr(
-            "approx_percentile(o_totalprice, array(0.5, 0.99), 10000)"
-        ).alias("approx_p50_p99"),
+            "approx_percentile(o_totalprice, 0.5, 10000)"
+        ).alias("approx_p50"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.99, 10000)"
+        ).alias("approx_p99"),
         F.count("*").alias("n"),
     )
 
@@ -803,36 +830,48 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# depth × width: eps ≈ e/width ≈ 0.001, delta ≈ e^-depth ≈ 0.007
+_CMS_D, _CMS_W = 5, 2719
+
+
 @query("agg_count_min_sketch")  # rows-only: sketch estimates; pytest bounds
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch frequency estimation: one mergeable sub-linear
-    sketch over the stream, then point queries against it.
+    """Count-min sketch frequency estimation, built and probed
+    RELATIONALLY: the sketch's d×w counter matrix is just
+    groupBy(row, hash_row(key) % w).count(), and a point query is the
+    MIN over that key's d slots — every step stays executor-side
+    whole-stage codegen (no py4j round-trips; VERDICT r1 item 8).
 
     Completes the mergeable-sketch trio (HLL distinct =
     agg_approx_distinct, KLL-style quantiles = agg_approx_percentile).
-    The sketch is built JVM-side by the `count_min_sketch` aggregate —
-    partial sketches merge associatively, so at 100 TB it costs one
-    map-side pass + a tiny reduce, and can be persisted and re-probed
-    without rescanning.  Estimates are biased UP only (CMS guarantee:
-    true <= est <= true + eps*N w.h.p.) — pytest asserts both bounds.
+    Counter cells partial-aggregate map-side onto d·w = 13.6k cells, so
+    at 100 TB the build is one map pass + a tiny reduce, and the cell
+    table can be persisted and re-probed without rescanning.  Estimates
+    are biased UP only (CMS guarantee: true <= est <= true + eps*N
+    w.h.p.) — pytest asserts both bounds.
     """
     from kachess_spark.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    raw = bytes(
-        ev.agg(
-            F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk")
-        ).collect()[0]["sk"]
+    rows_d = F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("d")
+    slot = F.pmod(F.xxhash64(F.col("d"), F.col("user_id")), F.lit(_CMS_W))
+    counters = (
+        ev.select("user_id")
+        .select("user_id", rows_d)
+        .groupBy("d", slot.alias("slot"))
+        .agg(F.count("*").alias("cell"))
     )
-    jvm = spark.sparkContext._jvm
-    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(raw)
+    probes = spark.range(20).select(F.col("id").alias("user_id"))
+    probe_slots = probes.select("user_id", rows_d).select(
+        "user_id", "d", slot.alias("slot")
     )
-    probes = list(range(20))
-    rows = [
-        (k, int(sk.estimateCount(jvm.java.lang.Long(k)))) for k in probes
-    ]
-    return spark.createDataFrame(rows, "user_id bigint, est_count bigint")
+    return (
+        probe_slots.join(F.broadcast(counters), ["d", "slot"], "left")
+        .fillna(0, subset=["cell"])
+        .groupBy("user_id")
+        .agg(F.min("cell").alias("est_count"))
+        .orderBy("user_id")
+    )
 
 
 @query(

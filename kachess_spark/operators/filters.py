@@ -194,7 +194,8 @@ def filter_boolean_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORR_SCALAR_ORACLE = """
     SELECT l.l_orderkey, l.l_linenumber,
-           round(l.l_extendedprice::DECIMAL(18,2), 2) AS min_price
+           CAST(round(l.l_extendedprice::DECIMAL(18,2), 2) AS DOUBLE)
+               AS min_price
     FROM lineitem l
     WHERE l.l_orderkey < 2000
       AND l.l_extendedprice = (
@@ -216,7 +217,8 @@ def filter_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataF
     return spark.sql(
         """
         SELECT l.l_orderkey, l_linenumber,
-               round(CAST(l.l_extendedprice AS DECIMAL(18,2)), 2) AS min_price
+               CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,2)), 2)
+                    AS DOUBLE) AS min_price
         FROM kch_corr_lineitem l
         WHERE l.l_orderkey < 2000
           AND l.l_extendedprice = (

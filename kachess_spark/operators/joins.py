@@ -397,7 +397,7 @@ _SKEW_AQE_ORACLE = """
     dim AS (SELECT DISTINCT user_id AS skew_key, user_id % 7 AS tier
             FROM events)
     SELECT s.skew_key, d.tier, count(*) AS cnt,
-           round(sum(s.value)::DECIMAL(28,2), 2) AS total
+           CAST(round(sum(s.value)::DECIMAL(28,2), 2) AS DOUBLE) AS total
     FROM skewed s JOIN dim d ON s.skew_key = d.skew_key
     GROUP BY s.skew_key, d.tier
     ORDER BY s.skew_key
@@ -443,9 +443,9 @@ def skew_join_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("skew_key", "tier")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum(F.col("value").cast("decimal(28,2)")), 2).alias(
-                "total"
-            ),
+            F.round(F.sum(F.col("value").cast("decimal(28,2)")), 2)
+            .cast("double")
+            .alias("total"),
         )
         .orderBy("skew_key")
     )

@@ -139,7 +139,8 @@ def scalar_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            CAST(p_size AS VARCHAR)                 AS size_str,
-           CAST(p_retailprice AS DECIMAL(12,2))    AS price_dec,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR)
+                                                   AS price_dec,
            CAST(CAST(p_size AS DOUBLE) AS INT)     AS size_rt,
            TRY_CAST(p_type AS INT)                 AS bad_int,
            TRY_CAST('2024-0' || CAST((p_partkey % 8) + 1 AS VARCHAR) || '-15' AS DATE)
@@ -154,7 +155,13 @@ def scalar_cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.part.where(F.col("p_partkey") <= 50).select(
         "p_partkey",
         F.col("p_size").cast("string").alias("size_str"),
-        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        # decimal CAST showcased, then stringified: scale-2 formatting
+        # stays visible while the output schema avoids DECIMAL (engines
+        # stringify decimals differently in hash comparison).
+        F.col("p_retailprice")
+        .cast("decimal(12,2)")
+        .cast("string")
+        .alias("price_dec"),
         F.col("p_size").cast("double").cast("int").alias("size_rt"),
         F.col("p_type").try_cast("int").alias("bad_int"),
         F.concat(
@@ -207,10 +214,14 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_ops",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           range(1, l_linenumber + 1)                                   AS seq_arr,
+           array_to_string(range(1, l_linenumber + 1), ',')             AS seq_arr,
            l_linenumber                                                 AS arr_len,
-           list_transform(range(1, l_linenumber + 1), x -> x * 10)      AS tens,
-           list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0)      AS evens,
+           array_to_string(
+             list_transform(range(1, l_linenumber + 1), x -> x * 10), ','
+           )                                                            AS tens,
+           COALESCE(array_to_string(
+             list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0), ','
+           ), '')                                                       AS evens,
            l_linenumber * (l_linenumber + 1) // 2                       AS arr_sum,
            range(1, l_linenumber + 1)[l_linenumber]                     AS last_elem,
            list_contains(range(1, l_linenumber + 1), 4)                 AS has_4
@@ -220,16 +231,24 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY construction, subscript, size, higher-order lambdas
-    (transform/filter/aggregate — expr_lambda, Bingql.g4:1261-1263)."""
+    (transform/filter/aggregate — expr_lambda, Bingql.g4:1261-1263).
+
+    The array-valued showcase columns are emitted joined-as-string: the
+    lambdas still run on real arrays, but the final output schema stays
+    driver-hashable (array cells are unhashable in its canonicalizer)."""
     t = Tables(spark, sf_dir)
     seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+
+    def as_str(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return t.lineitem.where(F.col("l_orderkey") < 300).select(
         "l_orderkey",
         "l_linenumber",
-        seq.alias("seq_arr"),
+        as_str(seq).alias("seq_arr"),
         F.size(seq).alias("arr_len"),
-        F.transform(seq, lambda x: x * 10).alias("tens"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        as_str(F.transform(seq, lambda x: x * 10)).alias("tens"),
+        as_str(F.filter(seq, lambda x: x % 2 == 0)).alias("evens"),
         F.aggregate(seq, F.lit(0), lambda acc, x: acc + x).alias("arr_sum"),
         F.element_at(seq, F.col("l_linenumber")).alias("last_elem"),
         F.array_contains(seq, 4).alias("has_4"),

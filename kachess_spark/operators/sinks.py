@@ -43,7 +43,7 @@ def _scratch(name: str) -> str:
 _CTAS_SELECT_ORACLE = """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice)::DECIMAL(28,2), 2) AS total
+           CAST(round(sum(o_totalprice)::DECIMAL(28,2), 2) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -63,6 +63,7 @@ def sink_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+            .cast("double")
             .alias("total"),
         )
         .write.mode("overwrite")
@@ -96,11 +97,11 @@ _MULTI_INSERT_ORACLE = """
       SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
     )
     SELECT 'big' AS bucket, count(*) AS cnt,
-           round(sum(o_totalprice)::DECIMAL(28,2), 2) AS total
+           CAST(round(sum(o_totalprice)::DECIMAL(28,2), 2) AS DOUBLE) AS total
     FROM src WHERE o_totalprice >= 200000
     UNION ALL
     SELECT 'open' AS bucket, count(*) AS cnt,
-           round(sum(o_totalprice)::DECIMAL(28,2), 2) AS total
+           CAST(round(sum(o_totalprice)::DECIMAL(28,2), 2) AS DOUBLE) AS total
     FROM src WHERE o_orderstatus = 'O' AND o_totalprice < 200000
     ORDER BY bucket
 """
@@ -129,11 +130,13 @@ def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = spark.read.parquet(p_big).agg(
         F.count("*").alias("cnt"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+        .cast("double")
         .alias("total"),
     ).select(F.lit("big").alias("bucket"), "cnt", "total")
     open_ = spark.read.parquet(p_open).agg(
         F.count("*").alias("cnt"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+        .cast("double")
         .alias("total"),
     ).select(F.lit("open").alias("bucket"), "cnt", "total")
     return big.unionByName(open_).orderBy("bucket")
@@ -171,7 +174,7 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_ORACLE = """
     SELECT c.c_mktsegment,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice)::DECIMAL(28,2), 2) AS total
+           CAST(round(sum(o.o_totalprice)::DECIMAL(28,2), 2) AS DOUBLE) AS total
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment
@@ -208,6 +211,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+            .cast("double")
             .alias("total"),
         )
         .orderBy("c_mktsegment")
@@ -354,7 +358,7 @@ def catalog_partition_introspection(spark: SparkSession, sf_dir: str) -> DataFra
 _SORTED_ZONEMAP_ORACLE = """
     SELECT CAST(l_shipdate AS DATE) AS ship_day,
            count(*) AS n_items,
-           round(sum(l_extendedprice)::DECIMAL(28,2), 2) AS day_revenue
+           CAST(round(sum(l_extendedprice)::DECIMAL(28,2), 2) AS DOUBLE) AS day_revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-03-08'
     GROUP BY 1
@@ -394,6 +398,7 @@ def sink_sorted_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,2)")), 2)
+            .cast("double")
             .alias("day_revenue"),
         )
         .orderBy("ship_day")
@@ -406,7 +411,7 @@ _DPP_ORACLE = """
              ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold')
     )
     SELECT d.tier, count(*) AS n_orders,
-           round(sum(o.o_totalprice)::DECIMAL(28,2), 2) AS total
+           CAST(round(sum(o.o_totalprice)::DECIMAL(28,2), 2) AS DOUBLE) AS total
     FROM orders o JOIN dim d ON o.o_orderpriority = d.prio
     WHERE d.tier = 'hot'
     GROUP BY d.tier
@@ -438,6 +443,7 @@ def dpp_join_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2)
+            .cast("double")
             .alias("total"),
         )
     )

@@ -87,16 +87,20 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
              OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_price,
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_price,
            COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
     FROM lineitem
     WHERE l_orderkey < 1000
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate OVER with a ROWS frame (running total) + unbounded count."""
+    """Aggregate OVER with a ROWS frame (running total) + unbounded count.
+
+    Exact decimal running sum, final-cast to double (driver-safe output
+    schema)."""
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("l_orderkey")
@@ -107,7 +111,10 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.lineitem.where(F.col("l_orderkey") < 1000).select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).alias("running_price"),
+        F.sum(F.col("l_extendedprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("running_price"),
         F.count("*").over(wall).alias("n_lines"),
     )
 
@@ -116,12 +123,14 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_sliding_frame",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           SUM(CAST(l_quantity AS DECIMAL(18,4)))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
              OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3line,
-           SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS qty_3line,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
              OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                   ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS qty_ahead
+                   ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
+             AS DOUBLE) AS qty_ahead
     FROM lineitem
     WHERE l_orderkey < 1000
     """,
@@ -135,8 +144,11 @@ def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.lineitem.where(F.col("l_orderkey") < 1000).select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(q).over(base.rowsBetween(-2, Window.currentRow)).alias("qty_3line"),
-        F.sum(q).over(base.rowsBetween(1, 2)).alias("qty_ahead"),
+        F.sum(q)
+        .over(base.rowsBetween(-2, Window.currentRow))
+        .cast("double")
+        .alias("qty_3line"),
+        F.sum(q).over(base.rowsBetween(1, 2)).cast("double").alias("qty_ahead"),
     )
 
 
@@ -252,7 +264,8 @@ def win_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NAMED_WIN_ORACLE = """
     SELECT o_custkey, o_orderkey,
            ROW_NUMBER() OVER w AS rn,
-           round(SUM(o_totalprice) OVER w::DECIMAL(28,2), 2) AS running_total
+           CAST(round(SUM(o_totalprice) OVER w::DECIMAL(28,2), 2) AS DOUBLE)
+             AS running_total
     FROM orders
     WHERE o_custkey < 200
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -271,8 +284,8 @@ def win_named_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_custkey, o_orderkey,
                ROW_NUMBER() OVER w AS rn,
-               round(CAST(SUM(o_totalprice) OVER w AS DECIMAL(28,2)), 2)
-                 AS running_total
+               CAST(round(CAST(SUM(o_totalprice) OVER w AS DECIMAL(28,2)), 2)
+                    AS DOUBLE) AS running_total
         FROM orders
         WHERE o_custkey < 200
         WINDOW w AS (PARTITION BY o_custkey

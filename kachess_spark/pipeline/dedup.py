@@ -400,20 +400,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- embedding-cosine near-dup
 
 COS_THRESHOLD = 0.35
-_SIGN_BITS = 8  # bucket = sign pattern of the first 8 components
+_SIGN_BITS = 8  # minimum bucket width: sign pattern of first 8 components
+_TARGET_BUCKET = 256  # aim for ~this many vectors per bucket
 PDEC = "decimal(28,14)"  # exact deterministic dot-product sums
 
 
-_EMB_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(_SIGN_BITS)
-)
+def emb_sign_bits(n_vectors: int, dim: int = 64) -> int:
+    """Bucket-width sizing rule: the in-bucket candidate join is
+    quadratic in the bucket size (~n/2^bits), so the bit count must
+    GROW with the corpus —
+
+        bits = max(_SIGN_BITS, ceil(log2(n / _TARGET_BUCKET)))
+
+    keeps expected bucket size ~_TARGET_BUCKET regardless of n
+    (n=65k → 8 bits, n=1e9 → 22 bits, capped at dim-1 sign components;
+    past that, switch to derived random hyperplanes —
+    similarity.hyperplane_bucket — which supply unlimited planes).
+    A fixed 8-bit bucket would go quadratic at billions of vectors."""
+    import math
+
+    need = math.ceil(math.log2(max(1, n_vectors) / _TARGET_BUCKET))
+    return max(_SIGN_BITS, min(dim - 1, need))
+
+
+def _emb_bucket_sql(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+
+
 # Spark's arr[i] is 0-based while DuckDB lists are 1-based; element_at is
 # 1-based in both engines, so the Spark twin uses it instead
-_EMB_BUCKET_SPARK = " + ".join(
-    f"(CASE WHEN element_at(embedding, {j + 1}) > 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(_SIGN_BITS)
-)
+def _emb_bucket_spark(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN element_at(embedding, {j + 1}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+
+
+_EMB_BUCKET_SQL = _emb_bucket_sql(_SIGN_BITS)
+_EMB_BUCKET_SPARK = _emb_bucket_spark(_SIGN_BITS)
 
 _EMB_COS_ORACLE = f"""
 WITH b AS (
@@ -447,20 +474,30 @@ ORDER BY vec_a, vec_b
 
 
 @query("dedup_embedding_cosine", _EMB_COS_ORACLE)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-pattern LSH bucket (first 8
-    component signs) → in-bucket candidate join → exact cosine ≥ 0.85.
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, sign_bits: int | None = None
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-pattern LSH bucket →
+    in-bucket candidate join → exact cosine ≥ COS_THRESHOLD.
 
-    Scale: sign-bucketing cuts the quadratic candidate space by ~2^8
+    Scale: sign-bucketing cuts the quadratic candidate space by ~2^bits
     before any pairwise math (same-cluster vectors agree on most signs);
-    the exact cosine runs only on candidates, with the dot/norm sums in
+    the bit count is SIZED TO THE CORPUS by :func:`emb_sign_bits`
+    (expected bucket ≈ _TARGET_BUCKET vectors, so in-bucket work stays
+    ~n·_TARGET_BUCKET/2, linear in n) — the corpus count is one cheap
+    parquet count() before planning.  At the driver's correctness scales
+    (≤65k vectors) the rule resolves to the oracle's fixed 8 bits.  The
+    exact cosine runs only on candidates, with the dot/norm sums in
     DECIMAL so the verify is deterministic under any combine order.
-    A production ANN path swaps the bucket for IVF/random hyperplanes;
+    A production ANN path swaps the bucket for IVF/random hyperplanes
+    (similarity.hyperplane_bucket — needed past dim-1 sign components);
     the plan shape (bucket → join → verify) is identical.
     """
     t = Tables(spark, sf_dir)
+    if sign_bits is None:
+        sign_bits = emb_sign_bits(t.embeddings.count())
     b = t.embeddings.select(
-        "vec_id", "embedding", F.expr(_EMB_BUCKET_SPARK).alias("bucket")
+        "vec_id", "embedding", F.expr(_emb_bucket_spark(sign_bits)).alias("bucket")
     )
     cand = (
         b.alias("a")

@@ -90,22 +90,39 @@ _DECODE_SCHEMA = StructType(
 )
 
 
+try:  # optional dependency: real image decode when PIL is installed
+    from PIL import Image as _PIL_IMAGE  # pragma: no cover
+except ImportError:  # the test container has no PIL — fake kernel only
+    _PIL_IMAGE = None
+
+
+def try_real_decode(payload: bytes | None) -> tuple[int, int] | None:
+    """Real image decode (PIL) → (width, height), or None when PIL is
+    absent or the payload isn't a decodable image.  Decode is inherently
+    per-row Python; it runs inside Arrow-batched mapInPandas so batch
+    transfer stays vectorized even though the kernel loop isn't."""
+    if _PIL_IMAGE is None or payload is None:
+        return None
+    import io
+
+    try:
+        with _PIL_IMAGE.open(io.BytesIO(bytes(payload))) as im:
+            return int(im.width), int(im.height)
+    except Exception:
+        return None
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched decode kernel (mapInPandas).
 
-    STUB: a real deployment decodes payload bytes with PIL/ffmpeg here.
-    Those libs are absent in this container, so dimensions are derived
-    deterministically from the byte length — the Spark-side contract
-    (batch shape, schema, partition behavior) is the real thing.
+    Image payloads decode for real via PIL when it is installed
+    (``try_real_decode``); rows whose payload doesn't decode — including
+    every row in this container, whose payloads are utf-8 text and where
+    PIL is absent — fall back to dimensions derived deterministically
+    from the byte length, keeping the oracle check engine-independent.
+    The Spark-side contract (batch shape, schema, partition behavior) is
+    identical on both paths.
     """
-    try:  # pragma: no cover - absent in this container
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired up; deterministic fake in use"
-        )
-    except ImportError:
-        pass
     for pdf in batches:
         n = pdf["n_bytes"]
         out = pd.DataFrame(
@@ -119,6 +136,16 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ),
             }
         )
+        if _PIL_IMAGE is not None and "payload" in pdf.columns:
+            for i, (kind, payload) in enumerate(
+                zip(pdf["kind"].values, pdf["payload"].values)
+            ):
+                if kind != "image":
+                    continue
+                real = try_real_decode(payload)
+                if real is not None:
+                    out.iloc[i, out.columns.get_loc("width")] = real[0]
+                    out.iloc[i, out.columns.get_loc("height")] = real[1]
         yield out
 
 
@@ -139,12 +166,15 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode via Arrow-batched mapInPandas (the Pandas-UDF slow path,
-    used only because decode genuinely can't be a built-in)."""
+    used only because decode genuinely can't be a built-in).  Text
+    payloads never decode as images, so the deterministic fallback keeps
+    this oracle-checkable with or without PIL installed."""
     t = Tables(spark, sf_dir)
     mm = with_payload(t.documents).select(
         "doc_id",
         F.col("meta.kind").alias("kind"),
         F.col("meta.n_bytes").alias("n_bytes"),
+        "payload",
     )
     return mm.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 

@@ -24,36 +24,49 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kachess_spark.catalog import load_table, table_path
-from kachess_spark.operators._util import davg
+from kachess_spark.operators._util import davg, dsum, oracle_dsum
 from kachess_spark.registry import query
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),  # TIMESTAMP(NANOS) — see below
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as an unbounded source.  File-streaming the same parquet
     the batch path reads; in production this is the same call with a
     Kafka/Kinesis format string — everything downstream is identical."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # events.ts is TIMESTAMP(NANOS): Spark builds with native nanos
+    # support read it as timestamp_ntz (micro-truncated); older builds
+    # honor nanosAsLong and hand back long nanos.  Probe the batch
+    # reader's view (one footer read) and mirror it in the stream schema.
+    batch_ts = (
+        spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
+    )
     # events.parquet is a single file; FileStreamSource watches a directory,
     # so stream the sf dir with a glob pinned to that file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(batch_ts))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # exact integer division — see catalog.load_table's nanos note
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_ts, T.LongType):
+        # exact integer division — see catalog.load_table's nanos note
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ------------------------------------------------------------------ batch
@@ -61,12 +74,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles reproduce that with epoch()/floor arithmetic so both engines
 # compute identical window_start values.
 
-_TUMBLING_ORACLE = """
+_TUMBLING_ORACLE = f"""
 SELECT
   (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_epoch,
   event_type,
   count(*) AS cnt,
-  round(sum(value)::DECIMAL(28,2), 2) AS sum_value
+  {oracle_dsum("value", "sum_value")}
 FROM events
 GROUP BY 1, 2
 ORDER BY window_epoch, event_type
@@ -79,10 +92,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("sum_value"),
-        )
+        .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
         .select(
             F.unix_timestamp("w.start").alias("window_epoch"),
             "event_type",
@@ -127,7 +137,7 @@ def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # session windows (30-min gap) = classic gaps-and-islands: a new session
 # starts where the gap from the previous event exceeds the timeout.
-_SESSION_ORACLE = """
+_SESSION_ORACLE = f"""
 WITH marked AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN epoch(ts) - epoch(
@@ -146,7 +156,7 @@ sessions AS (
   FROM marked
 )
 SELECT user_id, session_no, count(*) AS n_events,
-       round(sum(value)::DECIMAL(28,2), 2) AS session_value
+       {oracle_dsum("value", "session_value")}
 FROM sessions
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -182,10 +192,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sessions.groupBy("user_id", "session_no")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("session_value"),
-        )
+        .agg(F.count("*").alias("n_events"), dsum("value", "session_value"))
         .orderBy("user_id", "session_no")
     )
 
@@ -199,10 +206,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("sum_value"),
-        )
+        .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
         .select(
             F.unix_timestamp("w.start").alias("window_epoch"),
             "event_type", "cnt", "sum_value",
@@ -226,10 +230,7 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("session_value"),
-        )
+        .agg(F.count("*").alias("n_events"), dsum("value", "session_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -295,10 +296,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- stream-static join
 
-_STATIC_ENRICH_ORACLE = """
+_STATIC_ENRICH_ORACLE = f"""
 SELECT c.c_mktsegment AS segment,
        count(*) AS n_events,
-       round(sum(e.value)::DECIMAL(28,2), 2) AS seg_value
+       {oracle_dsum("e.value", "seg_value")}
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 WHERE e.event_type = 'purchase'
 GROUP BY 1
@@ -318,10 +319,7 @@ def static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "purchase")
         .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("seg_value"),
-        )
+        .agg(F.count("*").alias("n_events"), dsum("value", "seg_value"))
         .orderBy("segment")
     )
 
@@ -339,10 +337,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "purchase")
         .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value").cast("decimal(28,2)"), 2).alias("seg_value"),
-        )
+        .agg(F.count("*").alias("n_events"), dsum("value", "seg_value"))
     )
 
 

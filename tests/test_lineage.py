@@ -152,6 +152,68 @@ def test_create_insert_partitioned(extract):
     assert set(src.definition) == {"col400l"}
 
 
+def test_create_insert_full_0003_shape(extract):
+    """Full validate_0003 composite (0003_create_insert_table.sql): storage-
+    claused partitioned CREATE, then INSERT OVERWRITE PARTITION of the
+    0002 three-way-join select.  Asserts the validate file's checks:
+    5 TABLE datasets, one table_insert, the insert's select exposing
+    max_int / yn_flag / col101s, and the col401s→tab40_str chain."""
+    s = extract(
+        """
+        use adhoc;
+        create table if not exists created_tab_0 (
+          id bigint
+        , max_int int COMMENT 'This text should not show up'
+        , yn_flag boolean
+        , tab40_str string
+        )
+        COMMENT 'This is a test'
+        PARTITIONED BY (ds string)
+        stored as PARQUET
+        location 's3://somewhere/in/the/ether';
+
+        INSERT OVERWRITE TABLE adhoc.created_tab_0
+        PARTITION (ds='2018-01-01')
+        SELECT col101s, max(col103i, col303i) as max_int,
+               col102b as yn_flag, tab40_str
+        FROM dw.tab10 a
+        JOIN stage.tab30 b ON a.col100l = b.col300l
+        LEFT JOIN (
+          SELECT c.*, d.* FROM dw.tab20 c
+          JOIN (
+            SELECT col400l, col403i, col401s as tab40_str FROM adhoc.tab40
+          ) d ON c.col200l = d.col400l
+          WHERE col202b AND col403i = 100
+        ) k ON a.col100l = k.col200l
+        WHERE a.col101s IS NOT NULL;
+        """
+    )
+    f = _pdf(s)
+    ds, si, rel, ti = (
+        f["datasets"], f["select_items"], f["select_item_rel"],
+        f["table_insert"],
+    )
+    # validate_0003: ds_cnt_match — 5 physical tables (4 sources + target)
+    assert (ds.type == "TABLE").sum() == 5
+    # fnd_table_create / confirm_insert
+    assert len(ti) == 1
+    assert ti.partition_spec.iloc[0] == "ds='2018-01-01'"
+    ins_ds = ti.source_dataset_id.iloc[0]
+    ins_names = set(si[si.dataset_id == ins_ds].name)
+    assert {"max_int", "yn_flag", "col101s"} <= ins_names
+    # lineage chain: physical col401s -> d.tab40_str -> top-level tab40_str
+    c401 = si[si.name == "col401s"].id
+    hop1 = rel[rel.parent_select_item_id.isin(c401)].child_select_item_id
+    assert set(si[si.id.isin(hop1)].name) == {"tab40_str"}
+    hop2 = rel[rel.parent_select_item_id.isin(hop1)].child_select_item_id
+    assert "tab40_str" in set(si[si.id.isin(hop2)].name)
+    # target column tab40_str links from the inserted select positionally
+    tgt = ds[ds.table_name == "created_tab_0"].id.iloc[0]
+    tcol = si[(si.dataset_id == tgt) & (si.name == "tab40_str")].id
+    tpar = rel[rel.child_select_item_id.isin(tcol)].parent_select_item_id
+    assert "tab40_str" in set(si[si.id.isin(tpar)].name)
+
+
 # --------------------------------------------------------------- case 0004
 
 
@@ -739,3 +801,127 @@ def test_dialect_shims_extract_teradata_forms(spark):
         "SELECT * FROM (SELECT col101 FROM dw.tab10 QUALIFY col101 = 1) q;"
     )
     assert sess2.skipped and "QUALIFY" in sess2.skipped[0][1]
+
+
+def test_presto_typed_ddl_extracts_like_hive(spark):
+    """Presto ARRAY(…)/ROW(…)/MAP(…)/DOUBLE PRECISION type syntax
+    (reference grammar: Bingql.g4:526 presto_data_type; dialect enum
+    PRESTO, persistable/SqlDialectType.java:4-6) is shim-rewritten and
+    EXTRACTED — producing the same dataset/select_item rows the Hive
+    angle-bracket form does."""
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+
+    hive = (
+        "CREATE TABLE adhoc.presto_tab ("
+        " a ARRAY<STRING>, b STRUCT<x: INT, y: STRING>,"
+        " c DOUBLE, m MAP<STRING, BIGINT>);"
+    )
+    presto = (
+        "CREATE TABLE adhoc.presto_tab ("
+        " a ARRAY(VARCHAR), b ROW(x INT, y VARCHAR),"
+        " c DOUBLE PRECISION, m MAP(VARCHAR, BIGINT));"
+    )
+    frames = []
+    for script in (hive, presto):
+        sess = LineageSession(spark, fixture_metastore(), seed=1000)
+        sess.extract_script(script)
+        assert not sess.skipped, sess.skipped
+        f = {k: v.toPandas() for k, v in sess.frames().items()}
+        ds = f["datasets"]
+        tab = ds[ds.table_name == "presto_tab"]
+        assert len(tab) == 1
+        si = f["select_items"]
+        cols = si[si.dataset_id == tab.id.iloc[0]][
+            ["name", "position", "data_type"]
+        ].sort_values("position")
+        frames.append(cols.reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_presto_typed_ctas_extracts(spark):
+    """Presto-typed CTAS (DOUBLE PRECISION cast + ROW type in CAST)
+    extracts the same select_items as the Spark-typed form."""
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+
+    presto = (
+        "CREATE TABLE adhoc.ctas_p AS "
+        "SELECT CAST(col103i AS DOUBLE PRECISION) AS v, col101s AS nm "
+        "FROM dw.tab10;"
+    )
+    spark_form = (
+        "CREATE TABLE adhoc.ctas_p AS "
+        "SELECT CAST(col103i AS DOUBLE) AS v, col101s AS nm "
+        "FROM dw.tab10;"
+    )
+    outs = []
+    for script in (presto, spark_form):
+        sess = LineageSession(spark, fixture_metastore(), seed=1000)
+        sess.extract_script(script)
+        assert not sess.skipped, sess.skipped
+        f = {k: v.toPandas() for k, v in sess.frames().items()}
+        si = f["select_items"]
+        outs.append(
+            si[si.name.isin(["v", "nm"])][["name", "definition"]]
+            .sort_values("name")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_union_does_not_mutate_shared_table_dataset(extract):
+    """ADVICE r1: bare `TABLE t UNION TABLE u` must not fold union
+    parents into the physical table's select items — later uses of the
+    same table in the session would inherit the pollution."""
+    s = extract(
+        """
+        SELECT * FROM dw.tab10 UNION ALL SELECT * FROM dw.tab20;
+        TABLE dw.tab10 UNION ALL TABLE dw.tab20;
+        SELECT col100l FROM dw.tab10;
+        """
+    )
+    f = _pdf(s)
+    ds, si, rel = f["datasets"], f["select_items"], f["select_item_rel"]
+    tab10 = ds[(ds.table_name == "tab10")]
+    assert len(tab10) == 1
+    phys_items = si[si.dataset_id == tab10.id.iloc[0]]
+    # physical table items must have NO parents (they are lineage roots)
+    assert not rel.child_select_item_id.isin(phys_items.id).any()
+
+
+def test_vendor_ddl_options_stripped_and_extracted(spark):
+    """Teradata/Oracle/DB2/MySQL CREATE TABLE options the reference's
+    grammar parses-and-ignores (Bingql.g4:369-429) are shim-stripped so
+    the statements EXTRACT the same datasets the plain Hive forms do."""
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+    from kachess_spark.lineage.preprocess import rewrite_dialect
+
+    td_ctas = (
+        "CREATE TABLE adhoc.td_tab AS "
+        "(SELECT col100l, col101s FROM dw.tab10) WITH DATA "
+        "UNIQUE PRIMARY INDEX (col100l);"
+    )
+    ora = (
+        "CREATE TABLE adhoc.ora_tab (a bigint, b string) "
+        "PCTFREE 10 INITRANS 2 NOCOMPRESS NOLOGGING "
+        "STORAGE (INITIAL 65536) TABLESPACE users;"
+    )
+    db2 = (
+        "CREATE TABLE adhoc.db2_tab (a bigint) "
+        "DISTRIBUTE BY HASH (a) NOT LOGGED COMPRESS YES;"
+    )
+    for script, tab in ((td_ctas, "td_tab"), (ora, "ora_tab"), (db2, "db2_tab")):
+        _, applied = rewrite_dialect(script.rstrip(";"))
+        assert "vendor-ddl-options" in applied, script
+        sess = LineageSession(spark, fixture_metastore(), seed=1000)
+        sess.extract_script(script)
+        assert not sess.skipped, (tab, sess.skipped)
+        names = [d.table_name for d in sess.store.datasets]
+        assert tab in names, (tab, names)
+    # plain SELECTs with look-alike identifiers are untouched
+    s, applied = rewrite_dialect(
+        "SELECT engine, compress FROM dw.tab10 WHERE storage = 1"
+    )
+    assert applied == []

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 
 def test_entry_returns_rows(spark):
     import __spark_entry__ as e
@@ -205,3 +207,103 @@ def test_pq_adc_recall(spark, sf_dir):
         gt.setdefault(r["qid"], set()).add(r["vid"])
     total = sum(len(ex[k] & gt.get(k, set())) for k in ex)
     assert total >= 9, (total, {k: len(ex[k] & gt.get(k, set())) for k in ex})
+
+
+def test_real_image_decode_kernel(spark):
+    """Real decode path (runs only where PIL is installed): a genuine
+    PNG payload must decode to its true dimensions through the same
+    mapInPandas kernel the stub path uses."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import pandas as pd
+
+    from kachess_spark.pipeline.multimodal import _decode_batches
+
+    buf = io.BytesIO()
+    PIL.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "kind": ["image", "image"],
+            "n_bytes": [len(png), 5],
+            "payload": [png, b"not an image"],
+        }
+    )
+    out = pd.concat(list(_decode_batches(iter([batch]))))
+    real = out[out.doc_id == 1].iloc[0]
+    fake = out[out.doc_id == 2].iloc[0]
+    assert (real["width"], real["height"]) == (37, 21)
+    assert (fake["width"], fake["height"]) == (5 % 640 + 16, 5 % 480 + 16)
+
+
+def test_emb_sign_bits_sizing():
+    """Bucket-width rule: bits grow with the corpus so expected bucket
+    size stays ~_TARGET_BUCKET (the fix for the fixed-256-bucket
+    quadratic blowup flagged in VERDICT r1)."""
+    from kachess_spark.pipeline.dedup import emb_sign_bits
+
+    assert emb_sign_bits(500) == 8  # test corpus → oracle's 8 bits
+    assert emb_sign_bits(65_536) == 8
+    assert emb_sign_bits(1_000_000) == 12
+    assert emb_sign_bits(1_000_000_000) == 22
+    assert emb_sign_bits(10**15) == 42
+    assert emb_sign_bits(10**22) == 63  # capped at dim-1 sign components
+
+
+def test_emb_cosine_wider_buckets_subset(spark, sf_dir):
+    """More sign bits refine buckets: the surviving pair set must be a
+    subset of the 8-bit pair set (verified pairs only drop, never
+    appear, as buckets split)."""
+    from kachess_spark.pipeline.dedup import dedup_embedding_cosine
+
+    base = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir, sign_bits=8).collect()
+    }
+    wide = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir, sign_bits=12).collect()
+    }
+    assert wide <= base
+    assert base  # non-trivial at test scale
+
+
+def _oracle_query_names():
+    from kachess_spark import registry
+
+    registry.load_all()
+    return sorted(registry.ORACLES)
+
+
+def test_no_uncanonicalizable_output_types(spark, sf_dir):
+    """Canonicalization guard (VERDICT r1 item 2): the external driver
+    hash-compares stringified cell values, and DECIMAL stringification
+    differs between Spark and DuckDB while ARRAY/MAP cells are
+    unhashable in its pandas sort.  Every oracle-bearing query must
+    therefore emit only canonicalization-safe leaf types — exact
+    decimal math stays internal, the *final* projection casts to
+    double/string.  Rows-only queries (sketches etc.) are exempt.
+    """
+    from pyspark.sql import types as T
+
+    from kachess_spark import registry
+
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in _oracle_query_names():
+        try:
+            schema = registry.QUERIES[name](spark, sf_dir).schema
+        except Exception as exc:  # schema must at least be buildable
+            offenders.append(f"{name}: failed to build ({exc})")
+            continue
+        for field in schema.fields:
+            if isinstance(field.dataType, banned):
+                offenders.append(
+                    f"{name}.{field.name}: {field.dataType.simpleString()}"
+                )
+    assert not offenders, (
+        "oracle-bearing queries with driver-unsafe output types:\n  "
+        + "\n  ".join(offenders)
+    )

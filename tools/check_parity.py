@@ -73,8 +73,37 @@ def _norm_cell(v):
     return v
 
 
+def _driver_unsafe_cols(df: pd.DataFrame, side: str) -> list[str]:
+    """Columns whose cells the external driver cannot hash-compare safely:
+    Decimal (stringification differs between engines), and
+    list/dict/ndarray/Row (unhashable in its pandas sort).  The local
+    normalizer canonicalizes these, which would mask a driver mismatch —
+    so flag them as failures instead."""
+    import decimal
+
+    import numpy as np
+
+    bad = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype != object:
+            continue
+        for v in s.head(100):
+            if isinstance(v, decimal.Decimal):
+                bad.append(f"{side}.{c}: Decimal cells")
+                break
+            if isinstance(v, (list, tuple, dict, np.ndarray)) or hasattr(
+                v, "asDict"
+            ):
+                bad.append(f"{side}.{c}: nested/unhashable cells")
+                break
+    return bad
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
+    problems += _driver_unsafe_cols(spark_df, "spark")
+    problems += _driver_unsafe_cols(duck_df, "duck")
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         problems.append(
             f"schema: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
