@@ -325,6 +325,14 @@ def rewrite_dialect(stmt: str) -> tuple[str, list[str]]:
     if hit:
         applied.append("vendor-ddl-options")
         stmt = s2
+    # Teradata ACTIVITY_COUNT (Bingql.g4:1416 expr_spec_func): a niladic
+    # status variable = rows touched by the prior DML.  The reference
+    # parses it and extracts nothing; substituting a neutral literal
+    # keeps the statement extractable with identical lineage.
+    s2 = re.sub(r"(?i)\bACTIVITY_COUNT\b(?!\s*\()", "0", stmt)
+    if s2 != stmt:
+        applied.append("ACTIVITY_COUNT→literal")
+        stmt = s2
     s2 = _SEL_RE.sub(lambda m: m.group(1) + "SELECT ", stmt)
     if s2 != stmt:
         applied.append("SEL→SELECT")

@@ -708,3 +708,113 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("new_doc", "hist_doc")
     )
+
+
+# --------------------------------------------- bloom reference-corpus dedup
+
+_BLOOM_M = 1 << 16  # filter bits (8 KiB) — ~13 bits/element at test scale
+_BLOOM_K = 3  # hash functions
+
+
+def bloom_bitmask(fp_df: DataFrame, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    """Build an m-bit Bloom bitmask (as int64 words) over a digest column.
+
+    The set-bit positions are computed DISTRIBUTED (one distinct over
+    ≤ |ref|·k positions); only the finished positions — bounded by m bits,
+    i.e. m/8 bytes of information — come back to the driver to be packed.
+    Sizing rule: ~10 bits/element gives ~1% false positives, so an 8 KiB
+    mask serves ~6.5k reference digests; a 1e9-digest blocklist needs
+    ~1.2 GiB, at which point skip the driver pack and keep the positions
+    AS A TABLE (the ``bits`` join path below scales to any m).
+    """
+    rows = (
+        fp_df.select(
+            F.explode(F.expr(f"sequence(0, {k - 1})")).alias("h"), "fp"
+        )
+        .select(F.pmod(F.xxhash64("h", "fp"), F.lit(m)).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r["bit"] // 64] |= 1 << (r["bit"] % 64)
+    # pack to signed int64 for Spark's BIGINT
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+# Fingerprint = md5 of the first 5 canonical words: "leading-content"
+# dedup, the membership key that catches templated/boilerplate documents
+# (full-digest membership is the same plan with a different fp expr).
+_BLOOM_FP_SPARK = (
+    "md5(concat_ws(' ', slice(split(lower("
+    "regexp_replace(text, '[^a-zA-Z0-9 ]', '')), ' '), 1, 5)))"
+)
+_BLOOM_FP_SQL = (
+    f"md5(array_to_string((string_split({_CANON_SQL}, ' '))[1:5], ' '))"
+)
+
+_BLOOM_REF_ORACLE = f"""
+    WITH fp AS (
+      SELECT doc_id, {_BLOOM_FP_SQL} AS fp FROM documents
+    )
+    SELECT n.doc_id, n.fp
+    FROM fp n
+    WHERE n.doc_id % 10 >= 3
+      AND n.fp IN (SELECT fp FROM fp WHERE doc_id % 10 < 3)
+    ORDER BY n.doc_id
+"""
+
+
+@query("dedup_bloom_reference", _BLOOM_REF_ORACLE)
+def dedup_bloom_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup against a REFERENCE corpus (blocklist / already-ingested
+    set) via a broadcast Bloom filter: new docs whose canonical digest
+    appears in the reference are flagged, without ever shuffling the new
+    (big) side.
+
+    Scale shape for 100 TB of new docs vs a bounded reference set:
+
+    1. build the reference's Bloom bitmask once (``bloom_bitmask`` —
+       distributed bit derivation, driver packs ≤ m/8 bytes);
+    2. broadcast the mask (one row) and probe it map-side: k codegen'd
+       shiftright/AND bit tests — ~99% of non-members are dropped at
+       the scan, shuffling nothing;
+    3. exact semi-join ONLY the surviving candidates against the
+       reference digests — false positives die here, so the operator's
+       result is exact membership (oracle-checkable), with the Bloom
+       purely a bandwidth optimization.
+
+    Here the reference corpus is docs with doc_id % 10 < 3 and the "new"
+    stream is the rest, so the operator is self-contained on the
+    documents table; the membership key is a leading-content fingerprint
+    (md5 of the first 5 canonical words) — the boilerplate-catcher.
+    """
+    t = Tables(spark, sf_dir)
+    fp_all = t.documents.select(
+        "doc_id", F.expr(_BLOOM_FP_SPARK).alias("fp")
+    )
+    ref = fp_all.where(F.col("doc_id") % 10 < 3).select("fp")
+    new = fp_all.where(F.col("doc_id") % 10 >= 3)
+
+    mask = bloom_bitmask(ref)
+    mask_df = spark.createDataFrame([(mask,)], "mask array<bigint>")
+
+    bit_tests = [
+        F.expr(
+            f"(shiftright(element_at(mask, "
+            f"CAST(pmod(xxhash64({h}, fp), {_BLOOM_M}) div 64 AS INT) + 1), "
+            f"CAST(pmod(xxhash64({h}, fp), {_BLOOM_M}) % 64 AS INT)) & 1) = 1"
+        )
+        for h in range(_BLOOM_K)
+    ]
+    cond = bit_tests[0]
+    for bt in bit_tests[1:]:
+        cond = cond & bt
+    candidates = (
+        new.crossJoin(F.broadcast(mask_df)).where(cond).select("doc_id", "fp")
+    )
+    return (
+        candidates.join(F.broadcast(ref), "fp", "left_semi")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )

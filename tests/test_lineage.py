@@ -925,3 +925,25 @@ def test_vendor_ddl_options_stripped_and_extracted(spark):
         "SELECT engine, compress FROM dw.tab10 WHERE storage = 1"
     )
     assert applied == []
+
+
+def test_activity_count_substituted(spark):
+    """Teradata ACTIVITY_COUNT (Bingql.g4:1416) — the reference parses it
+    and extracts nothing; the shim substitutes a neutral literal so the
+    surrounding statement still extracts its real lineage."""
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+    from kachess_spark.lineage.preprocess import rewrite_dialect
+
+    s, applied = rewrite_dialect(
+        "SELECT col101s, ACTIVITY_COUNT AS rows_touched FROM dw.tab10"
+    )
+    assert "ACTIVITY_COUNT→literal" in applied and "ACTIVITY_COUNT" not in s
+
+    sess = LineageSession(spark, fixture_metastore(), seed=1000)
+    sess.extract_script(
+        "SELECT col101s, ACTIVITY_COUNT AS rows_touched FROM dw.tab10;"
+    )
+    assert not sess.skipped
+    names = {it.name for d in sess.store.datasets for it in d.items}
+    assert {"col101s", "rows_touched"} <= names

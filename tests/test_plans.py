@@ -330,3 +330,30 @@ def test_cache_serves_second_use(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         cleaned.unpersist()
+
+
+def test_bloom_reference_probe_is_broadcast(spark, sf_dir):
+    """dedup_bloom_reference: the big (new-docs) side must never
+    shuffle — the mask probe is a broadcast nested-loop over one row,
+    the verify is a broadcast semi-join, and everything stays JVM-side."""
+    from kachess_spark.pipeline.dedup import dedup_bloom_reference
+
+    df = dedup_bloom_reference(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # would mean the big side shuffled
+    assert "Broadcast" in plan
+
+
+def test_cms_build_is_partial_and_jvm(spark, sf_dir):
+    """Relational count-min sketch: counter cells partial-aggregate
+    map-side; probes broadcast-join the tiny cell table; no Python."""
+    from kachess_spark.operators.aggregates import agg_count_min_sketch
+
+    df = agg_count_min_sketch(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower()
+    assert "BroadcastHashJoin" in plan
