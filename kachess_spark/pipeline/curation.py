@@ -213,3 +213,83 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
         .orderBy("contaminated_doc")
     )
+
+
+# ------------------------------------------------------ sequence packing
+
+_CTX_TOKENS = 2048  # context-window capacity (whitespace tokens)
+_PACK_BLOCK = 1000  # doc_ids per prefix-sum block
+
+
+_PACK_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      FROM d
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {_CTX_TOKENS} AS bin,
+           start_offset % {_CTX_TOKENS} AS offset_in_bin
+    FROM c
+    ORDER BY doc_id
+"""
+
+
+@query("pipeline_sequence_pack", _PACK_ORACLE)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate the document stream
+    in doc_id order and chunk it into {_CTX_TOKENS}-token context
+    windows — each doc gets its global token offset, window (bin) index,
+    and position within the window.  This is the concat-and-chunk packing
+    used to build training batches (documents may straddle windows).
+
+    Scale design: a naive `SUM() OVER (ORDER BY doc_id)` is a
+    SINGLE-PARTITION window — the classic 100 TB non-starter.  This runs
+    the distributed two-phase prefix sum instead: per-block local
+    cumsums (shuffle-partitioned by block), block totals aggregated to a
+    metadata-sized frame whose own cumsum is broadcast back, and
+    start = block_prefix + local_prefix.  The oracle's single window is
+    the semantic spec; the two-phase plan is the executable one.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.expr(f"doc_id div {_PACK_BLOCK}").alias("blk"),
+    )
+    w_local = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    blk_totals = d.groupBy("blk").agg(F.sum("n_tokens").alias("blk_total"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_prefix = blk_totals.select(
+        "blk",
+        F.coalesce(F.sum("blk_total").over(w_blk), F.lit(0)).alias(
+            "blk_prefix"
+        ),
+    )
+    start = (F.col("blk_prefix") + F.col("local_prefix")).cast("bigint")
+    return (
+        local.join(F.broadcast(blk_prefix), "blk")
+        .select("doc_id", "n_tokens", start.alias("start_offset"))
+        # integer div, not float: token offsets exceed 2^53 at real scale
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset div {_CTX_TOKENS}").alias("bin"),
+            (F.col("start_offset") % _CTX_TOKENS).alias("offset_in_bin"),
+        )
+        .orderBy("doc_id")
+    )

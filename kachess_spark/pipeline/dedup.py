@@ -401,7 +401,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COS_THRESHOLD = 0.35
 _SIGN_BITS = 8  # minimum bucket width: sign pattern of first 8 components
-_TARGET_BUCKET = 256  # aim for ~this many vectors per bucket
+_TARGET_BUCKET = 8  # aim for ~this many vectors per bucket
 PDEC = "decimal(28,14)"  # exact deterministic dot-product sums
 
 
@@ -413,7 +413,8 @@ def emb_sign_bits(n_vectors: int, dim: int = 64) -> int:
         bits = max(_SIGN_BITS, ceil(log2(n / _TARGET_BUCKET)))
 
     keeps expected bucket size ~_TARGET_BUCKET regardless of n
-    (n=65k → 8 bits, n=1e9 → 22 bits, capped at dim-1 sign components;
+    (n≤8k → 8 bits, n=65k → 11 bits, n=1e9 → 25 bits, capped at dim-1
+    sign components;
     past that, switch to derived random hyperplanes —
     similarity.hyperplane_bucket — which supply unlimited planes).
     A fixed 8-bit bucket would go quadratic at billions of vectors."""
@@ -496,8 +497,19 @@ def dedup_embedding_cosine(
     t = Tables(spark, sf_dir)
     if sign_bits is None:
         sign_bits = emb_sign_bits(t.embeddings.count())
+    # per-VECTOR norm computed once before the pair join (n folds, not
+    # n·bucket/2), as an in-array DECIMAL fold — exact addition is
+    # order-independent, so this matches the oracle's any-order SUM
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}),"
+        f" (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
+    )
     b = t.embeddings.select(
-        "vec_id", "embedding", F.expr(_emb_bucket_spark(sign_bits)).alias("bucket")
+        "vec_id",
+        "embedding",
+        F.expr(_emb_bucket_spark(sign_bits)).alias("bucket"),
+        norm.alias("nrm"),
     )
     cand = (
         b.alias("a")
@@ -511,20 +523,18 @@ def dedup_embedding_cosine(
             F.col("b2.vec_id").alias("vb"),
             F.col("a.embedding").alias("ea"),
             F.col("b2.embedding").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b2.nrm").alias("nb"),
         )
     )
-    expl = cand.select(
-        "va", "vb", F.posexplode("ea").alias("pos", "_av"), "eb"
-    ).select(
-        "va",
-        "vb",
-        F.col("_av").cast("double").alias("av"),
-        F.element_at("eb", F.col("pos") + 1).cast("double").alias("bv"),
-    )
-    dots = expl.groupBy("va", "vb").agg(
-        F.sum((F.col("av") * F.col("bv")).cast(PDEC)).alias("dot"),
-        F.sum((F.col("av") * F.col("av")).cast(PDEC)).alias("na"),
-        F.sum((F.col("bv") * F.col("bv")).cast(PDEC)).alias("nb"),
+    # per-PAIR dot product as a zip_with + DECIMAL fold: stays inside
+    # whole-stage codegen, no explode, no per-pair shuffle (the previous
+    # posexplode → groupBy shape shuffled 64 rows per candidate pair —
+    # the dominant cost at scale)
+    dot = F.expr(
+        f"aggregate(zip_with(ea, eb, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
     )
     cos = F.round(
         F.col("dot").cast("double")
@@ -532,7 +542,8 @@ def dedup_embedding_cosine(
         6,
     )
     return (
-        dots.select(
+        cand.withColumn("dot", dot)
+        .select(
             F.col("va").alias("vec_a"),
             F.col("vb").alias("vec_b"),
             cos.alias("cosine"),
@@ -789,6 +800,8 @@ def dedup_bloom_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table; the membership key is a leading-content fingerprint
     (md5 of the first 5 canonical words) — the boilerplate-catcher.
     """
+    import math
+
     t = Tables(spark, sf_dir)
     fp_all = t.documents.select(
         "doc_id", F.expr(_BLOOM_FP_SPARK).alias("fp")
@@ -796,14 +809,19 @@ def dedup_bloom_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = fp_all.where(F.col("doc_id") % 10 < 3).select("fp")
     new = fp_all.where(F.col("doc_id") % 10 >= 3)
 
-    mask = bloom_bitmask(ref)
+    # size the filter to the reference corpus: ~16 bits/element keeps the
+    # false-positive rate (and so the verify-join volume) constant as the
+    # reference grows — a fixed m degrades toward match-everything
+    n_ref = ref.count()
+    m = 1 << max(16, math.ceil(math.log2(max(1, 16 * n_ref))))
+    mask = bloom_bitmask(ref, m=m)
     mask_df = spark.createDataFrame([(mask,)], "mask array<bigint>")
 
     bit_tests = [
         F.expr(
             f"(shiftright(element_at(mask, "
-            f"CAST(pmod(xxhash64({h}, fp), {_BLOOM_M}) div 64 AS INT) + 1), "
-            f"CAST(pmod(xxhash64({h}, fp), {_BLOOM_M}) % 64 AS INT)) & 1) = 1"
+            f"CAST(pmod(xxhash64({h}, fp), {m}) div 64 AS INT) + 1), "
+            f"CAST(pmod(xxhash64({h}, fp), {m}) % 64 AS INT)) & 1) = 1"
         )
         for h in range(_BLOOM_K)
     ]
@@ -816,5 +834,84 @@ def dedup_bloom_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         candidates.join(F.broadcast(ref), "fp", "left_semi")
         .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------- span-level overlap
+
+SPAN_N = 8  # words per span — exact-substring dedup granularity
+
+
+_SPAN_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_CANON_SQL}, ' ') AS ws FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, span FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(ws) - {SPAN_N - 2}),
+          i -> array_to_string(ws[i:i+{SPAN_N - 1}], ' ')))) AS span
+        FROM w WHERE len(ws) >= {SPAN_N}
+      )
+    ),
+    own AS (SELECT span, min(doc_id) AS first_doc FROM sp GROUP BY span)
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           CAST(SUM(CASE WHEN o.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN o.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS dup_ratio
+    FROM sp s JOIN own o ON s.span = o.span
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+"""
+
+
+@query("dedup_span_overlap", _SPAN_ORACLE)
+def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (exact-substring) duplication profile: per document,
+    the fraction of its distinct {SPAN_N}-word spans already present in
+    an earlier (lower doc_id) document — the keep-first primitive of
+    substring-granular training-data dedup, where near-identical docs
+    that survive doc-level dedup still leak repeated passages.
+
+    Scale shape: one explode to (doc, span) rows, a min-aggregation per
+    span for first-occurrence attribution, and a join back — the groupBy
+    and the join share the span-hash partitioning, so this is ONE
+    logical shuffle over the span stream with map-side combine.  At
+    100 TB you'd hash the span to a 64-bit fingerprint first (xxhash64)
+    to shrink shuffle bytes ~10×; semantics are identical modulo
+    negligible collisions.
+    """
+    t = Tables(spark, sf_dir)
+    spans = (
+        t.documents.select(
+            "doc_id", F.expr(_WORDS_EXPR).alias("words")
+        )
+        .where(F.size("words") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, size(words) - {SPAN_N - 1}),"
+                    f" i -> concat_ws(' ', slice(words, i, {SPAN_N}))))"
+                )
+            ).alias("span"),
+        )
+    )
+    own = spans.groupBy("span").agg(F.min("doc_id").alias("first_doc"))
+    dup = F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        spans.join(own, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
         .orderBy("doc_id")
     )

@@ -357,3 +357,17 @@ def test_cms_build_is_partial_and_jvm(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "partial" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_pack_prefix_sum_is_distributed(spark, sf_dir):
+    """pipeline_sequence_pack: the per-doc cumulative sum must run
+    partitioned by block (hashpartitioning on blk) — only the
+    metadata-sized block-totals frame may pass through a single
+    partition."""
+    from kachess_spark.pipeline.curation import pipeline_sequence_pack
+
+    df = pipeline_sequence_pack(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "hashpartitioning(blk" in plan
+    assert "EvalPython" not in plan

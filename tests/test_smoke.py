@@ -245,10 +245,12 @@ def test_emb_sign_bits_sizing():
     from kachess_spark.pipeline.dedup import emb_sign_bits
 
     assert emb_sign_bits(500) == 8  # test corpus → oracle's 8 bits
-    assert emb_sign_bits(65_536) == 8
-    assert emb_sign_bits(1_000_000) == 12
-    assert emb_sign_bits(1_000_000_000) == 22
-    assert emb_sign_bits(10**15) == 42
+    assert emb_sign_bits(2_048) == 8  # largest n on the oracle's width
+    assert emb_sign_bits(8_192) == 10
+    assert emb_sign_bits(65_536) == 13
+    assert emb_sign_bits(1_000_000) == 17
+    assert emb_sign_bits(1_000_000_000) == 27
+    assert emb_sign_bits(10**15) == 47
     assert emb_sign_bits(10**22) == 63  # capped at dim-1 sign components
 
 

@@ -59,10 +59,24 @@ def build(spark, k: int) -> str:
             shutil.copy2(table_path(BASE_SF, name), table_path(out, name))
         for name, (key, offset) in FACTS.items():
             df = load_table(spark, BASE_SF, name)
-            parts = [
-                df.withColumn(key, F.col(key) + F.lit(i * offset))
-                for i in range(k)
-            ]
+            parts = []
+            for i in range(k):
+                p = df.withColumn(key, F.col(key) + F.lit(i * offset))
+                if name == "embeddings" and i > 0:
+                    # rotate each replica's vector so replicas are DISTINCT
+                    # vectors (verbatim copies make every replica pair a
+                    # true near-duplicate — the pair-output operators would
+                    # then measure quadratic TRUE-DUP growth, a property of
+                    # the fixture, not of the plan under test)
+                    p = p.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {i + 1}, "
+                            f"size(embedding) - {i}), "
+                            f"slice(embedding, 1, {i}))"
+                        ),
+                    )
+                parts.append(p)
             u = parts[0]
             for p in parts[1:]:
                 u = u.unionByName(p)
@@ -98,7 +112,11 @@ def main() -> None:
     spark = get_spark("kachess-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    base = run(spark, BASE_SF, queries)  # warm + baseline
+    # steady-state warmup (JIT codegen per query shape) so the base
+    # measurement isn't first-call-compilation-bound — a polluted base
+    # under-reports the true 8x ratio
+    run(spark, "/root/testdata/sf0.001", queries)
+    base = run(spark, BASE_SF, queries)
     probe_dir = build(spark, k)
     big = run(spark, probe_dir, queries)
     ratios = {q: round(big[q] / base[q], 2) if base[q] else None for q in queries}
