@@ -859,3 +859,76 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+_Q2_ORACLE = """
+    WITH eur AS (
+      SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name,
+             l.l_extendedprice / l.l_quantity AS unit_cost
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY' AND p.p_size <= 10
+    ),
+    mins AS (SELECT p_partkey, min(unit_cost) AS min_cost FROM eur GROUP BY 1)
+    SELECT DISTINCT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_brand
+    FROM eur e JOIN mins m
+      ON e.p_partkey = m.p_partkey AND e.unit_cost = m.min_cost
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
+    LIMIT 100
+"""
+
+
+@query("tpch_q2_min_cost_supplier", _Q2_ORACLE)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp-free): for each qualifying part, the
+    EUROPE supplier(s) offering it at the minimum unit cost — the
+    classic correlated-scalar-MIN pattern (`cost = (SELECT min(cost)
+    … WHERE same part)`), decorrelated the way Catalyst itself does:
+    aggregate the minima per part, equi-join back.
+
+    Scale plan: part/supplier/nation/region are dims → broadcast; the
+    only fact-sized work is one scan of lineitem and one shuffle to the
+    per-part minima (map-side combined); the min frame re-joins
+    broadcast (≤ #parts rows).  unit_cost is a per-row IEEE division —
+    bit-identical in any engine, so the min-equality join is exact.
+    """
+    t = Tables(spark, sf_dir)
+    eur = (
+        t.part.where((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t.region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    mins = (
+        eur.groupBy("p_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("p_partkey", "m_partkey")
+    )
+    return (
+        eur.join(
+            broadcast(mins),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )

@@ -365,6 +365,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     sh = simhash(t.documents)
+    # materialize the banded signatures before the self-join — otherwise
+    # BOTH join sides recompute the full shingle→md5→32-vote pipeline
+    # (localCheckpoint here; persist(DISK_ONLY) at cluster scale)
     bands = (
         sh.select(
             "doc_id",
@@ -375,6 +378,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_val",
             F.expr("(simhash >> (8 * k)) & 255"),
         )
+        .localCheckpoint(eager=False)
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
