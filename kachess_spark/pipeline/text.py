@@ -536,3 +536,85 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------------- linear quality classifier
+
+# Fixed logistic-head weights over cheap features (a stand-in for a
+# trained fastText/logreg quality model; weights would ship as a config
+# dim at 100 TB and broadcast in — plan identical)
+_QC_W_TOKENS = 0.35  # log1p(token count)
+_QC_W_WORDLEN = 0.8  # mean word length
+_QC_W_PUNCT = -20.0  # punctuation ratio
+_QC_W_STOP = 2.5  # stopword density
+_QC_BIAS = -4.0
+
+
+_QC_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id,
+             ln(1 + len(list_filter(string_split(text, ' '), w -> w <> '')))
+               AS log_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS mean_wordlen,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST({_oracle_lang_score("en")} AS DOUBLE) * 5
+               / length(text) AS stop_density
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND({_QC_W_TOKENS} * log_tokens + {_QC_W_WORDLEN} * mean_wordlen
+                 + {_QC_W_PUNCT} * punct_ratio + {_QC_W_STOP} * stop_density
+                 + {_QC_BIAS}, 6) AS logit,
+           CASE WHEN {_QC_W_TOKENS} * log_tokens
+                     + {_QC_W_WORDLEN} * mean_wordlen
+                     + {_QC_W_PUNCT} * punct_ratio
+                     + {_QC_W_STOP} * stop_density + {_QC_BIAS} > 0
+                THEN 1 ELSE 0 END AS keep
+    FROM f
+    ORDER BY doc_id
+"""
+
+
+@query("text_quality_classifier", _QC_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a logistic-regression head over
+    cheap text features (log token count, mean word length, punctuation
+    ratio, stopword density), entirely in whole-stage codegen — the
+    shape of a fastText/linear quality classifier without leaving the
+    JVM.  Emits the LINEAR logit (pure IEEE multiply/add — bit-identical
+    across engines) rather than sigmoid(logit): exp() implementations
+    may differ by 1 ulp between engines, and the sigmoid is monotone, so
+    thresholding the logit at 0 is the same decision as p > 0.5.
+
+    Scale: per-row projection only — no shuffle, no UDF; at 100 TB the
+    weight vector arrives as a broadcast config row instead of literals.
+    """
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    words = F.filter(F.split(text, " "), lambda w: w != "")
+    n_tokens = F.size(words)
+    log_tokens = F.log1p(n_tokens.cast("double"))
+    mean_wordlen = (
+        F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(text, "[^.,!?;:]", "")).cast("double")
+        / F.length(text)
+    )
+    stop_density = _lang_score(text, "en").cast("double") * 5 / F.length(text)
+    logit = (
+        F.lit(_QC_W_TOKENS) * log_tokens
+        + F.lit(_QC_W_WORDLEN) * mean_wordlen
+        + F.lit(_QC_W_PUNCT) * punct_ratio
+        + F.lit(_QC_W_STOP) * stop_density
+        + F.lit(_QC_BIAS)
+    )
+    return t.documents.select(
+        "doc_id",
+        F.round(logit, 6).alias("logit"),
+        F.when(logit > 0, 1).otherwise(0).alias("keep"),
+    ).orderBy("doc_id")
