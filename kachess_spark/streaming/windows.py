@@ -598,3 +598,101 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ------------------------------------------------------ trending top-k
+
+_TRENDING_K = 3
+
+_TRENDING_ORACLE = f"""
+SELECT window_epoch, event_type, cnt, rk FROM (
+  SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_epoch,
+         event_type, count(*) AS cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY (floor(epoch(ts) / 3600) * 3600)::BIGINT
+           ORDER BY count(*) DESC, event_type) AS rk
+  FROM events
+  GROUP BY 1, 2
+)
+WHERE rk <= {_TRENDING_K}
+ORDER BY window_epoch, rk
+"""
+
+
+@query("stream_trending_topk", _TRENDING_ORACLE)
+def trending_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming trending detection: per 1-hour window,
+    the top-{_TRENDING_K} event types by count (deterministic tiebreak
+    on event_type).  One windowed aggregation, then a per-window rank —
+    the rank's partition is the window key, so its shuffle reuses the
+    aggregation's partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("w").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TRENDING_K)
+        .select(
+            F.unix_timestamp("w.start").alias("window_epoch"),
+            "event_type",
+            "cnt",
+            "rk",
+        )
+        .orderBy("window_epoch", "rk")
+    )
+
+
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending: the windowed counts run as a watermarked
+    streaming aggregation (bounded state); the per-window rank — not
+    expressible inside a streaming query — applies in ``foreachBatch``
+    over each emitted batch of finalized windows, the standard
+    two-stage trending-detector shape.  Returns the final ranked table
+    (compare to ``stream_trending_topk``)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from kachess_spark.operators.sinks import _scratch
+
+    out_root = _scratch("trending_topk")
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+    out_dir = os.path.join(out_root, "data")
+
+    ev = stream_events(spark, sf_dir)
+    counts = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("w").orderBy(F.col("cnt").desc(), "event_type")
+        (
+            batch_df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _TRENDING_K)
+            .select(
+                F.unix_timestamp("w.start").alias("window_epoch"),
+                "event_type",
+                "cnt",
+                "rk",
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counts.writeStream.foreachBatch(rank_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir).orderBy("window_epoch", "rk")

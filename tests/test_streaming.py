@@ -175,3 +175,18 @@ def test_streaming_file_sink_exactly_once(spark, sf_dir, tmp_path):
         got.groupBy("event_type").count().orderBy("event_type").collect()
         == want.groupBy("event_type").count().orderBy("event_type").collect()
     )
+
+
+def test_streaming_trending_topk(spark, sf_dir):
+    """foreachBatch-ranked trending top-k must agree with the batch twin
+    (static source + availableNow drains everything into one final
+    window set)."""
+    from kachess_spark.streaming.windows import (
+        streaming_trending_topk,
+        trending_topk_batch,
+    )
+
+    got = sorted(map(tuple, streaming_trending_topk(spark, sf_dir).collect()))
+    want = sorted(map(tuple, trending_topk_batch(spark, sf_dir).collect()))
+    assert got == want
+    assert len(got) > 0
