@@ -293,3 +293,52 @@ def test_pagerank_mass_bounded(spark):
     total = sum(ranks.values())
     assert 0 < total <= 6 * INIT <= SCALE * 6 // 6
     assert all(r > 0 for r in ranks.values())
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_phase_prefix_sum_matches_naive(spark, token_counts, block):
+    """pipeline_sequence_pack's distributed two-phase prefix sum must
+    equal the naive running sum for any token-count sequence and block
+    size (blocks are an internal partitioning detail, invisible in the
+    result)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    d = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint").select(
+        "doc_id", "n_tokens", F.expr(f"doc_id div {block}").alias("blk")
+    )
+    w_local = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    blk_totals = d.groupBy("blk").agg(F.sum("n_tokens").alias("t"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_prefix = blk_totals.select(
+        "blk", F.coalesce(F.sum("t").over(w_blk), F.lit(0)).alias("p")
+    )
+    got = {
+        r["doc_id"]: r["start"]
+        for r in local.join(blk_prefix, "blk")
+        .select(
+            "doc_id", (F.col("p") + F.col("local_prefix")).alias("start")
+        )
+        .collect()
+    }
+    acc, want = 0, {}
+    for i, n in rows:
+        want[i] = acc
+        acc += n
+    assert got == want
