@@ -293,3 +293,46 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------- stratified sampling
+
+_STRATA_K = 20  # docs kept per language
+
+
+_STRATA_ORACLE = f"""
+    SELECT doc_id, lang, draw_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS draw_rank
+      FROM documents
+    )
+    WHERE draw_rank <= {_STRATA_K}
+    ORDER BY lang, draw_rank
+"""
+
+
+@query("pipeline_stratified_sample", _STRATA_ORACLE)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: exactly {_STRATA_K} documents per
+    language, drawn by content-hash order — seedless, reproducible on
+    any engine, and EXACT per stratum (TABLESAMPLE and rand() give
+    binomial counts, which breaks downstream mixture math).
+
+    Scale: one shuffle on the stratum key; the rank is partition-local
+    after it.  For strata too large for one task, the standard refinement
+    is a pre-filter on the hash prefix (keep ~2k/|stratum| of rows
+    cheaply map-side, then rank exactly) — same plan shape.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", F.row_number().over(w).alias("draw_rank")
+        )
+        .where(F.col("draw_rank") <= _STRATA_K)
+        .orderBy("lang", "draw_rank")
+    )

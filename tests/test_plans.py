@@ -371,3 +371,15 @@ def test_sequence_pack_prefix_sum_is_distributed(spark, sf_dir):
     plan = _plan(df)
     assert "hashpartitioning(blk" in plan
     assert "EvalPython" not in plan
+
+
+def test_span_overlap_partial_agg_jvm(spark, sf_dir):
+    """dedup_span_overlap: span stream partial-aggregates map-side into
+    the first-occurrence minima; everything stays JVM-side."""
+    from kachess_spark.pipeline.dedup import dedup_span_overlap
+
+    df = dedup_span_overlap(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower()
