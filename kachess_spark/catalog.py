@@ -37,6 +37,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        # timestamp semantics must not depend on who built the session
+        # (the external driver supplies its own): epoch arithmetic in the
+        # oracles assumes UTC, and this conf is runtime-settable
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet.  Depending on the Spark
         # build it arrives as (a) timestamp_ntz — native nanos support,
