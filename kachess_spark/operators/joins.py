@@ -673,3 +673,49 @@ def join_salted_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+_HINT_ORACLE = """
+    SELECT n.n_name, count(*) AS n_suppliers,
+           CAST(SUM(CAST(floor(s.s_acctbal * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+def hint_join_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hinted-join plan itself (plan-asserted in tests/test_plans.py
+    inside its own no-auto-broadcast conf window)."""
+    from kachess_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */
+               n.n_name, count(*) AS n_suppliers,
+               CAST(SUM(CAST(floor(s.s_acctbal * 10000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 10000 AS total_bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )
+
+
+@query("join_hint_broadcast", _HINT_ORACLE)
+def join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL join-strategy hints (`/*+ BROADCAST(n) */`): the hint — not
+    the size estimate — picks the join strategy.  Forced observable by
+    disabling the automatic broadcast threshold during planning
+    (materialized inside the conf window), so only the hint can produce
+    the BroadcastHashJoin.  At 100 TB hints are how you pin a strategy
+    the optimizer's stats would get wrong (e.g. a filtered dim whose
+    post-filter size the estimator overstates)."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return hint_join_build(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

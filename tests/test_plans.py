@@ -383,3 +383,20 @@ def test_span_overlap_partial_agg_jvm(spark, sf_dir):
     plan = _plan(df)
     assert "EvalPython" not in plan
     assert "partial" in plan.lower()
+
+
+def test_broadcast_hint_overrides_threshold(spark, sf_dir):
+    """join_hint_broadcast: with auto-broadcast disabled, only the SQL
+    hint can produce the broadcast join."""
+    from kachess_spark.operators.joins import hint_join_build
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = hint_join_build(spark, sf_dir)
+        df.count()
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
