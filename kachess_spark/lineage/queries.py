@@ -392,3 +392,85 @@ def lineage_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("impacted_item_id", F.col("distance").cast("long").alias("distance"))
         .orderBy("impacted_item_id")
     )
+
+
+_CORPUS_V2 = """
+SELECT col101s, max(col103i, col303i) as max_int, tab40_str,
+       col300l as shipment_key
+FROM dw.tab10 a
+JOIN stage.tab30 b ON a.col100l = b.col300l
+LEFT JOIN (
+    SELECT c.*, d.* FROM dw.tab20 c
+    JOIN (
+        SELECT col400l, col403i, col401s as tab40_str FROM adhoc.tab40
+    ) d ON c.col200l = d.col400l
+    WHERE col403i = 100
+) k ON a.col100l = k.col200l
+WHERE a.col101s IS NOT NULL
+;
+"""
+
+
+@query("lineage_script_diff")  # driver-side parse → rows-only check
+def lineage_script_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact diff between two versions of a script: extract both,
+    compare the (source physical column → output column name) edge sets,
+    and report each edge as added / removed / kept — the change-review
+    question lineage systems exist to answer ("what does this edit to
+    the ETL break downstream?").
+
+    v2 drops the yn_flag output and the col202b filter dependency and
+    adds a shipment_key output — the diff must surface exactly those.
+    Driver-side parse (no SQL oracle); the edge-shape assertions live in
+    tests/test_lineage_queries.py.
+    """
+    from kachess_spark.lineage.extractor import LineageSession
+    from kachess_spark.lineage.metastore import fixture_metastore
+
+    def out_edges(script: str) -> set[tuple[str, str, str]]:
+        sess = LineageSession(spark, fixture_metastore(), seed=1000)
+        sess.extract_script(script)
+        store = sess.store
+        items = {}
+        owner_type = {}
+        for ds in store.datasets:
+            for it in ds.items + ds.filter_items + ds.join_items:
+                items[it.id] = (it, ds)
+        # physical roots = items owned by TABLE datasets
+        edges = set()
+
+        def roots(iid, seen):
+            if iid in seen:
+                return set()
+            seen.add(iid)
+            it, ds = items.get(iid, (None, None))
+            if it is None:
+                return set()
+            if ds.type == "TABLE":
+                return {f"{ds.schema_name}.{ds.table_name}.{it.name}"}
+            out = set()
+            for pid in it.parents:
+                out |= roots(pid, seen)
+            return out
+
+        # top-level outputs: the outermost SELECT is the SUBQUERY dataset
+        # created last (children extract before parents), i.e. max id
+        subs = [d for d in store.datasets if d.type == "SUBQUERY"]
+        top = max(subs, key=lambda d: d.id) if subs else None
+        if top is None:
+            return set()
+        for it in top.items:
+            for r in roots(it.id, set()):
+                edges.add((r, it.name or it.definition, it.usage_context))
+        return edges
+
+    v1 = out_edges(_CORPUS)
+    v2 = out_edges(_CORPUS_V2)
+    rows = (
+        [(s, o, "removed") for (s, o, _) in sorted(v1 - v2)]
+        + [(s, o, "added") for (s, o, _) in sorted(v2 - v1)]
+        + [(s, o, "kept") for (s, o, _) in sorted(v1 & v2)]
+    )
+    return spark.createDataFrame(
+        rows, "source_column string, output_column string, change string"
+    ).orderBy("change", "source_column", "output_column")

@@ -60,3 +60,18 @@ def test_dashboard_columns_golden(spark):
         (1, "stage", "tab30", "col300l"),
         (1, "stage", "tab30", "col303i"),
     ]
+
+
+def test_lineage_script_diff_shape(spark, sf_dir):
+    """v1→v2 edit drops yn_flag (and its col102b source), adds
+    shipment_key from tab30.col300l, keeps the rest."""
+    from kachess_spark.lineage.queries import lineage_script_diff
+
+    rows = {
+        (r["source_column"], r["output_column"]): r["change"]
+        for r in lineage_script_diff(spark, sf_dir).collect()
+    }
+    assert rows[("dw.tab10.col102b", "yn_flag")] == "removed"
+    assert rows[("stage.tab30.col300l", "shipment_key")] == "added"
+    assert rows[("adhoc.tab40.col401s", "tab40_str")] == "kept"
+    assert rows[("dw.tab10.col103i", "max_int")] == "kept"
