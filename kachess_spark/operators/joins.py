@@ -719,3 +719,94 @@ def join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hint_join_build(spark, sf_dir).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+_SCD2_ASOF_ORACLE = """
+    WITH dim AS (
+      SELECT c_custkey,
+             CASE WHEN v = 1 AND changed THEN c_mktsegment
+                  WHEN v = 2 THEN 'PREMIUM'
+                  ELSE c_mktsegment END AS segment,
+             CASE WHEN v = 2 THEN DATE '1996-01-01'
+                  ELSE DATE '1990-01-01' END AS valid_from,
+             CASE WHEN v = 1 AND changed THEN DATE '1996-01-01'
+                  ELSE DATE '9999-12-31' END AS valid_to
+      FROM (
+        SELECT c_custkey, c_mktsegment,
+               (c_acctbal > 9000 AND c_mktsegment <> 'PREMIUM') AS changed
+        FROM customer
+      ), (SELECT unnest(range(1, 3)) AS v)
+      WHERE v = 1 OR changed
+    )
+    SELECT d.segment, count(*) AS n_orders,
+           CAST(SUM(CAST(floor((o.o_totalprice) * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+              AND o.o_orderdate >= d.valid_from
+              AND o.o_orderdate < d.valid_to
+    GROUP BY d.segment
+    ORDER BY d.segment
+"""
+
+
+@query("join_scd2_asof", _SCD2_ASOF_ORACLE)
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join: facts pick the SCD-2 version effective
+    AT the fact's own date (`valid_from <= o_orderdate < valid_to`) —
+    the as-of join every star schema with history runs.  The versioned
+    dim is the sink_upsert_scd2 construction (conditionally exploded
+    version structs).
+
+    Scale plan: the dim (≤2 versions/key) broadcasts; the fact side
+    joins on the equi-key with the validity range as a residual
+    predicate inside the broadcast hash join — no shuffle of facts, no
+    range-join blowup (each fact matches exactly one version by
+    construction)."""
+    t = Tables(spark, sf_dir)
+    eff, lo, hi = "1996-01-01", "1990-01-01", "9999-12-31"
+    base = t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        (
+            (F.col("c_acctbal") > 9000)
+            & (F.col("c_mktsegment") != "PREMIUM")
+        ).alias("changed"),
+    )
+    versions = F.when(
+        F.col("changed"),
+        F.array(
+            F.struct(
+                F.col("c_mktsegment").alias("segment"),
+                F.lit(lo).cast("date").alias("valid_from"),
+                F.lit(eff).cast("date").alias("valid_to"),
+            ),
+            F.struct(
+                F.lit("PREMIUM").alias("segment"),
+                F.lit(eff).cast("date").alias("valid_from"),
+                F.lit(hi).cast("date").alias("valid_to"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("c_mktsegment").alias("segment"),
+                F.lit(lo).cast("date").alias("valid_from"),
+                F.lit(hi).cast("date").alias("valid_to"),
+            )
+        )
+    )
+    dim = base.select(
+        "c_custkey", F.explode(versions).alias("v")
+    ).select("c_custkey", "v.segment", "v.valid_from", "v.valid_to")
+    return (
+        t.orders.join(
+            broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .orderBy("segment")
+    )
