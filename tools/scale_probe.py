@@ -76,6 +76,22 @@ def build(spark, k: int) -> str:
                             f"slice(embedding, 1, {i}))"
                         ),
                     )
+                if name == "documents" and i > 0:
+                    # same for text: salt every word with the replica index
+                    # — intra-replica near-dup structure is preserved (both
+                    # sides of a dup pair get the same salt, so shingle
+                    # equality within a replica is unchanged) while
+                    # cross-replica shingles become distinct, so LSH/simhash
+                    # pair outputs grow linearly, not as true-dup cliques.
+                    # (A cyclic word rotation is NOT enough: 3-gram shingle
+                    # sets are rotation-invariant.)
+                    p = p.withColumn(
+                        "text",
+                        F.expr(
+                            "concat_ws(' ', transform(split(text, ' '),"
+                            f" w -> concat(w, '_{i}')))"
+                        ),
+                    )
                 parts.append(p)
             u = parts[0]
             for p in parts[1:]:
