@@ -34,24 +34,40 @@ def money(col: str | Column) -> Column:
     """Fixed-point encode: floor(x*1e4 + 0.5) as bigint.
 
     Pure IEEE double ops — bit-identical in any engine — then exact
-    integer summation.  Headroom: int64 holds ~9e14 units·rows of slack
-    beyond 100 TB-scale totals (1e13 rows × ~1e5 value × 1e4 scale needs
-    a two-level sum; for per-group sums this is ample).
+    integer summation.  Summations of this encoding go through a
+    DECIMAL(38,0) accumulator (``dsum``/``davg`` and the direct
+    call sites): a global sum over ~1e13 rows of ~1e10-unit scaled
+    values exceeds int64, which Spark 4's default ANSI mode turns into
+    a hard query failure exactly at target scale.  The wide accumulator
+    is measured at parity with the long one locally, and DuckDB's
+    BIGINT sum already widens to int128.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.floor(c * _SCALE + F.lit(0.5)).cast("bigint")
 
 
 def dsum(col: str | Column, alias: str) -> Column:
-    """Deterministic fixed-point sum of a double expression (as double)."""
-    return (F.sum(money(col)).cast("double") / _SCALE).alias(alias)
+    """Deterministic fixed-point sum of a double expression (as double).
+
+    The accumulator is DECIMAL(38,0), not BIGINT: a global sum over
+    ~1e13 rows of 1e10-unit scaled values exceeds int64, which under
+    Spark 4's default ANSI mode fails the query at exactly the scale
+    this engine targets (and silently wraps with ANSI off).  The wide
+    accumulator measures identically fast locally and is exact to 38
+    digits; DuckDB's BIGINT sum already widens to int128."""
+    return (
+        F.sum(money(col).cast("decimal(38,0)")).cast("double") / _SCALE
+    ).alias(alias)
 
 
 def davg(col: str | Column, alias: str) -> Column:
     """Deterministic average via fixed-point sum / count."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        F.sum(money(c)).cast("double") / _SCALE / F.count(c), 6
+        F.sum(money(c).cast("decimal(38,0)")).cast("double")
+        / _SCALE
+        / F.count(c),
+        6,
     ).alias(alias)
 
 

@@ -675,7 +675,7 @@ def sink_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_items"),
-            (F.sum(money("l_extendedprice")).cast("double") / 10000).alias(
+            (F.sum(money("l_extendedprice").cast("decimal(38,0)")).cast("double") / 10000).alias(
                 "total_price"
             ),
         )
@@ -760,7 +760,7 @@ def sink_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(money("o_totalprice")).alias("rev_scaled"),
+            F.sum(money("o_totalprice").cast("decimal(38,0)")).alias("rev_scaled"),
         )
         .write.mode("overwrite")
         .parquet(day_path)

@@ -357,7 +357,7 @@ def tpch_q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     per_part = (
         t.lineitem.groupBy("l_partkey")
-        .agg(F.sum(money("l_extendedprice")).alias("value_scaled"))
+        .agg(F.sum(money("l_extendedprice").cast("decimal(38,0)")).alias("value_scaled"))
     )
     total = per_part.agg(
         (F.lit(1.5) * F.sum("value_scaled").cast("double") / F.count("*")).alias(
@@ -573,7 +573,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_scaled"))
+        .agg(
+            F.sum(
+                money(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(38,0)")
+            ).alias("total_scaled")
+        )
     )
     best = revenue.agg(F.max("total_scaled").alias("best_scaled"))
     return (
@@ -675,7 +681,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            (F.sum(money("l_extendedprice")).cast("double") / 10000 / F.lit(7.0)).alias(
+            (F.sum(money("l_extendedprice").cast("decimal(38,0)")).cast("double") / 10000 / F.lit(7.0)).alias(
                 "avg_yearly"
             )
         )
@@ -843,7 +849,7 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     key_cust = t.customer.where(F.col("c_nationkey").isin(*_KEY_NATIONS))
     threshold = key_cust.where(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(money("c_acctbal")).cast("double") / 10000 / F.count("*")).alias(
+        (F.sum(money("c_acctbal").cast("decimal(38,0)")).cast("double") / 10000 / F.count("*")).alias(
             "avg_bal"
         )
     )

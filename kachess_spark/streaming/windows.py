@@ -472,7 +472,7 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_df.groupBy("user_id").agg(
             F.count("*").alias("d_events"),
-            F.sum(money("value")).alias("d_scaled"),
+            F.sum(money("value").cast("decimal(38,0)")).alias("d_scaled"),
         )
         sp = batch_df.sparkSession
         if os.path.exists(current):
