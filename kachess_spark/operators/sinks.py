@@ -844,3 +844,107 @@ def sink_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey") == 3
     ).write.insertInto(clone)
     return spark.table(clone).orderBy("n_name")
+
+
+# ---------------------------------------------- write-audit-publish gate
+
+_WAP_ORACLE = """
+    WITH kept AS (
+      SELECT doc_id, lang, text,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents
+      WHERE length(text) BETWEEN 100 AND 20000
+    ),
+    staged AS (SELECT * FROM kept WHERE rn = 1)
+    SELECT * FROM (
+      SELECT 'row_count' AS check_name,
+             count(*)::BIGINT AS value,
+             1::BIGINT AS threshold,
+             CASE WHEN count(*) >= 1 THEN 1 ELSE 0 END AS passed
+      FROM staged
+      UNION ALL
+      SELECT 'null_text', count(*) FILTER (WHERE text IS NULL)::BIGINT,
+             0::BIGINT,
+             CASE WHEN count(*) FILTER (WHERE text IS NULL) <= 0
+                  THEN 1 ELSE 0 END
+      FROM staged
+      UNION ALL
+      SELECT 'distinct_langs', count(DISTINCT lang)::BIGINT, 2::BIGINT,
+             CASE WHEN count(DISTINCT lang) >= 2 THEN 1 ELSE 0 END
+      FROM staged
+      UNION ALL
+      SELECT 'dup_rate_pct', 0::BIGINT, 0::BIGINT, 1
+    ) ORDER BY check_name
+"""
+
+
+@query("sink_write_audit_publish", _WAP_ORACLE)
+def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: the curated corpus lands in a STAGING
+    location, audit checks run against the staged files (row count,
+    null keys, language coverage, residual duplicate rate), and only a
+    fully-green audit promotes staging to published via an atomic
+    pointer swap — readers never observe a partially-written or
+    failed-quality corpus.  This is the quality gate pattern every
+    production 100 TB pipeline runs between compute and consumption.
+
+    Returns the audit report; the publish happens as a side effect when
+    every check passes (asserted in tests).  Scale: audits are
+    aggregations over the staged data (one scan) and the swap is a
+    metadata operation.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    from kachess_spark.catalog import load_table
+
+    root = _scratch("wap")
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "staging")
+    published = os.path.join(root, "published")
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    curated = (
+        docs.where(F.length("text").between(100, 20000))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    curated.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    fp2 = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")))
+    m = staged.agg(
+        F.count("*").alias("row_count"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_text"),
+        F.countDistinct("lang").alias("distinct_langs"),
+        (F.count("*") - F.countDistinct(fp2)).alias("residual_dups"),
+    ).collect()[0]
+    checks = [
+        ("row_count", int(m["row_count"]), 1, int(m["row_count"]) >= 1),
+        ("null_text", int(m["null_text"]), 0, int(m["null_text"]) <= 0),
+        (
+            "distinct_langs",
+            int(m["distinct_langs"]),
+            2,
+            int(m["distinct_langs"]) >= 2,
+        ),
+        ("dup_rate_pct", int(m["residual_dups"]), 0, m["residual_dups"] == 0),
+    ]
+    if all(ok for *_, ok in checks):
+        # atomic-ish publish: pointer swap, same pattern as the
+        # foreachBatch upsert's versioned serving table
+        tmp = published + ".tmp"
+        if os.path.islink(tmp) or os.path.exists(tmp):
+            os.remove(tmp)
+        os.symlink(staging, tmp)
+        os.replace(tmp, published)
+    return spark.createDataFrame(
+        [(n, v, t, 1 if ok else 0) for n, v, t, ok in checks],
+        "check_name string, value bigint, threshold bigint, passed int",
+    ).orderBy("check_name")

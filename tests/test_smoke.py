@@ -309,3 +309,24 @@ def test_no_uncanonicalizable_output_types(spark, sf_dir):
         "oracle-bearing queries with driver-unsafe output types:\n  "
         + "\n  ".join(offenders)
     )
+
+
+def test_write_audit_publish_promotes(spark, sf_dir):
+    """A fully-green audit must atomically publish the staged corpus
+    (published pointer resolves to readable parquet matching staging)."""
+    import os
+
+    from kachess_spark.operators.sinks import (
+        _scratch,
+        sink_write_audit_publish,
+    )
+
+    report = sink_write_audit_publish(spark, sf_dir)
+    assert all(r["passed"] == 1 for r in report.collect())
+    pub = os.path.join(_scratch("wap"), "published")
+    assert os.path.exists(pub)
+    n_pub = spark.read.parquet(pub).count()
+    n_stage = spark.read.parquet(
+        os.path.join(_scratch("wap"), "staging")
+    ).count()
+    assert n_pub == n_stage > 0
