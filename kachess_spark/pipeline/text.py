@@ -618,3 +618,52 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(logit, 6).alias("logit"),
         F.when(logit > 0, 1).otherwise(0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ BPE-style token stats
+
+# GPT-2-style pretokenizer, restricted to constructs Java regex and RE2
+# (DuckDB) interpret identically: contractions, space-prefixed letter
+# runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# whitespace runs.  (The original's trailing-space lookahead is RE2-
+# incompatible and only affects token boundaries at EOS.)
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+_BPE_SQL = _BPE_RE.replace("'", "''")  # escape the contraction apostrophe
+
+
+_BPE_ORACLE = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+           len(list_filter(string_split(text, ' '), w -> w <> ''))
+             AS n_ws_tokens,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(text, '{_BPE_SQL}')), 4)
+             AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@query("text_bpe_token_stats", _BPE_ORACLE)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware accounting: per-document token counts under a
+    BPE-style pretokenizer regex (contractions / letter runs / digit
+    runs / punctuation runs, GPT-2's shape) next to the whitespace
+    count, plus chars-per-token — the compression-ratio signal quality
+    filters and cost models key on.  Pure JVM regexp_extract_all; the
+    pattern is restricted to the Java∩RE2-identical subset so the
+    oracle tokenizes byte-for-byte the same.
+    """
+    t = Tables(spark, sf_dir)
+    toks = F.expr(f"regexp_extract_all(text, \"{_BPE_RE}\", 0)")
+    n_bpe = F.size(toks)
+    return t.documents.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias(
+            "n_ws_tokens"
+        ),
+        F.round(F.length("text").cast("double") / n_bpe, 4).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("doc_id")
