@@ -260,3 +260,100 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(_feature_batches, schema=_FEAT_SCHEMA).orderBy(
         "doc_id", "dim"
     )
+
+
+_RESIZE_MAX = 224  # target long-side (vision-encoder input convention)
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+    ]
+)
+
+
+def _resize_dims(w: int, h: int, target: int = _RESIZE_MAX) -> tuple[int, int]:
+    """Aspect-preserving long-side resize arithmetic (shared by the real
+    and fake kernels; exact integer math, floor semantics)."""
+    if max(w, h) <= target:
+        return w, h
+    if w >= h:
+        return target, max(1, (h * target) // w)
+    return max(1, (w * target) // h), target
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize kernel (mapInPandas).  Where PIL is
+    installed AND the payload decodes, the real image is resampled and
+    the actual output size reported; otherwise the deterministic decode
+    dims run through the same integer resize arithmetic — both paths
+    exercise identical Spark plumbing."""
+    for pdf in batches:
+        n = pdf["n_bytes"]
+        w = (n % 640 + 16).astype("int64")
+        h = (n % 480 + 16).astype("int64")
+        if _PIL_IMAGE is not None and "payload" in pdf.columns:
+            for i, payload in enumerate(pdf["payload"].values):
+                real = try_real_decode(payload)
+                if real is not None:
+                    w.iloc[i], h.iloc[i] = real
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+            }
+        )
+        dims = [
+            _resize_dims(int(a), int(b)) for a, b in zip(out["width"], out["height"])
+        ]
+        out["out_width"] = pd.Series(
+            [d[0] for d in dims], index=out.index, dtype="int32"
+        )
+        out["out_height"] = pd.Series(
+            [d[1] for d in dims], index=out.index, dtype="int32"
+        )
+        yield out
+
+
+@query(
+    "mm_resize_stub",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+             CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(CASE WHEN greatest(width, height) <= {_RESIZE_MAX} THEN width
+                     WHEN width >= height THEN {_RESIZE_MAX}
+                     ELSE greatest(1, (width * {_RESIZE_MAX}) // height)
+                END AS INT) AS out_width,
+           CAST(CASE WHEN greatest(width, height) <= {_RESIZE_MAX} THEN height
+                     WHEN width >= height
+                       THEN greatest(1, (height * {_RESIZE_MAX}) // width)
+                     ELSE {_RESIZE_MAX}
+                END AS INT) AS out_height
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over the binary column: aspect-preserving long-side
+    resize to {_RESIZE_MAX}px via Arrow-batched mapInPandas — decode →
+    resample → report output dims.  The resample kernel runs for real
+    under PIL; this container's text payloads take the deterministic
+    decode-dims path through the SAME integer resize arithmetic, keeping
+    the operator oracle-checkable either way."""
+    t = Tables(spark, sf_dir)
+    mm = with_payload(t.documents)
+    imgs = mm.where(F.col("meta.kind") == "image").select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"), "payload"
+    )
+    return imgs.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA).orderBy(
+        "doc_id"
+    )
