@@ -357,3 +357,72 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+_PCM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+_PCM_RATE = 16_000  # samples/sec
+
+
+def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio kernel (no stub): reinterpret payload bytes as
+    little-endian 16-bit PCM and compute waveform stats with numpy —
+    vectorized per batch, Arrow in/out.  Unlike image decode, PCM
+    interpretation needs no external codec, so this exercises a genuine
+    non-fake mapInPandas media kernel in this container."""
+    import numpy as np
+
+    for pdf in batches:
+        n_samples, duration, peak, rms = [], [], [], []
+        for payload in pdf["payload"].values:
+            b = bytes(payload)
+            samples = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2")
+            n = len(samples)
+            n_samples.append(n)
+            duration.append(n * 1000 // _PCM_RATE)
+            if n:
+                a = samples.astype("int64")
+                peak.append(int(np.max(np.abs(a))))
+                rms.append(round(float(np.sqrt(np.mean(a * a))), 4))
+            else:
+                peak.append(0)
+                rms.append(0.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": pd.Series(n_samples, dtype="int64"),
+                "duration_ms": pd.Series(duration, dtype="int64"),
+                "peak_abs": pd.Series(peak, dtype="int32"),
+                "rms": pd.Series(rms, dtype="float64"),
+            }
+        )
+
+
+@query("mm_audio_pcm_stats")  # numpy kernel — cross-checked in pytest
+def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform stats for audio payloads: sample count, duration at
+    16 kHz, peak amplitude, RMS — PCM16 reinterpretation + numpy math
+    inside Arrow-batched mapInPandas.  Rows-only in the driver gate
+    (DuckDB has no binary reinterpret); a pytest recomputes the exact
+    expected values with an independent pure-Python reference.
+
+    Scale: per-row kernel work is proportional to payload bytes, the
+    shape decode/transcode jobs have; Arrow batching amortizes the
+    Python crossing, and no shuffle exists anywhere in the plan.
+    """
+    t = Tables(spark, sf_dir)
+    mm = with_payload(t.documents)
+    audio = mm.where(F.col("meta.kind") == "audio").select(
+        "doc_id", "payload"
+    )
+    return audio.mapInPandas(_pcm_batches, schema=_PCM_SCHEMA).orderBy(
+        "doc_id"
+    )

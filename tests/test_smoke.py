@@ -330,3 +330,37 @@ def test_write_audit_publish_promotes(spark, sf_dir):
         os.path.join(_scratch("wap"), "staging")
     ).count()
     assert n_pub == n_stage > 0
+
+
+def test_audio_pcm_kernel_matches_reference(spark, sf_dir):
+    """The PCM kernel's stats must equal an independent pure-Python
+    reinterpretation of the same utf-8 payload bytes."""
+    import math
+    import struct
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.pipeline.multimodal import mm_audio_pcm_stats
+
+    got = {
+        r["doc_id"]: (r["n_samples"], r["duration_ms"], r["peak_abs"], r["rms"])
+        for r in mm_audio_pcm_stats(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where("doc_id % 3 = 1")
+        .collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id in list(docs)[:25]:
+        b = docs[doc_id].encode("utf-8")
+        b = b[: len(b) - (len(b) % 2)]
+        samples = struct.unpack(f"<{len(b)//2}h", b)
+        n = len(samples)
+        exp_rms = round(math.sqrt(sum(s * s for s in samples) / n), 4) if n else 0.0
+        assert got[doc_id] == (
+            n,
+            n * 1000 // 16000,
+            max(abs(s) for s in samples) if n else 0,
+            exp_rms,
+        ), doc_id
