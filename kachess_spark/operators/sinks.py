@@ -948,3 +948,84 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, v, t, 1 if ok else 0) for n, v, t, ok in checks],
         "check_name string, value bigint, threshold bigint, passed int",
     ).orderBy("check_name")
+
+
+# ------------------------------------------------ snapshot time travel
+
+_SNAPSHOT_ORACLE = """
+    SELECT 1 AS version, count(*) AS n_rows,
+           CAST(SUM(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n_rows,
+           CAST(SUM(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS total
+    FROM orders
+    ORDER BY version
+"""
+
+
+@query("sink_snapshot_time_travel", _SNAPSHOT_ORACLE)
+def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on plain parquet via versioned
+    file manifests (the mechanism under Iceberg/Delta, minus the spec):
+    every commit writes NEW data files plus an immutable manifest
+    listing the snapshot's complete file set; readers resolve a version
+    to its manifest and read exactly those files — an in-flight commit
+    is invisible until its manifest lands, and history stays queryable.
+
+    Commit 1 = orders before 1996; commit 2 appends the rest.  The
+    result reads BOTH snapshots back through their manifests (v1 must
+    still see only pre-1996 data after v2 commits) and aggregates each
+    — pinned exactly by the oracle.
+
+    Scale: manifests are file lists (metadata); a reader never lists
+    the data directory (object-store listing is the scale killer —
+    manifests make planning O(files in snapshot), and at real scale
+    they'd carry per-file column min/max for pruning)."""
+    import json as _json
+    import shutil
+
+    from kachess_spark.operators._util import dsum
+
+    root = _scratch("snapshots")
+    shutil.rmtree(root, ignore_errors=True)
+    data, meta = os.path.join(root, "data"), os.path.join(root, "meta")
+    os.makedirs(data, exist_ok=True)
+    os.makedirs(meta, exist_ok=True)
+
+    t = Tables(spark, sf_dir)
+
+    def commit(version: int, df: DataFrame, prev: list[str]) -> list[str]:
+        out = os.path.join(data, f"c{version}")
+        df.write.mode("overwrite").parquet(out)
+        files = prev + [
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        ]
+        tmp = os.path.join(meta, f"v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(files, fh)
+        os.replace(tmp, os.path.join(meta, f"v{version}.json"))
+        return files
+
+    def read_snapshot(version: int) -> DataFrame:
+        with open(os.path.join(meta, f"v{version}.json")) as fh:
+            return spark.read.parquet(*_json.load(fh))
+
+    early = t.orders.where(F.col("o_orderdate") < "1996-01-01")
+    late = t.orders.where(F.col("o_orderdate") >= "1996-01-01")
+    v1_files = commit(1, early, [])
+    commit(2, late, v1_files)
+
+    parts = [
+        read_snapshot(v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice", "total"),
+        )
+        for v in (1, 2)
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("version")
