@@ -667,3 +667,76 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------- unigram likelihood scoring
+
+_UNIGRAM_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '), x -> x <> '')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word,
+             (CAST(count(*) AS BIGINT) * 1000000)
+               // (SELECT count(*) FROM w) AS freq_ppm
+      FROM w GROUP BY word
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.freq_ppm) AS BIGINT) // count(*) AS avg_freq_ppm
+    FROM w JOIN vocab v ON w.word = v.word
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+"""
+
+
+@query("text_unigram_likelihood", _UNIGRAM_ORACLE)
+def text_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-document average corpus
+    unigram frequency (parts-per-million) — the cheap-LM filter shape
+    (docs of improbable words score low; boilerplate scores high)
+    without a model artifact.  All EXACT integer arithmetic (scaled
+    ppm + integer division): no ln()/exp(), whose last-ulp behavior
+    differs between engines, so the score is bit-stable everywhere.
+
+    Scale: one explode → one vocabulary aggregation (map-side combined,
+    vocabulary-sized result, broadcast back) → one per-doc aggregation.
+    The vocabulary at web scale still fits executors (10s of millions of
+    types); past that the standard move is hashing words to 64-bit ids
+    first — same plan.
+    """
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(
+                        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+                    ),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    ).localCheckpoint(eager=False)
+    total = words.count()  # one job; vocabulary normalization constant
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "word",
+            F.expr(f"(cnt * 1000000) div {total}").alias("freq_ppm"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.expr("sum(freq_ppm) div count(*)").alias("avg_freq_ppm"),
+        )
+        .orderBy("doc_id")
+    )
