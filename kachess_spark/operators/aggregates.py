@@ -1202,3 +1202,54 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_OBSERVE_ORACLE = """
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discounted,
+           CAST(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+"""
+
+
+@query("profile_observed_metrics", _OBSERVE_ORACLE)
+def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline observability via ``Observation`` /
+    ``df.observe``: data-quality counters (row count, discounted-row
+    count, exact total) are collected DURING the job that processes the
+    data — no second metrics scan, which at 100 TB is the difference
+    between free telemetry and doubling the bill.  The observed values
+    are returned as a result row and pinned by the oracle's direct
+    aggregation of the same metrics.
+    """
+    from pyspark.sql import Observation
+
+    from kachess_spark.operators._util import money
+
+    t = Tables(spark, sf_dir)
+    obs = Observation("lineitem_metrics")
+    observed = t.lineitem.where(F.col("l_shipdate") >= "1996-01-01").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+        ).cast("bigint").alias("n_discounted"),
+        F.sum(money("l_extendedprice").cast("decimal(38,0)")).alias(
+            "price_scaled"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real job
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_discounted"],
+                float(m["price_scaled"]) / 10000,
+            )
+        ],
+        "n_rows bigint, n_discounted bigint, total_price double",
+    )
