@@ -30,6 +30,10 @@ BREADTH = [
     "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
     "dedup_connected_components",
+    "dedup_span_overlap",
+    "text_unigram_likelihood",
+    "dedup_bloom_reference",
+    "pipeline_sequence_pack",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
