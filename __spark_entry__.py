@@ -33,8 +33,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return join_inner_q3(spark, "/root/testdata/sf0.001")
 
 
+def _is_green(rec: dict) -> bool:
+    """A CORRECTNESS row counts as verified only if the check PASSED.
+
+    Oracle-compared rows need all three matches true with no error;
+    rows-only rows (err == "no_oracle") pass when the Spark side
+    produced a row count.  Anything else (hash mismatch, traceback)
+    must NOT count, so the failed query re-enters the next driver
+    window immediately instead of rotating out with the passes.
+    """
+    err = rec.get("err")
+    if err == "no_oracle":
+        return rec.get("spark_rows") is not None
+    return (
+        err is None
+        and rec.get("rows_match") is True
+        and rec.get("schema_match") is True
+        and rec.get("hash_match") is True
+    )
+
+
 def _verification_counts() -> dict[str, int]:
-    """How many driver CORRECTNESS rounds each query has appeared in."""
+    """How many driver CORRECTNESS rounds each query has PASSED in."""
     import glob
     import json
 
@@ -45,9 +65,29 @@ def _verification_counts() -> dict[str, int]:
                 data = json.load(fh)
         except Exception:
             continue
-        for name in data:
-            counts[name] = counts.get(name, 0) + 1
+        for name, rec in data.items():
+            if isinstance(rec, dict) and _is_green(rec):
+                counts[name] = counts.get(name, 0) + 1
     return counts
+
+
+def _ever_failed() -> set[str]:
+    """Queries with at least one non-green driver row — their fixes need
+    driver re-verification before anything never-checked."""
+    import glob
+    import json
+
+    failed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        for name, rec in data.items():
+            if isinstance(rec, dict) and not _is_green(rec):
+                failed.add(name)
+    return failed
 
 
 def _rotated_names() -> list[str]:
@@ -61,6 +101,7 @@ def _rotated_names() -> list[str]:
     gets driver-checked without manual re-ordering.
     """
     counts = _verification_counts()
+    failed = _ever_failed()
     by_mod: dict[str, list[str]] = {}
     for name, fn in registry.QUERIES.items():
         by_mod.setdefault(fn.__module__, []).append(name)
@@ -72,7 +113,16 @@ def _rotated_names() -> list[str]:
             if q:
                 rr_index[q.pop(0)] = pos
                 pos += 1
-    return sorted(registry.QUERIES, key=lambda n: (counts.get(n, 0), rr_index[n]))
+    # Ever-failed-and-not-yet-re-greened queries jump the whole queue so a
+    # fix lands a driver row the very next round.
+    return sorted(
+        registry.QUERIES,
+        key=lambda n: (
+            counts.get(n, 0),
+            0 if (n in failed and counts.get(n, 0) == 0) else 1,
+            rr_index[n],
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

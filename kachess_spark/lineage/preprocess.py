@@ -202,14 +202,140 @@ _TYPE_START = re.compile(
     r"|binary|varbinary|json|uuid|array|map|row|struct)\b"
 )
 _ROW_FIELD = re.compile(r"(?is)^\s*([A-Za-z_][\w]*|`[^`]+`|\"[^\"]+\")\s+(.+?)\s*$")
+# Scalar renames applied ONLY to text known to sit in TYPE position
+# (CAST(... AS <here>), CREATE TABLE column types, ARRAY/MAP/ROW bodies).
+# The reference grammar likewise only accepts these words as types
+# (Bingql.g4:526); a global regex would corrupt identifiers/aliases
+# (SELECT price AS real) and string literals containing the words.
 _PRESTO_SCALARS = [
     (re.compile(r"(?i)\bDOUBLE\s+PRECISION\b"), "DOUBLE"),
     (re.compile(r"(?i)\bVARBINARY\b"), "BINARY"),
     (re.compile(r"(?i)\bREAL\b"), "FLOAT"),
+    (re.compile(r"(?i)\bJSON\b"), "STRING"),
     # Presto's unbounded VARCHAR (no length) — Catalyst requires a length,
     # so map it to STRING; parameterized VARCHAR(n) passes through
     (re.compile(r"(?i)\bVARCHAR\b(?!\s*\()"), "STRING"),
 ]
+
+
+def _rename_scalar_types(type_expr: str) -> tuple[str, bool]:
+    """Apply the Presto→Catalyst scalar renames to a string KNOWN to be a
+    type expression."""
+    changed = False
+    for pat, repl in _PRESTO_SCALARS:
+        s2 = pat.sub(repl, type_expr)
+        if s2 != type_expr:
+            type_expr, changed = s2, True
+    return type_expr, changed
+
+
+def _match_paren(stmt: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``stmt[open_idx] == '('``, quote-aware;
+    -1 if unbalanced."""
+    depth, i, n = 0, open_idx, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            i += 1
+            while i < n and stmt[i] != q:
+                i += 2 if stmt[i] == "\\" and q != "`" else 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+_CAST_OPEN = re.compile(r"(?i)\b(?:TRY_)?CAST\s*\(")
+_TOP_AS = re.compile(r"(?i)\bAS\b")
+
+
+def _rewrite_cast_types(stmt: str) -> tuple[str, bool]:
+    """Rename Presto scalar types inside every CAST/TRY_CAST(expr AS type)
+    slot.  Nested casts are independent matches; an inner cast always sits
+    in the expr (pre-AS) part of its outer, so the rewritten type slots
+    never overlap."""
+    edits: list[tuple[int, int, str]] = []
+    for m in _CAST_OPEN.finditer(stmt):
+        open_idx = m.end() - 1
+        close_idx = _match_paren(stmt, open_idx)
+        if close_idx < 0:
+            continue
+        # first depth-0 AS within the cast's paren span (quote-aware scan)
+        body = stmt[open_idx + 1 : close_idx]
+        depth, i, bn, as_at = 0, 0, len(body), -1
+        low = body.lower()
+        while i < bn:
+            ch = body[i]
+            if ch in ("'", '"', "`"):
+                q = ch
+                i += 1
+                while i < bn and body[i] != q:
+                    i += 2 if body[i] == "\\" and q != "`" else 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and low.startswith("as", i):
+                before_ok = i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")
+                after = i + 2
+                after_ok = after >= bn or not (
+                    low[after].isalnum() or low[after] == "_"
+                )
+                if before_ok and after_ok:
+                    as_at = after
+                    break
+            i += 1
+        if as_at < 0:
+            continue
+        type_start = open_idx + 1 + as_at
+        renamed, hit = _rename_scalar_types(stmt[type_start:close_idx])
+        if hit:
+            edits.append((type_start, close_idx, renamed))
+    if not edits:
+        return stmt, False
+    # a nested cast's type slot precedes its outer's but is matched later —
+    # apply in text order
+    edits.sort(key=lambda t: t[0])
+    out, pos = [], 0
+    for s, e, rep in edits:
+        out.append(stmt[pos:s])
+        out.append(rep)
+        pos = e
+    out.append(stmt[pos:])
+    return "".join(out), True
+
+
+def _rewrite_create_column_types(stmt: str) -> tuple[str, bool]:
+    """Rename Presto scalar types in a CREATE TABLE (col type, …) list."""
+    if not _CREATE_RE.match(stmt):
+        return stmt, False
+    open_idx = stmt.find("(")
+    if open_idx < 0:
+        return stmt, False
+    close_idx = _match_paren(stmt, open_idx)
+    if close_idx < 0:
+        return stmt, False
+    items = _split_top_commas(stmt[open_idx + 1 : close_idx])
+    changed = False
+    new_items = []
+    for item in items:
+        f = _ROW_FIELD.match(item)
+        if f and _looks_like_type(f.group(2)):
+            renamed, hit = _rename_scalar_types(f.group(2))
+            if hit:
+                head = item[: f.start(2)]
+                item = f"{head}{renamed}"
+                changed = True
+        new_items.append(item)
+    if not changed:
+        return stmt, False
+    body = ",".join(new_items)
+    return f"{stmt[: open_idx + 1]}{body}{stmt[close_idx:]}", True
 # body may contain one paren level (precision scalars like VARCHAR(20),
 # DECIMAL(10,2)); deeper nesting resolves over the fixpoint iterations
 _GENERIC_RE = re.compile(r"(?i)\b(ARRAY|MAP|ROW)\s*\(((?:[^()]|\([^()]*\))*)\)")
@@ -237,10 +363,13 @@ def _split_top_commas(s: str) -> list[str]:
 
 def _rewrite_presto_types(stmt: str) -> tuple[str, bool]:
     changed = False
-    for pat, repl in _PRESTO_SCALARS:
-        s2 = pat.sub(repl, stmt)
-        if s2 != stmt:
-            stmt, changed = s2, True
+    # scalar renames only in verified type positions: CAST type slots and
+    # CREATE TABLE column definitions (generic ARRAY/MAP/ROW bodies are
+    # renamed as part of their own rewrite below)
+    stmt, hit = _rewrite_cast_types(stmt)
+    changed = changed or hit
+    stmt, hit = _rewrite_create_column_types(stmt)
+    changed = changed or hit
     # innermost-out: the paren-free inner match converts to <...>, which
     # the next pass sees as part of an outer ARRAY(...)'s paren-free body
     while True:
@@ -251,7 +380,10 @@ def _rewrite_presto_types(stmt: str) -> tuple[str, bool]:
                 fields = [_ROW_FIELD.match(p) for p in _split_top_commas(body)]
                 if not all(f and _looks_like_type(f.group(2)) for f in fields):
                     continue
-                inner = ", ".join(f"{f.group(1)}: {f.group(2)}" for f in fields)
+                inner = ", ".join(
+                    f"{f.group(1)}: {_rename_scalar_types(f.group(2))[0]}"
+                    for f in fields
+                )
                 rep = f"STRUCT<{inner}>"
             else:
                 args = _split_top_commas(body)
@@ -260,7 +392,13 @@ def _rewrite_presto_types(stmt: str) -> tuple[str, bool]:
                     _looks_like_type(a) for a in args
                 ):
                     continue  # expression-level ARRAY()/MAP(), not a type
-                rep = f"{kw}<{', '.join(a.strip() for a in args)}>"
+                rep = (
+                    f"{kw}<"
+                    + ", ".join(
+                        _rename_scalar_types(a.strip())[0] for a in args
+                    )
+                    + ">"
+                )
             out.append(stmt[pos : m.start()])
             out.append(rep)
             pos = m.end()

@@ -22,8 +22,11 @@ Scale design:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,7 +35,14 @@ from kachess_spark.catalog import Tables
 from kachess_spark.operators._util import money
 from kachess_spark.registry import query
 
-_WORK_DIR = os.path.join(tempfile.gettempdir(), "kachess_sinks")
+# Per-PROCESS unique scratch root: a prior aborted session's half-written
+# parquet / leftover _temporary dirs under a shared path can fail the next
+# session's first sink nondeterministically.  Unique root + atexit sweep
+# means every session starts clean and leaves nothing behind.
+_WORK_DIR = os.path.join(
+    tempfile.gettempdir(), f"kachess_sinks_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+)
+atexit.register(shutil.rmtree, _WORK_DIR, ignore_errors=True)
 
 
 def _scratch(name: str) -> str:

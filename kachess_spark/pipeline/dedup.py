@@ -447,9 +447,24 @@ def _emb_bucket_spark(bits: int) -> str:
 _EMB_BUCKET_SQL = _emb_bucket_sql(_SIGN_BITS)
 _EMB_BUCKET_SPARK = _emb_bucket_spark(_SIGN_BITS)
 
+# The oracle derives its bucket width from COUNT(*) with the SAME rule as
+# emb_sign_bits (GREATEST(8, CEIL(LOG2(n/8))) capped at 63), so the Spark
+# side and the DuckDB side agree at ANY corpus size — a fixed-8-bit oracle
+# would emit a superset of pairs once n > 2048 and fail the compare.
 _EMB_COS_ORACLE = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings
+WITH nn AS (
+  SELECT GREATEST({_SIGN_BITS}, LEAST(63,
+         CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / {_TARGET_BUCKET}.0))
+              AS INTEGER))) AS bits
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(range(1, nn.bits + 1),
+              j -> CASE WHEN embedding[j] > 0
+                        THEN CAST(POWER(2, j - 1) AS BIGINT)
+                        ELSE 0 END)) AS BIGINT) AS bucket
+  FROM embeddings, nn
 ),
 cand AS (
   SELECT a.vec_id AS va, b2.vec_id AS vb,
@@ -490,8 +505,10 @@ def dedup_embedding_cosine(
     the bit count is SIZED TO THE CORPUS by :func:`emb_sign_bits`
     (expected bucket ≈ _TARGET_BUCKET vectors, so in-bucket work stays
     ~n·_TARGET_BUCKET/2, linear in n) — the corpus count is one cheap
-    parquet count() before planning.  At the driver's correctness scales
-    (≤65k vectors) the rule resolves to the oracle's fixed 8 bits.  The
+    parquet count() before planning.  The DuckDB oracle computes its
+    bucket width from COUNT(*) with the SAME sizing rule, so the two
+    sides agree at any corpus size (8 bits for n≤2048, growing with
+    n thereafter).  The
     exact cosine runs only on candidates, with the dot/norm sums in
     DECIMAL so the verify is deterministic under any combine order.
     A production ANN path swaps the bucket for IVF/random hyperplanes

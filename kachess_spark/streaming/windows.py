@@ -515,7 +515,12 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        # availableNow drains a bounded backlog; still running after the
+        # window means something is wedged — reading the sink now would
+        # return a silently partial table
+        q.stop()
+        raise TimeoutError("streaming query did not drain within 120s")
     return (
         spark.read.parquet(current)
         .select(
@@ -694,5 +699,10 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        # availableNow drains a bounded backlog; still running after the
+        # window means something is wedged — reading the sink now would
+        # return a silently partial table
+        q.stop()
+        raise TimeoutError("streaming query did not drain within 120s")
     return spark.read.parquet(out_dir).orderBy("window_epoch", "rk")

@@ -927,6 +927,41 @@ def test_vendor_ddl_options_stripped_and_extracted(spark):
     assert applied == []
 
 
+def test_presto_scalar_renames_type_position_only():
+    """The Presto scalar renames (REAL→FLOAT, VARCHAR→STRING, …) apply
+    only in type positions — CAST slots, CREATE column lists, generic
+    type bodies — never to identifiers, aliases, or string literals
+    containing the same words (the reference grammar only accepts them
+    as types, Bingql.g4:526)."""
+    from kachess_spark.lineage.preprocess import _rewrite_presto_types
+
+    # type positions rewritten, including nested casts and JSON→STRING
+    for src, want in [
+        ("CAST(x AS REAL)", "CAST(x AS FLOAT)"),
+        ("TRY_CAST(x AS JSON)", "TRY_CAST(x AS STRING)"),
+        ("CAST(CAST(y AS REAL) AS VARCHAR)", "CAST(CAST(y AS FLOAT) AS STRING)"),
+        (
+            "CREATE TABLE t (a REAL, b VARCHAR, v VARCHAR(20))",
+            "CREATE TABLE t (a FLOAT, b STRING, v VARCHAR(20))",
+        ),
+        (
+            "CREATE TABLE t (r ROW(x REAL, y VARBINARY))",
+            "CREATE TABLE t (r STRUCT<x: FLOAT, y: BINARY>)",
+        ),
+    ]:
+        got, hit = _rewrite_presto_types(src)
+        assert got == want and hit, (src, got)
+    # non-type positions untouched
+    for src in [
+        "SELECT price AS real FROM t",
+        "SELECT real, json, varchar FROM quotes",
+        "SELECT 'VARCHAR and REAL are words' AS s FROM t",
+        "SELECT a FROM t WHERE b = 'VARBINARY'",
+    ]:
+        got, hit = _rewrite_presto_types(src)
+        assert got == src and not hit, (src, got)
+
+
 def test_activity_count_substituted(spark):
     """Teradata ACTIVITY_COUNT (Bingql.g4:1416) — the reference parses it
     and extracts nothing; the shim substitutes a neutral literal so the

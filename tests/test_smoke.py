@@ -364,3 +364,21 @@ def test_audio_pcm_kernel_matches_reference(spark, sf_dir):
             max(abs(s) for s in samples) if n else 0,
             exp_rms,
         ), doc_id
+
+
+def test_sink_family_rerun_stable(spark, sf_dir):
+    """Every _scratch-writing sink runs TWICE in one session with
+    identical results — guards the round-2 flake where leftover scratch
+    state from a prior session could error a sink nondeterministically
+    (scratch roots are now per-process unique + atexit-swept)."""
+    from kachess_spark.operators.sinks import (
+        sink_ctas_roundtrip,
+        sink_insert_into,
+        sink_upsert_scd1,
+        sink_upsert_scd2,
+    )
+
+    for fn in (sink_ctas_roundtrip, sink_insert_into, sink_upsert_scd1, sink_upsert_scd2):
+        first = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        second = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        assert first == second and len(first) > 0, fn.__name__
