@@ -16,6 +16,22 @@ from pyspark.sql import functions as F
 
 from kachess_spark.registry import query
 
+# Per-micro-run ceiling on the driver-collected new-file list: bounds
+# driver memory on multi-million-file deltas; the manifest checkpoint
+# makes the overflow remain "new" for the next run.
+MAX_NEW_FILES_PER_RUN = 100_000
+
+
+def capped_delta(listed_df, seen_df, cap: int = MAX_NEW_FILES_PER_RUN):
+    """Oldest-first prefix (≤ cap paths) of listed minus seen — the only
+    part of incremental ingestion that ever reaches the driver."""
+    new = (
+        listed_df.join(seen_df, "path", "left_anti")
+        if seen_df is not None
+        else listed_df
+    )
+    return [r["path"] for r in new.orderBy("path").limit(cap).collect()]
+
 _FIXTURES = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "tests",
@@ -266,6 +282,11 @@ def source_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the directory listing and manifest are metadata-sized (file
     paths, not data); the data read is pruned to the new files before
     any scan, so a 100 TB corpus with 1 TB of new files reads 1 TB.
+    The driver-collected new-path list is CAPPED at
+    MAX_NEW_FILES_PER_RUN per micro-run — a multi-million-file delta is
+    drained over successive runs (the manifest checkpoint keeps the
+    overflow "new"), so driver memory stays bounded no matter how far
+    behind the ingestion is.
     """
     import shutil
 
@@ -297,19 +318,22 @@ def source_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         listed_df = spark.createDataFrame(
             [(p,) for p in listed], "path string"
         )
-        if os.path.exists(manifest):
-            seen = spark.read.parquet(manifest).select("path")
-            new = listed_df.join(seen, "path", "left_anti")
-        else:
-            new = listed_df
-        new_paths = [r["path"] for r in new.collect()]  # metadata-sized
+        seen = (
+            spark.read.parquet(manifest).select("path")
+            if os.path.exists(manifest)
+            else None
+        )
+        # capped + deterministic: oldest-first prefix of the delta; the
+        # un-taken remainder stays absent from the manifest, so the next
+        # run picks it up
+        new_paths = capped_delta(listed_df, seen, MAX_NEW_FILES_PER_RUN)
         if not new_paths:
             return None
         batch = spark.read.parquet(*new_paths)
         n_docs = batch.count()
-        new.withColumn("run", F.lit(run)).write.mode("append").parquet(
-            manifest
-        )
+        spark.createDataFrame(
+            [(p, run) for p in new_paths], "path string, run int"
+        ).write.mode("append").parquet(manifest)
         return (run, len(new_paths), n_docs)
 
     drop_chunks(range(4))
