@@ -125,25 +125,37 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(spark, emb, queries, TOP_K)
 
 
-N_PLANES = 4  # LSH signature bits (16 buckets — sized for the test corpus)
+N_PLANES = 4  # planes per band (2^4 = 16 buckets per band)
+N_BANDS = 16  # OR-amplified bands: candidate = same bucket in ANY band
 
 
-def hyperplane_bucket(df: DataFrame) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector.
+def hyperplane_bucket(df: DataFrame, band: int = 0) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector for one band.
 
-    Plane p's component at position i has a pseudo-random sign derived
-    from md5(p|i) — deterministic, no RNG state, reproducible on any
-    cluster.  bucket = Σ_p (dot_p > 0) << p.
+    Plane (band, p)'s component at position i has a pseudo-random sign
+    derived from md5(b{band}p{p}|i) — deterministic, no RNG state,
+    reproducible on any cluster.  bucket = Σ_p (dot_p > 0) << p.
     """
     d = _exploded(df, "vid", "dv")
     planes = [
         F.sum(
             F.when(
-                # first hex digit of md5("p{p}|{pos}") even → +1 else -1
-                F.conv(F.substring(F.md5(F.format_string(f"p{p}|%d", F.col("pos"))), 1, 1), 16, 10)
-                .cast("int") % 2 == 0,
+                # first hex digit of md5("b{band}p{p}|{pos}") even → +1 else -1
+                F.conv(
+                    F.substring(
+                        F.md5(F.format_string(f"b{band}p{p}|%d", F.col("pos"))),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
                 F.col("dv"),
-            ).otherwise(-F.col("dv")).cast(PDEC)
+            )
+            .otherwise(-F.col("dv"))
+            .cast(PDEC)
         ).alias(f"d{p}")
         for p in range(N_PLANES)
     ]
@@ -155,29 +167,117 @@ def hyperplane_bucket(df: DataFrame) -> DataFrame:
     return sig.select("vid", bucket.alias("bucket"))
 
 
+def banded_hyperplane_buckets(df: DataFrame) -> DataFrame:
+    """(vid, band, bucket) for all N_BANDS bands, one exploded pass.
+
+    Banding OR-amplifies LSH the same way MinHash banding does: a true
+    neighbor only has to agree on ALL planes of SOME band, so recall
+    rises from p^b (one band) to 1-(1-p^b)^L while the per-band bucket
+    size — and therefore candidate work — stays the same.  All L·b
+    band-dots are computed in ONE aggregation over the exploded
+    embeddings (16 codegen SUMs here), not L passes."""
+    d = _exploded(df, "vid", "dv")
+    aggs = [
+        F.sum(
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.format_string(f"b{b}p{p}|%d", F.col("pos"))),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.col("dv"),
+            )
+            .otherwise(-F.col("dv"))
+            .cast(PDEC)
+        ).alias(f"b{b}d{p}")
+        for b in range(N_BANDS)
+        for p in range(N_PLANES)
+    ]
+    sig = d.groupBy("vid").agg(*aggs)
+    band_buckets = [
+        sum(
+            (F.when(F.col(f"b{b}d{p}") > 0, 1).otherwise(0) * (1 << p))
+            for p in range(N_PLANES)
+        ).alias(f"bucket_{b}")
+        for b in range(N_BANDS)
+    ]
+    wide = sig.select("vid", *band_buckets)
+    stacked = ", ".join(f"{b}, bucket_{b}" for b in range(N_BANDS))
+    return wide.select(
+        "vid", F.expr(f"stack({N_BANDS}, {stacked}) AS (band, bucket)")
+    )
+
+
 @query("sim_ann_lsh")  # rows-only: candidate generation; recall asserted in tests
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: hyperplane-LSH bucketing → candidates share a
-    bucket → exact cosine only within buckets.  Returns (qid, vid,
-    cosine) for query vectors; tests assert recall vs brute force."""
+    """ANN scale path: banded hyperplane-LSH → candidates share a bucket
+    in ANY band → exact cosine only on the candidate set.  Returns
+    (qid, vid, cosine, rk) top-k for the query vectors; RECALL.md and
+    the pytest floor track quality vs brute force.
+
+    Scale: candidate generation is a bucket-equality join per band —
+    never all-pairs; N_BANDS multiplies candidate-set size by at most L
+    while OR-amplification takes recall from p^b to 1-(1-p^b)^L.  The
+    L·b plane dots are one aggregation pass (32 codegen SUMs), and the
+    exact re-rank touches only the deduped candidate union."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    buckets = hyperplane_bucket(emb)
-    emb_b = emb.join(buckets, emb.vec_id == buckets.vid).select(
-        "vec_id", "embedding", "bucket"
+    buckets = banded_hyperplane_buckets(emb)
+    queries = buckets.where(F.col("vid").isin(*QUERY_IDS)).select(
+        F.col("vid").alias("qid"), "band", "bucket"
     )
-    queries = emb_b.where(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("qid"), F.col("bucket")
+    cands = (
+        buckets.join(broadcast(queries), ["band", "bucket"])
+        .where(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .distinct()  # union over bands
     )
-    cands = emb_b.join(broadcast(queries), "bucket").where(
-        F.col("vec_id") != F.col("qid")
+    # exact cosine on candidate PAIRS only: hoisted norms + zip_with
+    # DECIMAL dot inside codegen — no explode, no per-pair shuffle
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
+        f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
     )
-    # exact cosine on the candidate set only
-    data_cand = cands.select("vec_id", "embedding").distinct()
-    qvecs = emb.where(F.col("vec_id").isin(*QUERY_IDS))
-    scored = cosine_topk(spark, data_cand, qvecs, TOP_K)
-    pairs = cands.select("qid", F.col("vec_id").alias("vid"))
-    return scored.join(pairs, ["qid", "vid"], "left_semi")
+    embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    qv = embn.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        cands.join(embn, cands.vid == embn.vec_id)
+        .join(broadcast(qv), "qid")
+        .withColumn(
+            "dot",
+            F.expr(
+                f"aggregate(zip_with(q_emb, embedding, (x, y) ->"
+                f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+                f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+            ),
+        )
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("nrm").cast("double") * F.col("q_nrm").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    return pairs.select(
+        "qid", "vid", "cosine", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= TOP_K)
 
 
 N_CELLS = 8  # IVF cell count (sized for the test corpus)
@@ -354,7 +454,7 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4  # subspaces
 PQ_DIMS = 16  # dims per subspace (64-dim embeddings)
 PQ_K = 16  # codewords per subspace → 4 bits/subspace, 16 bits/vector
-PQ_SHORTLIST = 64  # ADC shortlist size before exact re-rank
+PQ_SHORTLIST = 128  # ADC shortlist size before exact re-rank (~25x k)
 
 
 def _assign_l2(sub: DataFrame, cent: DataFrame) -> DataFrame:

@@ -1,0 +1,90 @@
+"""Recall report for the approximate-ANN layer.
+
+Computes recall@TOP_K for every approximate similarity method against
+the exact ``sim_cosine_topk`` ground truth, per scale factor, and
+rewrites RECALL.md — inspectable evidence for the rows-only ANN queries
+(they legitimately have no SQL oracle, so this table plays the role
+BENCH/BASELINE play for performance).
+
+Usage: python tools/recall_report.py [sf_dir ...]
+       (default: /root/testdata/sf0.01 /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+METHODS = [
+    # name, parameter summary (kept in sync with similarity.py constants)
+    ("sim_ann_lsh", "banded hyperplane LSH, 16 bands x 4 planes (OR-amplified)"),
+    ("sim_ivf_topk", "IVF, N_CELLS=8, N_PROBE=2, seeded centroids"),
+    ("sim_ivf_kmeans_topk", "IVF, N_CELLS=8, N_PROBE=2, 3 k-means iters"),
+    (
+        "sim_pq_adc_topk",
+        "PQ-ADC, M=4 subspaces x 16 codewords, shortlist 128 + exact re-rank",
+    ),
+]
+
+
+def topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.select("qid", "vid").collect():
+        out.setdefault(r["qid"], set()).add(r["vid"])
+    return out
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+    from kachess_spark import registry
+    from kachess_spark.pipeline.similarity import TOP_K
+    from kachess_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("recall-report")
+
+    rows = []
+    for sf_dir in sf_dirs:
+        exact = topk_sets(registry.QUERIES["sim_cosine_topk"](spark, sf_dir))
+        denom = sum(len(v) for v in exact.values())
+        for name, params in METHODS:
+            got = topk_sets(registry.QUERIES[name](spark, sf_dir))
+            hit = sum(len(exact[q] & got.get(q, set())) for q in exact)
+            rows.append((os.path.basename(sf_dir), name, params, hit, denom))
+            print(f"{os.path.basename(sf_dir)} {name}: {hit}/{denom}")
+
+    lines = [
+        "# RECALL — approximate-ANN quality vs exact ground truth",
+        "",
+        f"recall@{TOP_K} against `sim_cosine_topk` (exact brute-force cosine)",
+        "over query vectors (1, 2, 3). Regenerate with",
+        "`python tools/recall_report.py`.",
+        "",
+        "| sf | method | parameters | hits | recall |",
+        "|---|---|---|---|---|",
+    ]
+    for sf, name, params, hit, denom in rows:
+        lines.append(
+            f"| {sf} | `{name}` | {params} | {hit}/{denom} "
+            f"| {hit / denom:.2f} |"
+        )
+    lines += [
+        "",
+        "Approximate methods trade recall for sub-linear candidate",
+        "generation; the pytest gates (tests/test_smoke.py) enforce the",
+        "floors that keep each method useful (LSH >= 9/15 at sf0.001,",
+        "IVF/PQ analogous). PQ-ADC re-ranks its shortlist exactly, so",
+        "its misses are shortlist misses, not quantization error.",
+        "",
+    ]
+    with open(os.path.join(REPO, "RECALL.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {os.path.join(REPO, 'RECALL.md')}")
+
+
+if __name__ == "__main__":
+    main()
