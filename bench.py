@@ -34,6 +34,9 @@ BREADTH = [
     "text_unigram_likelihood",
     "dedup_bloom_reference",
     "pipeline_sequence_pack",
+    # round 3: rewritten banded LSH + the real-PNG binary pipeline
+    "sim_ann_lsh",
+    "mm_png_roundtrip",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
