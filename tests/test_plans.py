@@ -400,3 +400,31 @@ def test_broadcast_hint_overrides_threshold(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_banded_lsh_no_cartesian(spark, sf_dir):
+    """sim_ann_lsh: candidate generation must be the (band, bucket)
+    equality join with the query side broadcast — never a cartesian or
+    all-pairs product — and scoring must stay JVM-side (zip_with dot,
+    no EvalPython)."""
+    from kachess_spark.pipeline.similarity import sim_ann_lsh
+
+    df = sim_ann_lsh(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "Broadcast" in plan
+
+
+def test_png_roundtrip_arrow_batched(spark, sf_dir):
+    """mm_png_roundtrip: both kernels must run as Arrow-batched
+    mapInPandas (MapInPandas nodes), not row-at-a-time Python UDFs."""
+    from kachess_spark.pipeline.multimodal import mm_png_roundtrip
+
+    df = mm_png_roundtrip(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
