@@ -336,3 +336,109 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw_rank") <= _STRATA_K)
         .orderBy("lang", "draw_rank")
     )
+
+
+# --------------------------------------------- quality-tier curriculum
+
+# Tier cutpoints on the rounded avg-token-length quality proxy: fixed
+# constants standing in for an offline profiling pass's quantiles (at
+# 100 TB the cutpoints come from percentile_approx over a sample and
+# broadcast in as a 3-row dim — the plan below is unchanged).  Both
+# engines compare the SAME round(score, 6) value against them, so tier
+# membership is deterministic with no float-boundary risk.
+QUALITY_CUTS = (4.4, 4.5, 4.65)
+TIER_BUDGETS = {1: 1500, 2: 3000, 3: 3000, 4: 1500}  # tokens per tier
+
+_QMIX_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / (CAST(length(' ' || text || ' ')
+                      - length(replace(' ' || text || ' ', ' ', '')) AS INT) - 1),
+                   6) AS score
+      FROM documents
+    ),
+    tiers AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN score < {QUALITY_CUTS[0]} THEN 1
+                  WHEN score < {QUALITY_CUTS[1]} THEN 2
+                  WHEN score < {QUALITY_CUTS[2]} THEN 3
+                  ELSE 4 END AS tier
+      FROM toks
+    ),
+    ordered AS (
+      SELECT doc_id, tier, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY tier
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM tiers
+    )
+    SELECT doc_id, tier, n_tokens, cum_tokens
+    FROM ordered
+    WHERE cum_tokens <= CASE tier
+        WHEN 1 THEN {TIER_BUDGETS[1]} WHEN 2 THEN {TIER_BUDGETS[2]}
+        WHEN 3 THEN {TIER_BUDGETS[3]} ELSE {TIER_BUDGETS[4]} END
+    ORDER BY tier, cum_tokens
+"""
+
+
+@query("pipeline_quality_mixture", _QMIX_ORACLE)
+def pipeline_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier curriculum mixture: tier documents by a cheap
+    quality proxy (mean token length, the signal text_token_stats
+    computes), then fill a per-tier token budget in deterministic
+    md5(doc_id) order — the data-mixing step (quality-bucketed
+    sampling, à la DoReMi/CCNet quality buckets) that follows scoring
+    in a pretraining pipeline.  Mid tiers get 2× the budget of the
+    extremes here; budgets are per-tier constants exactly as the
+    per-source budgets in pipeline_mixture_sample.
+
+    Scale: one shuffle keyed on tier for the running sum (the same
+    shape as pipeline_mixture_sample; four tiers means four window
+    partitions, so at cluster scale the cumulative sums for different
+    tiers run on different executors; a skewed tier falls back to the
+    two-phase distributed prefix sum of pipeline_sequence_pack).
+    """
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_ws_tokens = (
+        F.length(padded) - F.length(F.replace(padded, F.lit(" "), F.lit("")))
+    ).cast("int") - 1
+    score = F.round(
+        F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double")
+        / n_ws_tokens,
+        6,
+    )
+    tier = (
+        F.when(score < QUALITY_CUTS[0], 1)
+        .when(score < QUALITY_CUTS[1], 2)
+        .when(score < QUALITY_CUTS[2], 3)
+        .otherwise(4)
+    )
+    toks = t.documents.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')")).alias("n_tokens"),
+        tier.alias("tier"),
+    )
+    w = (
+        Window.partitionBy("tier")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.create_map(
+        *[F.lit(x) for kv in TIER_BUDGETS.items() for x in kv]
+    )[F.col("tier")]
+    return (
+        toks.select(
+            "doc_id",
+            "tier",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .orderBy("tier", "cum_tokens")
+    )

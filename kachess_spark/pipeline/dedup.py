@@ -937,3 +937,293 @@ def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+# ------------------------------------------------- shingle containment
+
+CONTAIN_TAU = 0.5  # |S_a ∩ S_b| / |S_a| — "half of a is inside b"
+
+_CONTAIN_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_SHINGLES_SQL} AS shingles
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    )
+    SELECT a.doc_id AS contained, b.doc_id AS container,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(a.shingles), 6) AS containment
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / len(a.shingles), 6) >= {CONTAIN_TAU}
+    ORDER BY contained, container
+"""
+
+
+@query("dedup_containment", _CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(a,b) = |S_a ∩ S_b| / |S_a|:
+    flags documents substantially CONTAINED in another (quote farms,
+    page-of-a-book extracts, boilerplate wrappers) that symmetric
+    Jaccard misses — a short doc inside a long one has tiny Jaccard but
+    containment ≈ 1, so Jaccard-only dedup keeps both copies.
+
+    Blocking is lang-only (NOT the length bucket Jaccard uses: a
+    contained doc and its container differ in length by construction,
+    so length blocking would discard exactly the target pairs).
+
+    Scale: same relational shape as dedup_ngram_jaccard — explode
+    shingles, count matches per ordered pair via a shingle-equality
+    join; pairs sharing zero shingles never materialize and the
+    intersection count runs in whole-stage codegen.  One shuffle keyed
+    on (lang, shingle), one on the pair key.  At 100 TB the lang block
+    is replaced by the MinHash band index (dedup_minhash_lsh) as the
+    candidate source; the containment verify below is unchanged.
+    """
+    t = Tables(spark, sf_dir)
+    sh = (
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "lang", F.expr(_WORDS_EXPR).alias("words"))
+        .where(F.size("words") >= 3)
+        .select("doc_id", "lang", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    expl = sh.select(
+        "doc_id",
+        "lang",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).localCheckpoint(eager=False)
+    a, b = expl.alias("a"), expl.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+            F.col("a.n_sh").alias("na"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    containment = F.round(F.col("inter").cast("double") / F.col("na"), 6)
+    return (
+        common.select("contained", "container", containment.alias("containment"))
+        .where(F.col("containment") >= CONTAIN_TAU)
+        .orderBy("contained", "container")
+    )
+
+# ------------------------------------------- semantic cluster dedup
+
+SEM_TAU = COS_THRESHOLD  # in-cluster near-dup cosine threshold
+SEM_TARGET_CLUSTER = 32  # expected vectors per cluster
+SEM_MIN_K, SEM_MAX_K = 16, 256
+
+
+def sem_k(n_vectors: int) -> int:
+    """Cluster-count sizing: k grows with the corpus so the in-cluster
+    pairwise verify stays ~n·SEM_TARGET_CLUSTER/2 (linear in n), capped
+    at SEM_MAX_K for the relational assignment below — past the cap the
+    assignment step swaps to an IVF shortlist (similarity.sim_ivf_topk's
+    coarse quantizer) and the per-cluster logic is unchanged."""
+    import math
+
+    return max(SEM_MIN_K, min(SEM_MAX_K, math.ceil(n_vectors / SEM_TARGET_CLUSTER)))
+
+
+_SEM_ORACLE = f"""
+WITH nn AS (
+  SELECT GREATEST({SEM_MIN_K}, LEAST({SEM_MAX_K},
+         CAST(CEIL(COUNT(*) / {SEM_TARGET_CLUSTER}.0) AS INTEGER))) AS k
+  FROM embeddings
+),
+cent AS (
+  SELECT e.vec_id AS cid, e.embedding AS cemb
+  FROM (SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings) e, nn
+  WHERE e.rn <= nn.k
+),
+vexpl AS (
+  SELECT v.vec_id, c.cid, generate_subscripts(v.embedding, 1) AS pos,
+         CAST(unnest(v.embedding) AS DOUBLE) AS xv,
+         CAST(unnest(c.cemb) AS DOUBLE) AS cv
+  FROM embeddings v CROSS JOIN cent c
+),
+vdots AS (
+  SELECT vec_id, cid,
+         SUM(CAST(xv * cv AS DECIMAL(28,14))) AS dot,
+         SUM(CAST(xv * xv AS DECIMAL(28,14))) AS nx,
+         SUM(CAST(cv * cv AS DECIMAL(28,14))) AS nc
+  FROM vexpl GROUP BY vec_id, cid
+),
+cc AS (
+  SELECT vec_id, cid,
+         ROUND(CAST(dot AS DOUBLE)
+               / sqrt(CAST(nx AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS cent_cos
+  FROM vdots
+),
+assign AS (
+  SELECT vec_id, cid AS cluster, cent_cos
+  FROM (SELECT vec_id, cid, cent_cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cent_cos DESC, cid) AS rn
+        FROM cc) r
+  WHERE rn = 1
+),
+pexpl AS (
+  SELECT a.vec_id AS xa, b.vec_id AS xb,
+         a.cent_cos AS ca, b.cent_cos AS cb,
+         CAST(unnest(ea.embedding) AS DOUBLE) AS xv,
+         CAST(unnest(eb.embedding) AS DOUBLE) AS yv
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+pdots AS (
+  SELECT xa, xb, ca, cb,
+         SUM(CAST(xv * yv AS DECIMAL(28,14))) AS dot,
+         SUM(CAST(xv * xv AS DECIMAL(28,14))) AS na,
+         SUM(CAST(yv * yv AS DECIMAL(28,14))) AS nb
+  FROM pexpl GROUP BY xa, xb, ca, cb
+),
+dom AS (
+  SELECT DISTINCT xa AS vec_id
+  FROM pdots
+  WHERE ROUND(CAST(dot AS DOUBLE)
+              / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) >= {SEM_TAU}
+    AND (cb < ca OR (cb = ca AND xb < xa))
+)
+SELECT s.vec_id, s.cluster, s.cent_cos,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assign s LEFT JOIN dom d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id
+"""
+
+
+@query("dedup_semantic_cluster", _SEM_ORACLE)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then inside each cluster
+    drop every vector that has a near-duplicate (cosine ≥ SEM_TAU)
+    of LOWER keep-priority, where priority prefers the vector LEAST
+    similar to its centroid — the paper's diversity-keeping exemplar
+    rule (keep the outlier, drop the redundant core copies).
+
+    Determinism (the property an oracle needs): centroids are the k
+    lowest vec_ids rather than random init, assignment breaks
+    cosine ties by centroid id, and every dot/norm sum is a DECIMAL
+    fold, so both engines agree bit-for-bit.  k is sized from the
+    corpus count by :func:`sem_k` (same rule inlined in the oracle's
+    COUNT(*) CTE), keeping expected cluster size ~SEM_TARGET_CLUSTER.
+
+    Scale plan: centroids are k≤256 rows → broadcast; the assignment
+    cross join expands map-side only (the groupBy argmin combines
+    partially before its n-row shuffle — shuffle is n rows, not n·k).
+    The in-cluster pair join shuffles on the cluster id; per-cluster
+    work is quadratic in cluster size, which sem_k holds ~constant —
+    the same cost model the paper runs at web scale.  Past SEM_MAX_K
+    clusters, assignment switches to the IVF coarse-quantizer
+    shortlist (similarity.py) and nothing downstream changes.
+    """
+    t = Tables(spark, sf_dir)
+    k = sem_k(t.embeddings.count())
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}),"
+        f" (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
+    )
+    emb = t.embeddings.select("vec_id", "embedding", norm.alias("nrm"))
+    cent = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    dot_vc = F.expr(
+        f"aggregate(zip_with(embedding, cemb, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+    )
+    cent_cos = F.round(
+        F.col("dvc").cast("double")
+        / F.sqrt(F.col("nrm").cast("double") * F.col("cnrm").cast("double")),
+        6,
+    )
+    scored = (
+        emb.crossJoin(cent)
+        .select("vec_id", "embedding", "nrm", "cnrm", "cid", dot_vc.alias("dvc"))
+        .select("vec_id", "embedding", "nrm", "cid", cent_cos.alias("cent_cos"))
+    )
+    # argmin as a map-side-combinable min(struct): (-cos + 0.0) ascending
+    # == cos descending, the +0.0 normalising any -0.0 so the double
+    # compare matches the oracle's ORDER BY; ties fall to centroid id
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cent_cos") + F.lit(0.0)).alias("negcos"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("m")
+    )
+    assigned = (
+        scored.join(best, "vec_id")
+        .where(
+            ((-F.col("cent_cos") + F.lit(0.0)) == F.col("m.negcos"))
+            & (F.col("cid") == F.col("m.cid"))
+        )
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            "cent_cos",
+            "embedding",
+            "nrm",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot_pair = F.expr(
+        f"aggregate(zip_with(a.embedding, b.embedding, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+    )
+    pair_cos = F.round(
+        F.col("dp").cast("double")
+        / F.sqrt(F.col("a.nrm").cast("double") * F.col("b.nrm").cast("double")),
+        6,
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (
+                (F.col("b.cent_cos") < F.col("a.cent_cos"))
+                | (
+                    (F.col("b.cent_cos") == F.col("a.cent_cos"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
+            ),
+        )
+        .withColumn("dp", dot_pair)
+        .where(pair_cos >= SEM_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "cent_cos",
+            F.when(F.col("dropped").isNull(), 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
