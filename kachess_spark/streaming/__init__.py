@@ -8,6 +8,8 @@ oracle-checked; the streaming paths run the same logical plans through
 """
 
 from kachess_spark.streaming.windows import (
+    dedup_window_counts,
+    streaming_dedup_counts,
     streaming_dedup_events,
     streaming_interval_join,
     streaming_static_enrich,
@@ -23,6 +25,8 @@ from kachess_spark.streaming.windows import (
 
 __all__ = [
     "stream_events",
+    "dedup_window_counts",
+    "streaming_dedup_counts",
     "streaming_dedup_events",
     "streaming_interval_join",
     "streaming_static_enrich",

@@ -706,3 +706,72 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming query did not drain within 120s")
     return spark.read.parquet(out_dir).orderBy("window_epoch", "rk")
+
+
+# ------------------------------------- streaming dedup → windowed agg
+
+_DEDUP_COUNTS_ORACLE = """
+WITH dedup AS (
+  SELECT DISTINCT (floor(epoch(ts) / 60) * 60)::BIGINT AS minute_epoch,
+         user_id, event_type
+  FROM events
+)
+SELECT (floor(minute_epoch / 3600.0) * 3600)::BIGINT AS window_epoch,
+       event_type,
+       count(*) AS n_unique
+FROM dedup
+GROUP BY 1, 2
+ORDER BY window_epoch, event_type
+"""
+
+
+@query("stream_dedup_counts", _DEDUP_COUNTS_ORACLE)
+def dedup_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the at-least-once ingestion dedup: collapse
+    duplicate deliveries to one row per (user, event_type, minute),
+    then count survivors per 1-hour window — the dedup-then-aggregate
+    shape every event pipeline runs in front of its rollups.
+
+    Scale: the DISTINCT and the window count share the same hash
+    partitioning family (minute determines hour), so AQE coalesces the
+    second shuffle to a near-no-op; dedup state in the streaming twin
+    below is bounded by the watermark horizon instead of growing with
+    the stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.floor(F.unix_timestamp("ts") / 60) * 60).cast("long")
+    return (
+        ev.select(minute.alias("minute_epoch"), "user_id", "event_type")
+        .distinct()
+        .groupBy(
+            (F.floor(F.col("minute_epoch") / 3600) * 3600)
+            .cast("long")
+            .alias("window_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("window_epoch", "event_type")
+    )
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: dropDuplicates → windowed count, the chained
+    multiple-stateful-operators pattern (supported in append mode since
+    Spark 3.5).  The dedup key includes the event-time minute column so
+    watermark advance evicts dedup state; the downstream window agg
+    finalizes (and emits) a window once the watermark passes its end —
+    the test compares exactly the finalized prefix against the batch
+    twin."""
+    ev = stream_events(spark, sf_dir)
+    m = ev.withColumn("minute_ts", F.date_trunc("minute", F.col("ts")))
+    return (
+        m.withWatermark("minute_ts", "10 minutes")
+        .dropDuplicates(["minute_ts", "user_id", "event_type"])
+        .groupBy(F.window("minute_ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_epoch"),
+            "event_type",
+            "n_unique",
+        )
+    )

@@ -190,3 +190,29 @@ def test_streaming_trending_topk(spark, sf_dir):
     want = sorted(map(tuple, trending_topk_batch(spark, sf_dir).collect()))
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_dedup_counts_finalized_prefix(spark, sf_dir):
+    """Chained stateful ops (dropDuplicates → windowed agg, append mode):
+    every window the watermark finalized must match the batch twin
+    exactly; the withheld remainder is precisely the tail windows past
+    (max event time − delay)."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming import dedup_window_counts, streaming_dedup_counts
+
+    got = _run_stream(spark, streaming_dedup_counts(spark, sf_dir), "append")
+    batch = dedup_window_counts(spark, sf_dir)
+    max_minute = (
+        load_table(spark, sf_dir, "events")
+        .select(F.unix_timestamp(F.date_trunc("minute", "ts")).alias("m"))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    watermark = max_minute - 600  # 10-minute delay on the minute column
+    finalized = batch.where(F.col("window_epoch") + 3600 <= watermark)
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, finalized.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
