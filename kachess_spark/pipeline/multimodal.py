@@ -586,3 +586,218 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = imgs.mapInPandas(_png_encode_batches, schema=_PNG_ENCODE_SCHEMA)
     dims = encoded.mapInPandas(_png_dims_batches, schema=_PNG_DIMS_SCHEMA)
     return dims.select("doc_id", "width", "height").orderBy("doc_id")
+
+
+# ------------------------------------------------- perceptual hashing
+
+AHASH_GROUPS = 40  # ground-truth near-dup groups in the synthetic corpus
+AHASH_SIDE = 32  # px; 8x8 blocks of 4x4 for the downsample
+AHASH_MAX_HAMMING = 4  # ≤4 bit flips ⇒ ≥1 of 5 13-bit bands equal
+
+
+def _group_pattern(group: int) -> int:
+    """64-bit block pattern for a near-dup group (md5-derived, stable)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(f"ahash-group-{group}".encode()).digest()[:8],
+        "big",
+        signed=True,
+    )
+
+
+def png_from_gray(gray) -> bytes:
+    """Encode a 2-D uint8 array as a real RGB PNG (stdlib zlib/struct,
+    filter-0 rows, R=G=B) — the patterned sibling of tiny_png."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    h, w = gray.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(v for px in row for v in (px, px, px))
+        for row in gray.tolist()
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_gray(payload: bytes | None):
+    """PNG payload → 2-D uint8 array (R channel).  PIL decodes when
+    installed; otherwise a stdlib zlib inflater handles the filter-0
+    stream our encoder writes (real bytes either way, no fake path)."""
+    import io
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if _PIL_IMAGE is not None:
+        try:
+            with _PIL_IMAGE.open(io.BytesIO(b)) as im:
+                return np.asarray(im.convert("RGB"))[:, :, 0].copy()
+        except Exception:
+            return None
+    if b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    idat, i = b"", 8
+    while i + 8 <= len(b):
+        (seglen,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += b[i + 8 : i + 8 + seglen]
+        i += 12 + seglen
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if (rows[:, 0] != 0).any():  # only filter-0 rows are ours
+        return None
+    return rows[:, 1::3].copy()
+
+
+def ahash64(gray) -> int:
+    """64-bit average hash: 8x8 block means thresholded at the global
+    mean of the downsample (the classic aHash; numpy, vectorized)."""
+    import numpy as np
+
+    side = gray.shape[0] // 8
+    blocks = gray.astype(np.float64).reshape(8, side, 8, side).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for k in range(64):
+        if bits[k]:
+            val |= 1 << k
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def _ahash_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"].astype("int64"):
+            pattern = _group_pattern(int(d) % AHASH_GROUPS)
+            gray = np.empty((AHASH_SIDE, AHASH_SIDE), dtype=np.uint8)
+            blk = AHASH_SIDE // 8
+            for k in range(64):
+                r, c = divmod(k, 8)
+                gray[r * blk : (r + 1) * blk, c * blk : (c + 1) * blk] = (
+                    224 if (pattern >> k) & 1 else 32
+                )
+            # per-doc noise: one corner pixel per block shifts by <8 —
+            # far inside the 192-level block contrast, so no bit flips
+            gray[::blk, ::blk] += np.uint8(int(d) // AHASH_GROUPS % 8)
+            payloads.append(png_from_gray(gray))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        hashes = []
+        for p in pdf["payload"].values:
+            gray = decode_gray(p)
+            hashes.append(0 if gray is None else ahash64(gray))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "ahash": pd.Series(hashes, dtype="int64")}
+        )
+
+
+_AHASH_ORACLE = f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
+     AND a.doc_id % {AHASH_GROUPS} = b.doc_id % {AHASH_GROUPS}
+     AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("mm_image_ahash", _AHASH_ORACLE)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual average-hash: encode real
+    PNG pixels (patterned per ground-truth group), decode them back
+    (PIL or the stdlib inflater), compute the 64-bit aHash in numpy,
+    and find hamming≤{AHASH_MAX_HAMMING} pairs with a banded self-join.
+
+    The oracle pins the result to the construction's group structure:
+    same-group images differ only by sub-threshold noise (hash-equal),
+    cross-group patterns are md5-random (hamming ~32) — so a driver
+    PASS proves the decode→downsample→threshold→band-join path end to
+    end, not a length-derived fake.
+
+    Scale: hashing is one Arrow-batched pass (per-image CPU, no
+    shuffle); candidate generation is the pigeonhole band trick shared
+    with dedup_simhash — 5 13-bit bands, hamming≤4 pairs must agree on
+    ≥1 band — so the join touches band-bucket collisions, never all
+    pairs.  The verify (bit_count of XOR) runs JVM-side in codegen.
+    """
+    t = Tables(spark, sf_dir)
+    imgs = (
+        t.documents.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    encoded = imgs.mapInPandas(_ahash_encode_batches, schema=_PNG_ENCODE_SCHEMA)
+    hashed = encoded.mapInPandas(
+        _ahash_batches,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("ahash", LongType()),
+            ]
+        ),
+    ).localCheckpoint(eager=False)
+    bands = hashed.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.expr(
+                            f"shiftrightunsigned(ahash, {13 * k}) & 8191"
+                        ).alias("band_val"),
+                    )
+                    for k in range(5)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "ahash", "band.k", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= AHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
