@@ -37,6 +37,11 @@ BREADTH = [
     # round 3: rewritten banded LSH + the real-PNG binary pipeline
     "sim_ann_lsh",
     "mm_png_roundtrip",
+    # round 3: new dedup/curation heavies
+    "dedup_semantic_cluster",
+    "dedup_containment",
+    "mm_image_ahash",
+    "pipeline_quality_mixture",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

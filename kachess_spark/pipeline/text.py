@@ -740,3 +740,77 @@ def text_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------- BPE merge-pair counting
+
+BPE_TOP_PAIRS = 20
+
+_BPE_PAIRS_ORACLE = f"""
+    WITH pretok AS (
+      SELECT unnest(regexp_extract_all(text, '{_BPE_SQL}')) AS tok
+      FROM documents
+    ),
+    tok_freq AS (
+      SELECT tok, count(*) AS n
+      FROM pretok
+      WHERE length(tok) >= 2
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                    i -> substr(tok, i, 2))) AS pair,
+             n
+      FROM tok_freq
+    ),
+    counts AS (
+      SELECT pair, SUM(n)::BIGINT AS pair_count
+      FROM pairs
+      GROUP BY pair
+    )
+    SELECT pair, pair_count,
+           ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank
+    FROM counts
+    QUALIFY rank <= {BPE_TOP_PAIRS}
+    ORDER BY rank
+"""
+
+
+@query("text_bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of distributed BPE vocabulary induction: count
+    adjacent symbol pairs across the corpus and rank the top merge
+    candidates — the inner step a tokenizer-training pipeline runs over
+    the full corpus before each merge.
+
+    The corpus-scale trick is counting pairs per DISTINCT pretoken
+    weighted by the pretoken's frequency, not per occurrence: the
+    pretoken vocabulary is orders of magnitude smaller than the token
+    stream (Zipf), so the expensive character-pair explode runs on the
+    small distinct side while the big side only feeds a hash count.
+    Both shuffles (pretoken count, pair sum) partial-aggregate
+    map-side; ordering ties break on the pair string so the top-k is
+    deterministic in both engines.
+    """
+    t = Tables(spark, sf_dir)
+    pretoks = t.documents.select(
+        F.explode(F.expr(f'regexp_extract_all(text, "{_BPE_RE}", 0)')).alias("tok")
+    )
+    tok_freq = (
+        pretoks.where(F.length("tok") >= 2).groupBy("tok").agg(F.count("*").alias("n"))
+    )
+    pairs = tok_freq.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("n").cast("long").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return (
+        counts.select(
+            "pair", "pair_count", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= BPE_TOP_PAIRS)
+        .orderBy("rank")
+    )

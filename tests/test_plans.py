@@ -428,3 +428,44 @@ def test_png_roundtrip_arrow_batched(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_cluster_broadcast_assignment(spark, sf_dir):
+    """dedup_semantic_cluster: centroid assignment must be a broadcast
+    cross join (k≤256 rows, never a shuffled join), the argmin must
+    partial-aggregate map-side, and all cosine math stays JVM-side."""
+    from kachess_spark.pipeline.dedup import dedup_semantic_cluster
+
+    df = dedup_semantic_cluster(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast cross join
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_containment_no_allpairs(spark, sf_dir):
+    """dedup_containment: candidates come from the shingle-equality
+    join — never a cartesian over the blocked pairs."""
+    from kachess_spark.pipeline.dedup import dedup_containment
+
+    df = dedup_containment(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_image_ahash_banded_join(spark, sf_dir):
+    """mm_image_ahash: hashing is Arrow-batched mapInPandas; the pair
+    search is the banded equality join with the XOR bit_count verify in
+    codegen — no cartesian, no per-pair Python."""
+    from kachess_spark.pipeline.multimodal import mm_image_ahash
+
+    df = mm_image_ahash(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
