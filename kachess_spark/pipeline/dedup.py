@@ -526,11 +526,16 @@ def dedup_embedding_cosine(
         f" (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
         f" AS {PDEC}) AS {PDEC}))"
     )
-    b = t.embeddings.select(
-        "vec_id",
-        "embedding",
-        F.expr(_emb_bucket_spark(sign_bits)).alias("bucket"),
-        norm.alias("nrm"),
+    b = (
+        t.embeddings.repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_emb_bucket_spark(sign_bits)).alias("bucket"),
+            norm.alias("nrm"),
+        )
     )
     cand = (
         b.alias("a")
@@ -1041,6 +1046,10 @@ def sem_assign(embeddings: DataFrame, k: int) -> DataFrame:
     min(struct) argmin — the only shuffle is n rows keyed on vec_id.
 
     Returns (vec_id, cluster, cent_cos, embedding, nrm)."""
+    # single-row-group parquet → spread before the k·n CPU-bound folds
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
     norm = F.expr(
         f"aggregate(embedding, CAST(0 AS {PDEC}),"
         f" (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"

@@ -129,37 +129,59 @@ N_PLANES = 4  # planes per band (2^4 = 16 buckets per band)
 N_BANDS = 16  # OR-amplified bands: candidate = same bucket in ANY band
 
 
+def _plane_signs(band: int, p: int, dim: int) -> list[float]:
+    """±1 sign per component for plane (band, p): +1 iff the first hex
+    digit of md5("b{band}p{p}|{pos}") is even — the SAME rule the
+    original per-row expression evaluated, hoisted to the driver.  The
+    sign depends only on (band, plane, pos), so it is a ~4 KB constant
+    per band set; recomputing it per row cost dim·planes·bands md5
+    calls per vector (the dominant wall-clock of the old plan)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"b{band}p{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _plane_dot(band: int, p: int, dim: int):
+    """Signed-projection dot against the (band, p) hyperplane as a
+    literal-array zip_with fold — whole-stage codegen, no explode, no
+    shuffle; the DECIMAL fold makes the sum order-independent so the
+    bucket bit matches the old SUM-aggregate exactly."""
+    arr = "array(" + ",".join(
+        f"{s:.1f}D" for s in _plane_signs(band, p, dim)
+    ) + ")"
+    return F.expr(
+        f"aggregate(zip_with(embedding, {arr}, (x, s) ->"
+        f" CAST(CAST(x AS DOUBLE) * s AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+    )
+
+
+def _emb_dim(df: DataFrame) -> int:
+    row = df.select(F.size("embedding")).first()
+    return int(row[0]) if row else 0
+
+
 def hyperplane_bucket(df: DataFrame, band: int = 0) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector for one band.
 
     Plane (band, p)'s component at position i has a pseudo-random sign
     derived from md5(b{band}p{p}|i) — deterministic, no RNG state,
     reproducible on any cluster.  bucket = Σ_p (dot_p > 0) << p.
-    """
-    d = _exploded(df, "vid", "dv")
-    planes = [
-        F.sum(
-            F.when(
-                # first hex digit of md5("b{band}p{p}|{pos}") even → +1 else -1
-                F.conv(
-                    F.substring(
-                        F.md5(F.format_string(f"b{band}p{p}|%d", F.col("pos"))),
-                        1,
-                        1,
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                F.col("dv"),
-            )
-            .otherwise(-F.col("dv"))
-            .cast(PDEC)
-        ).alias(f"d{p}")
-        for p in range(N_PLANES)
-    ]
-    sig = d.groupBy("vid").agg(*planes)
+    Signs are driver-hoisted constants (see _plane_signs); each plane
+    dot is a literal-array zip_with in codegen — one narrow map over
+    the vectors, no explode."""
+    dim = _emb_dim(df)
+    # single-row-group parquet → spread before the CPU-bound folds
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    sig = df.select(
+        F.col("vec_id").alias("vid"),
+        *[_plane_dot(band, p, dim).alias(f"d{p}") for p in range(N_PLANES)],
+    )
     bucket = sum(
         (F.when(F.col(f"d{p}") > 0, 1).otherwise(0) * (1 << p))
         for p in range(N_PLANES)
@@ -174,43 +196,43 @@ def banded_hyperplane_buckets(df: DataFrame) -> DataFrame:
     neighbor only has to agree on ALL planes of SOME band, so recall
     rises from p^b (one band) to 1-(1-p^b)^L while the per-band bucket
     size — and therefore candidate work — stays the same.  All L·b
-    band-dots are computed in ONE aggregation over the exploded
-    embeddings (16 codegen SUMs here), not L passes."""
-    d = _exploded(df, "vid", "dv")
-    aggs = [
-        F.sum(
-            F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(F.format_string(f"b{b}p{p}|%d", F.col("pos"))),
-                        1,
-                        1,
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                F.col("dv"),
-            )
-            .otherwise(-F.col("dv"))
-            .cast(PDEC)
-        ).alias(f"b{b}d{p}")
+    band-dots are literal-array zip_with folds in ONE narrow projection
+    (64 codegen dots here) — no explode, no shuffle, no per-row md5
+    (hashing the plane signs per row was ~dim·L·b md5 calls per vector,
+    the dominant wall-clock of the previous plan)."""
+    dim = _emb_dim(df)
+    # single-row-group parquet → spread before the CPU-bound folds
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    # ONE expression holding the whole L·b sign matrix, not 64 separate
+    # mega-expressions: 64 projection columns each carrying a 64-literal
+    # array made the driver's analyze/codegen phase the bottleneck
+    # (seconds of planning for 2 s of compute); a single transform over
+    # the literal matrix plans in milliseconds and folds identically.
+    sign_rows = ", ".join(
+        "array(" + ",".join(f"{s:.1f}D" for s in _plane_signs(b, p, dim)) + ")"
         for b in range(N_BANDS)
         for p in range(N_PLANES)
-    ]
-    sig = d.groupBy("vid").agg(*aggs)
-    band_buckets = [
-        sum(
-            (F.when(F.col(f"b{b}d{p}") > 0, 1).otherwise(0) * (1 << p))
-            for p in range(N_PLANES)
-        ).alias(f"bucket_{b}")
-        for b in range(N_BANDS)
-    ]
-    wide = sig.select("vid", *band_buckets)
-    stacked = ", ".join(f"{b}, bucket_{b}" for b in range(N_BANDS))
-    return wide.select(
-        "vid", F.expr(f"stack({N_BANDS}, {stacked}) AS (band, bucket)")
+    )
+    dots = (
+        f"transform(array({sign_rows}), s ->"
+        f" aggregate(zip_with(embedding, s, (x, sg) ->"
+        f" CAST(CAST(x AS DOUBLE) * sg AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC})))"
+    )
+    # barrier: without it CollapseProject inlines the full literal-matrix
+    # fold into every element_at() below — 64 copies of a 4k-literal
+    # expression, and the optimizer/codegen phase runs for minutes
+    sig = df.select(
+        F.col("vec_id").alias("vid"), F.expr(dots).alias("dots")
+    ).localCheckpoint(eager=False)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN element_at(dots, b * {N_PLANES} + {p} + 1) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    buckets = f"transform(sequence(0, {N_BANDS - 1}), b -> {bucket_terms})"
+    return sig.select("vid", F.expr(buckets).alias("bkts")).select(
+        "vid", F.posexplode("bkts").alias("band", "bucket")
     )
 
 
@@ -228,7 +250,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-rank touches only the deduped candidate union."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    buckets = banded_hyperplane_buckets(emb)
+    # materialize: the bucket table feeds BOTH the query filter and the
+    # probe join — without the barrier the 64-dot projection runs twice
+    buckets = banded_hyperplane_buckets(emb).localCheckpoint(eager=False)
     queries = buckets.where(F.col("vid").isin(*QUERY_IDS)).select(
         F.col("vid").alias("qid"), "band", "bucket"
     )
