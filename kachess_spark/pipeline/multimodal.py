@@ -590,7 +590,19 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- perceptual hashing
 
-AHASH_GROUPS = 40  # ground-truth near-dup groups in the synthetic corpus
+AHASH_MIN_GROUPS = 40  # floor for the synthetic near-dup group count
+AHASH_TARGET_GROUP = 16  # expected images per group
+
+
+def ahash_groups(n_images: int) -> int:
+    """Group-count sizing: the candidate join is quadratic in group
+    size, so the group count must GROW with the corpus (expected group
+    ~AHASH_TARGET_GROUP images at any n) — a fixed 40 groups made
+    in-group pairs quadratic at 8x data.  The oracle derives the same
+    value from COUNT(*), so both engines agree at any corpus size."""
+    import math
+
+    return max(AHASH_MIN_GROUPS, math.ceil(n_images / AHASH_TARGET_GROUP))
 AHASH_SIDE = 32  # px; 8x8 blocks of 4x4 for the downsample
 AHASH_MAX_HAMMING = 4  # ≤4 bit flips ⇒ ≥1 of 5 13-bit bands equal
 
@@ -693,8 +705,10 @@ def _ahash_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
     for pdf in batches:
         payloads = []
-        for d in pdf["doc_id"].astype("int64"):
-            pattern = _group_pattern(int(d) % AHASH_GROUPS)
+        for d, g in zip(
+            pdf["doc_id"].astype("int64"), pdf["n_groups"].astype("int64")
+        ):
+            pattern = _group_pattern(int(d) % int(g))
             gray = np.empty((AHASH_SIDE, AHASH_SIDE), dtype=np.uint8)
             blk = AHASH_SIDE // 8
             for k in range(64):
@@ -704,7 +718,7 @@ def _ahash_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 )
             # per-doc noise: one corner pixel per block shifts by <8 —
             # far inside the 192-level block contrast, so no bit flips
-            gray[::blk, ::blk] += np.uint8(int(d) // AHASH_GROUPS % 8)
+            gray[::blk, ::blk] += np.uint8(int(d) // int(g) % 8)
             payloads.append(png_from_gray(gray))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -721,11 +735,16 @@ def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 _AHASH_ORACLE = f"""
+    WITH nn AS (
+      SELECT GREATEST({AHASH_MIN_GROUPS},
+             CAST(CEIL(COUNT(*) / {AHASH_TARGET_GROUP}.0) AS INTEGER)) AS g
+      FROM documents WHERE doc_id % 3 = 0
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
-    FROM documents a JOIN documents b
-      ON a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
-     AND a.doc_id % {AHASH_GROUPS} = b.doc_id % {AHASH_GROUPS}
-     AND a.doc_id < b.doc_id
+    FROM documents a JOIN documents b ON
+         a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
+     AND a.doc_id < b.doc_id, nn
+    WHERE a.doc_id % nn.g = b.doc_id % nn.g
     ORDER BY doc_a, doc_b
 """
 
@@ -748,6 +767,9 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with dedup_simhash — 5 13-bit bands, hamming≤4 pairs must agree on
     ≥1 band — so the join touches band-bucket collisions, never all
     pairs.  The verify (bit_count of XOR) runs JVM-side in codegen.
+    The group count is corpus-sized (:func:`ahash_groups`, same rule in
+    the oracle's COUNT(*) CTE) so expected group — and with it in-group
+    pair work per image — stays constant as the corpus grows.
     """
     t = Tables(spark, sf_dir)
     imgs = (
@@ -755,6 +777,8 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
+    g = ahash_groups(imgs.count())
+    imgs = imgs.withColumn("n_groups", F.lit(g).cast("long"))
     encoded = imgs.mapInPandas(_ahash_encode_batches, schema=_PNG_ENCODE_SCHEMA)
     hashed = encoded.mapInPandas(
         _ahash_batches,

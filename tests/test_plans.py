@@ -481,8 +481,11 @@ def test_image_ahash_banded_join(spark, sf_dir):
 
     # hashing stage (the checkpoint in the full query hides it):
     # both kernels must be Arrow-batched MapInPandas nodes
-    imgs = Tables(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 0).select(
-        "doc_id"
+    imgs = (
+        Tables(spark, sf_dir)
+        .documents.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .withColumn("n_groups", F.lit(40).cast("long"))
     )
     hashed = imgs.mapInPandas(
         _ahash_encode_batches, schema=_PNG_ENCODE_SCHEMA
