@@ -344,3 +344,79 @@ def source_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         [r for r in (r1, r2) if r],
         "run int, n_new_files int, n_docs bigint",
     ).orderBy("run")
+
+
+# ----------------------------------------------- binary-file ingestion
+
+N_BINARY_IMGS = 12
+
+
+def _binary_oracle() -> str:
+    """Construction-pinned VALUES oracle: expected (img_id, n_bytes,
+    width, height) computed at import time from the SAME tiny_png
+    construction the operator writes — a PASS proves the binaryFile
+    source read the real bytes and the JVM header parse extracted the
+    true dimensions (zlib output is deterministic for fixed input)."""
+    from kachess_spark.pipeline.multimodal import tiny_png
+
+    rows = ", ".join(
+        f"({i}, {len(tiny_png(i % 16 + 1, i % 12 + 1))},"
+        f" {i % 16 + 1}, {i % 12 + 1})"
+        for i in range(N_BINARY_IMGS)
+    )
+    return f"""
+    SELECT img_id, n_bytes, width, height
+    FROM (VALUES {rows}) t(img_id, n_bytes, width, height)
+    ORDER BY img_id
+    """
+
+
+@query("source_binary_files", _binary_oracle())
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` ingestion — the multimodal landing pattern: a
+    directory of opaque payload files becomes (path, length, content)
+    rows, and cheap metadata (PNG IHDR width/height here) is extracted
+    JVM-side from the first bytes with substring/hex/conv — no Python,
+    no full decode.
+
+    Scale: binaryFile lists and reads files in parallel across
+    executors (one task per file group); the header parse touches 8
+    bytes of each content column, so a metadata pass over a 100 TB
+    image corpus reads headers, not pixels.  Writing the fixture files
+    is driver-side here only because they are the fixture.
+    """
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from kachess_spark.pipeline.multimodal import tiny_png
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"kachess_binsrc_{os.getpid()}_{uuid.uuid4().hex[:8]}",
+    )
+    os.makedirs(d, exist_ok=True)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    for i in range(N_BINARY_IMGS):
+        with open(os.path.join(d, f"img_{i:03d}.png"), "wb") as fh:
+            fh.write(tiny_png(i % 16 + 1, i % 12 + 1))
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(d)
+    )
+    be_int = lambda pos: F.conv(  # noqa: E731 — big-endian u32 at pos
+        F.hex(F.expr(f"substring(content, {pos}, 4)")), 16, 10
+    ).cast("int")
+    return (
+        df.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png", 1)
+            .cast("int")
+            .alias("img_id"),
+            F.col("length").cast("int").alias("n_bytes"),
+            be_int(17).alias("width"),
+            be_int(21).alias("height"),
+        )
+        .orderBy("img_id")
+    )
