@@ -442,3 +442,67 @@ def pipeline_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= budget)
         .orderBy("tier", "cum_tokens")
     )
+
+
+# ------------------------------------------------------- dataset card
+
+_CARD_ORACLE = """
+    WITH f AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS toks,
+             md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp
+      FROM documents
+    ),
+    d AS (
+      SELECT f.*, COUNT(*) OVER (PARTITION BY fp) AS fpn FROM f
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           SUM(toks)::BIGINT AS total_tokens,
+           count(DISTINCT source) AS n_sources,
+           SUM(n_chars)::BIGINT AS total_chars,
+           ROUND(CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@query("pipeline_dataset_card", _CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card corpus report: per-language document/token/source
+    counts plus the exact-duplicate share — the summary table a curation
+    run publishes next to its output (a "datasheet" row per slice).
+
+    Scale: one window over the content fingerprint (same md5 shuffle
+    dedup_exact uses) then one groupBy(lang); token counts are the
+    whitespace-arithmetic formula (no split-array materialization), and
+    every sum is integer-exact so the card is reproducible bit-for-bit.
+    """
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    toks = (
+        F.length(padded) - F.length(F.replace(padded, F.lit(" "), F.lit("")))
+    ).cast("int") - 1
+    fp = F.md5(F.lower(F.regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+    d = t.documents.select(
+        "lang", "source", "n_chars", toks.alias("toks"), fp.alias("fp")
+    ).withColumn("fpn", F.count("*").over(Window.partitionBy("fp")))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum(F.when(F.col("fpn") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("lang")
+    )
