@@ -417,3 +417,29 @@ def test_incremental_source_cap(spark, sf_dir):
     assert nxt[0] == "s3://corpus/part_006500.parquet" and len(nxt) == 2_500
     # first-run (no manifest) path
     assert len(capped_delta(listed, None, cap=10)) == 10
+
+
+def test_sem_k_sizing():
+    """Cluster-count rule: k grows with the corpus so expected cluster
+    size stays ~SEM_TARGET_CLUSTER; capped at SEM_MAX_K where the
+    assignment switches to the IVF shortlist."""
+    from kachess_spark.pipeline.dedup import sem_k
+
+    assert sem_k(500) == 16  # driver-scale corpora → floor
+    assert sem_k(512) == 16
+    assert sem_k(2_000) == 63
+    assert sem_k(8_192) == 256
+    assert sem_k(1_000_000) == 256  # cap engaged
+
+
+def test_ahash_groups_sizing():
+    """Group-count rule: groups grow with the image corpus so expected
+    group size stays ~AHASH_TARGET_GROUP (the fix for the fixed-40-group
+    quadratic candidate blowup caught by the 8x probe)."""
+    from kachess_spark.pipeline.multimodal import ahash_groups
+
+    assert ahash_groups(167) == 40  # sf0.01 → oracle floor
+    assert ahash_groups(640) == 40
+    assert ahash_groups(1_667) == 105  # sf0.1
+    assert ahash_groups(13_334) == 834  # 8x probe scale
+    assert ahash_groups(1_000_000) == 62_500
