@@ -396,11 +396,15 @@ def pipeline_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremes here; budgets are per-tier constants exactly as the
     per-source budgets in pipeline_mixture_sample.
 
-    Scale: one shuffle keyed on tier for the running sum (the same
-    shape as pipeline_mixture_sample; four tiers means four window
-    partitions, so at cluster scale the cumulative sums for different
-    tiers run on different executors; a skewed tier falls back to the
-    two-phase distributed prefix sum of pipeline_sequence_pack).
+    Scale: a per-tier `SUM() OVER (ORDER BY …)` caps parallelism at
+    the tier count (4 windows, whatever the cluster size — the 8×
+    probe showed it), so the running sum is the distributed two-phase
+    prefix sum of pipeline_sequence_pack, with the block key a PREFIX
+    of the md5 draw key: block order then in-block order equals the
+    global draw order, per-(tier, block) local cumsums run on 4·256
+    window partitions, and the block-offset table is metadata-sized
+    and broadcast back.  The oracle's per-tier window is the semantic
+    spec; the two-phase plan is the executable one.
     """
     t = Tables(spark, sf_dir)
     text = F.col("text")
@@ -423,21 +427,39 @@ def pipeline_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.expr("filter(split(text, ' '), w -> w != '')")).alias("n_tokens"),
         tier.alias("tier"),
-    )
-    w = (
-        Window.partitionBy("tier")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        F.md5(F.col("doc_id").cast("string")).alias("mk"),
+    ).withColumn("blk", F.substring("mk", 1, 2))
+    w_local = (
+        Window.partitionBy("tier", "blk")
+        .orderBy("mk", "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    blk_totals = toks.groupBy("tier", "blk").agg(
+        F.sum("n_tokens").alias("blk_total")
+    )
+    w_blk = (
+        Window.partitionBy("tier")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_prefix = blk_totals.select(
+        "tier",
+        "blk",
+        F.coalesce(F.sum("blk_total").over(w_blk), F.lit(0)).alias("blk_prefix"),
     )
     budget = F.create_map(
         *[F.lit(x) for kv in TIER_BUDGETS.items() for x in kv]
     )[F.col("tier")]
     return (
-        toks.select(
+        local.join(F.broadcast(blk_prefix), ["tier", "blk"])
+        .select(
             "doc_id",
             "tier",
             "n_tokens",
-            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            (F.col("blk_prefix") + F.col("local_cum"))
+            .cast("long")
+            .alias("cum_tokens"),
         )
         .where(F.col("cum_tokens") <= budget)
         .orderBy("tier", "cum_tokens")
