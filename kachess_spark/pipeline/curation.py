@@ -528,3 +528,196 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------- pretrain funnel
+
+_FUNNEL_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+         md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp,
+         length(text) AS n_chars,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS canon
+  FROM documents
+),
+ex AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM base) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           range(1, len(string_split(canon, ' ')) - 1),
+           i -> string_split(canon, ' ')[i] || ' ' ||
+                string_split(canon, ' ')[i+1] || ' ' ||
+                string_split(canon, ' ')[i+2])) AS shingles
+  FROM ex
+  WHERE len(string_split(canon, ' ')) >= 3
+),
+contained AS (
+  SELECT DISTINCT a.doc_id
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.doc_id <> b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(a.shingles) >= 0.5
+    AND (len(b.shingles) > len(a.shingles)
+         OR (len(b.shingles) = len(a.shingles) AND b.doc_id < a.doc_id))
+),
+near AS (
+  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM contained)
+),
+evl AS (
+  SELECT DISTINCT unnest(list_transform(
+    range(1, len(string_split(canon, ' ')) - 1),
+    i -> string_split(canon, ' ')[i] || ' ' ||
+         string_split(canon, ' ')[i+1] || ' ' ||
+         string_split(canon, ' ')[i+2])) AS shingle
+  FROM base WHERE doc_id < 5
+),
+contam AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id >= 5) s
+  JOIN evl ON s.shingle = evl.shingle
+),
+dec AS (
+  SELECT * FROM near
+  WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+qual AS (
+  SELECT * FROM dec
+  WHERE n_chars BETWEEN 100 AND 20000 AND punct_ratio < 0.1
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'raw' AS name,
+         count(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens FROM base
+  UNION ALL
+  SELECT 2, 'exact_dedup', count(*), SUM(n_tok)::BIGINT FROM ex
+  UNION ALL
+  SELECT 3, 'containment_dedup', count(*), SUM(n_tok)::BIGINT FROM near
+  UNION ALL
+  SELECT 4, 'decontaminated', count(*), SUM(n_tok)::BIGINT FROM dec
+  UNION ALL
+  SELECT 5, 'quality_gated', count(*), SUM(n_tok)::BIGINT FROM qual
+) ORDER BY stage
+"""
+
+
+@query("pipeline_funnel_report", _FUNNEL_ORACLE)
+def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-corpus funnel, end to end, with per-stage
+    accounting: raw → exact dedup (canonical-md5, keep lowest id) →
+    containment dedup (drop docs ≥half-contained in a LARGER surviving
+    doc) → eval-set decontamination (3-gram overlap with the held-out
+    docs) → quality gate.  One row per stage with surviving docs and
+    tokens — the attrition table every curation run reports.
+
+    Scale: the shingle table is computed ONCE (checkpoint) and feeds
+    both the containment pair join and the decontamination semi-join;
+    every drop set is an anti-join (no NOT-IN subquery execution); all
+    counts are integer-exact.  The stage shapes are the proven ones:
+    md5-window dedup (dedup_exact), shingle-equality containment
+    (dedup_containment), broadcast eval shingles (pipeline_decontaminate).
+    """
+    from kachess_spark.pipeline.dedup import _SHINGLES_EXPR, _WORDS_EXPR
+
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    base = t.documents.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')")).alias("n_tok"),
+        F.md5(F.lower(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).alias("fp"),
+        F.length(text).alias("n_chars"),
+        (
+            F.length(F.regexp_replace(text, "[^.,!?;:]", "")).cast("double")
+            / F.length(text)
+        ).alias("punct_ratio"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ex = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    sh = (
+        ex.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "lang", F.expr(_WORDS_EXPR).alias("words"))
+        .where(F.size("words") >= 3)
+        .select("doc_id", "lang", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    expl = sh.select(
+        "doc_id",
+        "lang",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).localCheckpoint(eager=False)
+    a, b = expl.alias("a"), expl.alias("b")
+    contained = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ad"),
+            F.col("b.doc_id").alias("bd"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .where(
+            (F.col("inter").cast("double") / F.col("na") >= 0.5)
+            & (
+                (F.col("nb") > F.col("na"))
+                | ((F.col("nb") == F.col("na")) & (F.col("bd") < F.col("ad")))
+            )
+        )
+        .select(F.col("ad").alias("doc_id"))
+        .distinct()
+    )
+    near = ex.join(contained, "doc_id", "left_anti").localCheckpoint(eager=False)
+    evl = (
+        base.where(F.col("doc_id") < 5)
+        .select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
+        .where(F.size("words") >= 3)
+        .select(F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
+        .distinct()
+    )
+    contam = (
+        expl.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(evl), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    dec = (
+        near.where(F.col("doc_id") >= 5)
+        .join(contam, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    qual = dec.where(
+        F.col("n_chars").between(100, 20000) & (F.col("punct_ratio") < 0.1)
+    )
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tok").cast("long"), F.lit(0)).alias("n_tokens"),
+        ).select("stage", "name", "n_docs", "n_tokens")
+    out = (
+        stage(base, 1, "raw")
+        .unionAll(stage(ex, 2, "exact_dedup"))
+        .unionAll(stage(near, 3, "containment_dedup"))
+        .unionAll(stage(dec, 4, "decontaminated"))
+        .unionAll(stage(qual, 5, "quality_gated"))
+    )
+    return out.orderBy("stage")
