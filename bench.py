@@ -42,6 +42,8 @@ BREADTH = [
     "dedup_containment",
     "mm_image_ahash",
     "pipeline_quality_mixture",
+    "pipeline_funnel_report",
+    "pipeline_dataset_card",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
