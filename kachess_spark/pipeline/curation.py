@@ -1,10 +1,14 @@
 """End-to-end corpus curation: the training-data pipeline composed.
 
-One operator chaining the stages a 100 TB curation job runs —
-exact dedup → quality gate → per-language corpus stats — to show the
-stages COMPOSE as one declarative plan Catalyst optimizes jointly
-(single pass over text for all per-doc expressions, one window for the
-dedup pick, one final aggregation; no materialization between "steps").
+Operators chaining the stages a 100 TB curation job runs: the e2e
+dedup→quality→stats composition, token-budget mixtures (per-source and
+quality-tiered), test-set decontamination, sequence packing, exact
+stratified sampling, the full pretrain attrition funnel, and the
+dataset-card report.  Stages COMPOSE as declarative plans Catalyst
+optimizes jointly (single pass over text for per-doc expressions, one
+window per dedup pick, no materialization between "steps"); running
+sums use the distributed two-phase prefix sum where a window would cap
+parallelism.
 """
 
 from __future__ import annotations
