@@ -1246,3 +1246,115 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------- minhash → LSH → verified dedup
+
+MINHASH_VERIFY_TAU = 0.5
+
+_MINHASH_VERIFIED_ORACLE = f"""
+    WITH sigs AS (
+      SELECT doc_id, {", ".join(_oracle_minhash(i) for i in range(N_HASHES))}
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh_2 || '|' || mh_3 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh_4 || '|' || mh_5 AS band_key FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
+             AS jaccard,
+           c.doc_b AS drop_doc
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))), 6)
+          >= {MINHASH_VERIFY_TAU}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_verified", _MINHASH_VERIFIED_ORACLE)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical fuzzy-dedup chain in one operator: MinHash
+    signatures → banded LSH candidates → EXACT Jaccard verification on
+    the candidate set only → (pair, jaccard, drop verdict).  This is
+    the recall/precision split production dedup runs: LSH makes the
+    pair space subquadratic, the verify makes the kept pairs exact —
+    candidates that band-collide but verify below τ are dropped, so
+    LSH false positives never reach the delete list.
+
+    Scale: candidates come from the band bucket join (dedup_minhash_lsh,
+    reused); verification counts shingle matches relationally — explode
+    only the DOCS that appear in candidate pairs (semi-join first), then
+    count equal shingles per pair in codegen.  Work is O(candidates ·
+    avg shingles), never all-pairs; the drop verdict (higher doc_id) is
+    what an anti-join consumes downstream.
+    """
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
+    t = Tables(spark, sf_dir)
+    sh = _with_shingles(t.documents)
+    docs_in_cand = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    expl = (
+        sh.join(docs_in_cand, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ea, eb = expl.alias("ea"), expl.alias("eb")
+    inter = (
+        cand.join(ea, F.col("doc_a") == F.col("ea.doc_id"))
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("eb.doc_id"))
+            & (F.col("ea.shingle") == F.col("eb.shingle")),
+        )
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            F.col("ea.n_sh").alias("na"),
+            F.col("eb.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
+        6,
+    )
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            F.col("doc_b").alias("drop_doc"),
+        )
+        .where(F.col("jaccard") >= MINHASH_VERIFY_TAU)
+        .orderBy("doc_a", "doc_b")
+    )

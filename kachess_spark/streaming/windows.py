@@ -775,3 +775,75 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique",
         )
     )
+
+
+# ------------------------------------------------ EWMA feature smoothing
+
+EWMA_ALPHA = 0.2
+
+
+def _ewma_last(pdf):
+    """Sequential EWMA fold y = (1-α)·y + α·x over the (ts, event_id)-
+    ordered values — the exact recurrence the oracle's list_reduce
+    evaluates, same expression order so the float64 stream is
+    bit-identical."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    y = None
+    for x in pdf["value"].astype("float64"):
+        y = x if y is None else 0.8 * y + 0.2 * x
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "ewma": [round(y, 6)],
+        }
+    )
+
+
+_EWMA_ORACLE = """
+    SELECT user_id,
+           count(*) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (a, x) -> 0.8 * a + 0.2 * x), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query("ts_ewma_smoothing", _EWMA_ORACLE)
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponentially-weighted moving average (α=0.2) over each
+    user's event-time-ordered value stream — the classic streaming
+    feature smoother, computed per key with applyInPandas.
+
+    An EWMA is an inherently SEQUENTIAL per-key fold (y depends on
+    y_prev), so it cannot be a built-in window aggregate; the right
+    distributed shape is exactly this: one shuffle on the key, then an
+    Arrow-batched per-group kernel (the same state layout
+    applyInPandasWithState uses on a stream).  The closed-form
+    Σ α(1-α)^(n-j)x_j rewrite would vectorize but changes the floating-
+    point stream; the fold here applies (1-α)·y + α·x in the same
+    order as the oracle's list_reduce, so both engines produce the
+    identical float64 — an exactness test of the kernel, not just a
+    rows-only smoke.
+    """
+    import pandas as pd  # noqa: F401 — kernel dependency
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_ewma_last, schema=out_schema)
+        .orderBy("user_id")
+    )
