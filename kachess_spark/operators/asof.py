@@ -161,3 +161,93 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("ev_a", "ev_b")
     )
+
+
+# ------------------------------------------- interval-overlap join
+
+_IVL_MIN = 1800  # 30-minute intervals on a 30-minute chunk grid
+
+_OVERLAP_ORACLE = f"""
+    WITH a AS (
+      -- whole-second grid on both engines (Spark truncates via
+      -- unix_timestamp; sub-second fractions would skew overlaps by 1s)
+      SELECT event_id, user_id, date_trunc('second', ts) AS ts,
+             date_trunc('second', ts) + INTERVAL 30 MINUTE AS te
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT event_id, user_id, date_trunc('second', ts) AS ts,
+             date_trunc('second', ts) + INTERVAL 30 MINUTE AS te
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT a.event_id AS a_event, b.event_id AS b_event,
+           a.user_id AS user_id,
+           (epoch(LEAST(a.te, b.te)) - epoch(GREATEST(a.ts, b.ts)))::BIGINT
+             AS overlap_s
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.ts <= b.te AND b.ts <= a.te
+    ORDER BY a_event, b_event
+"""
+
+
+@query("join_interval_overlap", _OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: purchase activity windows × click activity
+    windows (30 min each) of the same user that overlap in time, with
+    the overlap length — the interval-intersection primitive behind
+    session stitching, ad attribution, and span conflict detection.
+
+    Scale: a naive theta join (a.start ≤ b.end AND b.start ≤ a.end) is
+    a per-user cross product.  Overlapping intervals must share a
+    30-minute grid chunk, so both sides explode to their covered chunks
+    (≤2 each here; ⌈len/chunk⌉+1 in general), the join is an EQUALITY
+    join on (user, chunk) — shuffle-hashable, AQE-skew-splittable —
+    and the exact overlap predicate verifies the candidates; distinct
+    removes the ≤2 duplicate hits of pairs spanning a chunk boundary.
+    Same candidate-then-verify shape as the as-of/range joins above.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        sec = F.unix_timestamp("ts").cast("long")
+        return (
+            ev.where(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                sec.alias(f"{prefix}_s"),
+                (sec + _IVL_MIN).alias(f"{prefix}_e"),
+            )
+            .withColumn(
+                "chunk",
+                F.explode(
+                    F.expr(
+                        f"sequence({prefix}_s div {_IVL_MIN},"
+                        f" {prefix}_e div {_IVL_MIN})"
+                    )
+                ),
+            )
+        )
+    a, b = side("purchase", "a"), side("click", "b")
+    overlap = (
+        F.least(F.col("a_e"), F.col("b_e"))
+        - F.greatest(F.col("a_s"), F.col("b_s"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (a["chunk"] == b["chunk"]),
+        )
+        .where(
+            (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select(
+            "a_event",
+            "b_event",
+            F.col("a_user").alias("user_id"),
+            overlap.alias("overlap_s"),
+        )
+        .distinct()
+        .orderBy("a_event", "b_event")
+    )
