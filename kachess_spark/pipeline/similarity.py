@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast
 
 from kachess_spark.catalog import Tables
@@ -660,4 +661,80 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
+    )
+
+
+# --------------------------------------------- MMR diversified top-k
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 50
+
+
+def _mmr_select(pdf):
+    """Greedy MMR over one query's shortlist: pick argmax of
+    λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s), ties to lowest vid.
+    Pure float64 numpy in a fixed order — deterministic on any
+    executor."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vid").reset_index(drop=True)
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    rel = pdf["cosine"].to_numpy(dtype=np.float64)
+    n = len(pdf)
+    k = min(TOP_K, n)
+    picked: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    out = []
+    for rank in range(1, k + 1):
+        if picked:
+            last = vecs @ vecs[picked[-1]]
+            max_sim = np.maximum(max_sim, last)
+            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+        else:
+            score = MMR_LAMBDA * rel
+        score[picked] = -np.inf
+        i = int(np.argmax(score))  # ties → lowest index == lowest vid
+        picked.append(i)
+        out.append((int(pdf["qid"].iloc[0]), int(pdf["vid"].iloc[i]),
+                    rank, round(float(score[i]), 6)))
+    return pd.DataFrame(out, columns=["qid", "vid", "rank", "mmr_score"])
+
+
+@query("sim_mmr_topk")  # rows-only: greedy iteration has no SQL oracle;
+# exactness is pytest vs an independent numpy reference (test_smoke)
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: exact-cosine shortlist of
+    {MMR_SHORTLIST} per query, then the greedy diversity trade-off
+    (λ={MMR_LAMBDA}) picks {TOP_K} — the diversified-retrieval step a
+    RAG serving stack runs after ANN.
+
+    Scale: relevance comes from the distributed exact-cosine ranker
+    (cosine_topk, broadcast queries); the greedy loop — inherently
+    sequential in its picks — runs per query group in applyInPandas
+    over only the shortlist (50 rows × 64 dims per group), so the
+    quadratic term is bounded by the shortlist, never the corpus, and
+    no vector ever reaches the driver.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
+    short = cosine_topk(spark, emb, queries, MMR_SHORTLIST)
+    enriched = short.join(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("emb")),
+        "vid",
+    ).select("qid", "vid", "cosine", "emb")
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vid", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+    return (
+        enriched.groupBy("qid")
+        .applyInPandas(_mmr_select, schema=out_schema)
+        .orderBy("qid", "rank")
     )

@@ -443,3 +443,54 @@ def test_ahash_groups_sizing():
     assert ahash_groups(1_667) == 105  # sf0.1
     assert ahash_groups(13_334) == 834  # 8x probe scale
     assert ahash_groups(1_000_000) == 62_500
+
+
+def test_mmr_topk_matches_numpy_reference(spark, sf_dir):
+    """sim_mmr_topk (rows-only in the driver) must equal an independent
+    numpy MMR over the same shortlist: same picks, same ranks, same
+    rounded scores."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kachess_spark.pipeline.similarity import (
+        MMR_LAMBDA,
+        MMR_SHORTLIST,
+        QUERY_IDS,
+        TOP_K,
+        cosine_topk,
+        sim_mmr_topk,
+    )
+    from kachess_spark.catalog import Tables
+
+    got = {
+        (r["qid"], r["rank"]): (r["vid"], r["mmr_score"])
+        for r in sim_mmr_topk(spark, sf_dir).collect()
+    }
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
+    short = cosine_topk(spark, emb, queries, MMR_SHORTLIST).collect()
+    by_q: dict[int, list] = {}
+    for r in short:
+        by_q.setdefault(r["qid"], []).append((r["vid"], r["cosine"]))
+    want = {}
+    for qid, rows in by_q.items():
+        rows.sort()  # vid order, as the kernel sorts
+        ids = [v for v, _ in rows]
+        rel = np.array([c for _, c in rows])
+        V = np.stack([vecs[v] for v in ids])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        picked, max_sim = [], np.full(len(ids), -np.inf)
+        for rank in range(1, min(TOP_K, len(ids)) + 1):
+            if picked:
+                max_sim = np.maximum(max_sim, V @ V[picked[-1]])
+                score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            else:
+                score = MMR_LAMBDA * rel
+            score[picked] = -np.inf
+            i = int(np.argmax(score))
+            picked.append(i)
+            want[(qid, rank)] = (ids[i], round(float(score[i]), 6))
+    assert got == want
+    assert len(got) > 0
