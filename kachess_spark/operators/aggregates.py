@@ -1253,3 +1253,72 @@ def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_discounted bigint, total_price double",
     )
+
+
+# ------------------------------------------------- MAD outlier profile
+
+_MAD_ORACLE = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(a.mad), 6) AS mad,
+           SUM(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@query("profile_outlier_mad", _MAD_ORACLE)
+def profile_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profiling per event type: median, median absolute
+    deviation, and the |v − med| > 3·MAD outlier count — the
+    quality-monitoring pass a pipeline runs over metric streams (MAD is
+    the robust σ; a 3·MAD fence survives the heavy tails that break
+    mean±3σ).
+
+    Both engines interpolate the exact continuous median identically
+    ((1−f)·a + f·b on the sorted values — verified bit-equal), so the
+    derived deviations, fences, and counts agree exactly.  Scale: two
+    shuffles on event_type; exact percentile buffers each group's
+    values, so at 100 TB the drop-in is approx_percentile(…, ε) with
+    the same two-pass shape (the fence comparison is unchanged).
+    """
+    ev = Tables(spark, sf_dir).events.select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
