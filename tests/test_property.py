@@ -342,3 +342,26 @@ def test_two_phase_prefix_sum_matches_naive(spark, token_counts, block):
         want[i] = acc
         acc += n
     assert got == want
+
+
+def test_float_heavy_queries_rerun_identical(spark, sf_dir):
+    """Run-order determinism: the float-heavy operators must return
+    byte-identical results on a second execution in the same session
+    (different task scheduling, same DECIMAL/fixed-point sums).  A raw
+    double SUM would flake here under local[32] scheduling."""
+    from kachess_spark import registry
+
+    registry.load_all()
+    for name in (
+        "dedup_embedding_cosine",
+        "sim_cosine_topk",
+        "ts_ewma_smoothing",
+        "stream_sliding_avg",
+        "profile_outlier_mad",
+        "dedup_semantic_cluster",
+    ):
+        fn = registry.QUERIES[name]
+        first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert first == second, f"{name} differs across reruns"
+        assert len(first) > 0, f"{name} empty at test SF"
