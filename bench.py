@@ -44,6 +44,7 @@ BREADTH = [
     "pipeline_quality_mixture",
     "pipeline_funnel_report",
     "pipeline_dataset_card",
+    "dedup_minhash_verified",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
