@@ -814,3 +814,71 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= BPE_TOP_PAIRS)
         .orderBy("rank")
     )
+
+
+# ------------------------------------------- de-stutter normalization
+
+_DESTUT_WORDS_SQL = (
+    "list_filter(string_split(lower(regexp_replace(text,"
+    " '[^a-zA-Z0-9 ]', '', 'g')), ' '), w -> w <> '')"
+)
+
+_DESTUT_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, {_DESTUT_WORDS_SQL} AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id, words,
+             list_filter(words, (x, i) -> i = 1 OR x <> words[i - 1])
+               AS cleaned
+      FROM w
+    )
+    SELECT doc_id,
+           len(words) AS n_before,
+           len(cleaned) AS n_after,
+           md5(array_to_string(cleaned, ' ')) AS cleaned_fp
+    FROM c
+    ORDER BY doc_id
+"""
+
+
+@query("text_destutter_normalize", _DESTUT_ORACLE)
+def text_destutter_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stutter-collapse normalization: drop each word equal to its
+    immediate predecessor ("the the the cat" → "the cat") — the cheap
+    repetition-REMOVAL transform (cf. the profiling-only
+    text_repetition_profile) applied before token counting so crawler
+    echo artifacts don't inflate budgets.
+
+    One narrow codegen projection per document: the keep/drop decision
+    is an indexed array lambda (Spark filter's 0-based index i is
+    exactly the 1-based element_at position of the PREVIOUS word —
+    both engines compare w against its predecessor).  Emits before /
+    after counts and the md5 of the cleaned stream so the oracle
+    checks the transform's content, not just its size.
+    """
+    t = Tables(spark, sf_dir)
+    words = F.expr(
+        "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '')), ' '),"
+        " w -> w != '')"
+    )
+    d = t.documents.select("doc_id", words.alias("words")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    cleaned = F.expr(
+        "filter(words, (w, i) -> i = 0 OR NOT (w <=> element_at(words, i)))"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size("words").alias("n_before"),
+            cleaned.alias("cleaned"),
+        )
+        .select(
+            "doc_id",
+            "n_before",
+            F.size("cleaned").alias("n_after"),
+            F.md5(F.concat_ws(" ", F.col("cleaned"))).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
