@@ -13,7 +13,7 @@ results are also deterministic under any combine order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kachess_spark.catalog import Tables, register_views
@@ -1319,6 +1319,104 @@ def profile_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_outliers"),
             F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------- KS drift detection
+
+_KS_ORACLE = """
+    WITH pooled AS (
+      SELECT event_type AS grp, value, 1 AS a, 0 AS b
+      FROM events WHERE event_type <> 'view'
+      UNION ALL
+      SELECT t.grp, e.value, 0, 1
+      FROM events e
+      CROSS JOIN (SELECT DISTINCT event_type AS grp
+                  FROM events WHERE event_type <> 'view') t
+      WHERE e.event_type = 'view'
+    ),
+    ecdf AS (
+      SELECT grp,
+             SUM(a) OVER (PARTITION BY grp ORDER BY value
+                          RANGE UNBOUNDED PRECEDING) AS c1,
+             SUM(b) OVER (PARTITION BY grp ORDER BY value
+                          RANGE UNBOUNDED PRECEDING) AS c2,
+             SUM(a) OVER (PARTITION BY grp) AS n1,
+             SUM(b) OVER (PARTITION BY grp) AS n2
+      FROM pooled
+    )
+    SELECT grp AS event_type,
+           MAX(n1)::BIGINT AS n_sample,
+           MAX(n2)::BIGINT AS n_baseline,
+           ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / n1
+                         - CAST(c2 AS DOUBLE) / n2)), 6) AS ks
+    FROM ecdf
+    GROUP BY grp
+    ORDER BY grp
+"""
+
+
+@query("profile_drift_ks", _KS_ORACLE)
+def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic of every event
+    type's value distribution against the 'view' baseline — the exact
+    distribution-drift monitor a data pipeline runs between snapshots
+    (KS = max |ECDF_a − ECDF_b| over the pooled values).
+
+    The ECDFs are RANGE-frame running counts over the pooled order —
+    ties resolve correctly because a RANGE frame includes every row of
+    the current value on both sides, matching the step-function
+    definition.  Counts are integers, so both engines divide the same
+    ints and take the same max: exact to the rounding digit.  Scale:
+    windows partition by comparison group; a single global KS at 100 TB
+    uses the two-phase prefix-sum rewrite (pipeline_quality_mixture's
+    shape) with value-range blocks.
+    """
+    ev = Tables(spark, sf_dir).events.select("event_type", "value")
+    base = ev.where(F.col("event_type") == "view").select("value")
+    others = ev.where(F.col("event_type") != "view")
+    grps = others.select(
+        F.col("event_type").alias("grp"), "value",
+        F.lit(1).alias("a"), F.lit(0).alias("b"),
+    )
+    baseline = (
+        others.select("event_type").distinct()
+        .crossJoin(base)
+        .select(
+            F.col("event_type").alias("grp"), "value",
+            F.lit(0).alias("a"), F.lit(1).alias("b"),
+        )
+    )
+    pooled = grps.unionAll(baseline)
+    w_run = (
+        Window.partitionBy("grp")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    ecdf = pooled.select(
+        "grp",
+        F.sum("a").over(w_run).alias("c1"),
+        F.sum("b").over(w_run).alias("c2"),
+        F.sum("a").over(w_all).alias("n1"),
+        F.sum("b").over(w_all).alias("n2"),
+    )
+    return (
+        ecdf.groupBy(F.col("grp").alias("event_type"))
+        .agg(
+            F.max("n1").cast("long").alias("n_sample"),
+            F.max("n2").cast("long").alias("n_baseline"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1").cast("double") / F.col("n1")
+                        - F.col("c2").cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks"),
         )
         .orderBy("event_type")
     )
