@@ -1080,27 +1080,28 @@ def sem_assign(embeddings: DataFrame, k: int) -> DataFrame:
         .select("vec_id", "embedding", "nrm", "cnrm", "cid", dot_vc.alias("dvc"))
         .select("vec_id", "embedding", "nrm", "cid", cent_cos.alias("cent_cos"))
     )
-    # argmin as a map-side-combinable min(struct): (-cos + 0.0) ascending
-    # == cos descending, the +0.0 normalising any -0.0 so the double
-    # compare matches the oracle's ORDER BY; ties fall to centroid id
-    best = scored.groupBy("vec_id").agg(
-        F.min(
-            F.struct(
-                (-F.col("cent_cos") + F.lit(0.0)).alias("negcos"),
-                F.col("cid").alias("cid"),
-            )
-        ).alias("m")
-    )
+    # argmin as ONE map-side-combinable min(struct) pass — no join back
+    # to scored (which would recompute every k·n fold a second time):
+    # (-cos + 0.0) ascending == cos descending, the +0.0 normalising any
+    # -0.0 so the double compare matches the oracle's ORDER BY; ties
+    # fall to centroid id.  embedding/nrm ride along via first() (equal
+    # on every row of a vec_id group by construction).
     return (
-        scored.join(best, "vec_id")
-        .where(
-            ((-F.col("cent_cos") + F.lit(0.0)) == F.col("m.negcos"))
-            & (F.col("cid") == F.col("m.cid"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cent_cos") + F.lit(0.0)).alias("negcos"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
         )
         .select(
             "vec_id",
-            F.col("cid").alias("cluster"),
-            "cent_cos",
+            F.col("m.cid").alias("cluster"),
+            (-F.col("m.negcos") + F.lit(0.0)).alias("cent_cos"),
             "embedding",
             "nrm",
         )
