@@ -1420,3 +1420,66 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- chi² categorical drift
+
+_CHI2_ORACLE = """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*)::BIGINT AS o
+      FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT o.lang, o.source, o.o,
+             SUM(o.o) OVER (PARTITION BY o.lang) AS row_tot,
+             SUM(o.o) OVER (PARTITION BY o.source) AS col_tot,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT lang,
+           SUM(o)::BIGINT AS n_docs,
+           ROUND(SUM(
+             POWER(CAST(o AS DOUBLE)
+                   - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+             / (CAST(row_tot AS DOUBLE) * col_tot / n)), 6) AS chi2_part
+    FROM margins
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@query("agg_chi2_independence", _CHI2_ORACLE)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language χ² contribution of the lang × source contingency
+    table — the categorical-association monitor (is a language's source
+    mix drifting from independence?) that complements the KS test's
+    numeric drift.
+
+    Expected counts come from window-summed margins over the grouped
+    contingency table (|langs|·|sources| rows — tiny at any corpus
+    size, because the heavy groupBy reduced the data first), so the χ²
+    arithmetic runs on integers and identical double expressions in
+    both engines.
+    """
+    t = Tables(spark, sf_dir)
+    obs = t.documents.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    margins = obs.select(
+        "lang",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return (
+        margins.groupBy("lang")
+        .agg(
+            F.sum("o").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.pow(F.col("o").cast("double") - exp, 2) / exp), 6
+            ).alias("chi2_part"),
+        )
+        .orderBy("lang")
+    )

@@ -138,3 +138,105 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = t.nation.select(F.col("n_nationkey").cast("long").alias("node"))
     return pagerank_integer(nodes, edges).orderBy(F.col("rank").desc(), F.col("node"))
+
+
+# ---------------------------------------------------- triangle counting
+
+_TRIANGLE_ORACLE = """
+    WITH trade AS (
+      SELECT DISTINCT s.s_nationkey AS a, c.c_nationkey AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS (  -- undirected: keep each edge once, low id first
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM trade
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT n.n_nationkey AS node, n.n_name AS nation,
+           COALESCE(p.n_triangles, 0) AS n_triangles
+    FROM nation n LEFT JOIN per_node p ON n.n_nationkey = p.node
+    ORDER BY node
+"""
+
+
+@query("graph_triangle_count", _TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the undirected nation trade graph —
+    the clustering-structure primitive (community density, spam-graph
+    detection) next to PageRank's centrality.
+
+    Scale: the classic orientation trick — every undirected edge is
+    stored once as (low, high), and triangles enumerate as wedge join
+    (e1.v = e2.u) + closing-edge check (e3 = (e1.u, e2.v)), so each
+    triangle is found exactly once and the join fans out by the
+    ORIENTED degree (bounded by √|E| on skewed graphs, vs the raw
+    degree of the naive 3-way self-join).  Both joins key on node ids —
+    shuffle-hashable, AQE-splittable; the trade-edge derivation reuses
+    the pagerank build (fact shuffle + broadcast dims, DISTINCT down to
+    ≤ nations² rows).
+    """
+    t = Tables(spark, sf_dir)
+    trade = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").cast("long").alias("u"),
+            F.greatest("s_nationkey", "c_nationkey").cast("long").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = trade.alias("e1"), trade.alias("e2"), trade.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        t.nation.select(
+            F.col("n_nationkey").cast("long").alias("node"),
+            F.col("n_name").alias("nation"),
+        )
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            "nation",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("node")
+    )
