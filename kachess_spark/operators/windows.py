@@ -530,3 +530,101 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# ------------------------------------------- time-bounded funnel match
+
+FUNNEL_WINDOW = "INTERVAL 1 DAY"  # each hop must land within 1 day
+
+_TB_FUNNEL_ORACLE = """
+    WITH nxt AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'click' THEN ts END) OVER w
+               AS next_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER w
+               AS next_purchase
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    signups AS (
+      SELECT s.user_id, s.ts AS t_signup, s.next_click AS t_click,
+             c.next_purchase AS t_purchase
+      FROM nxt s
+      LEFT JOIN nxt c
+        ON c.user_id = s.user_id AND c.event_type = 'click'
+       AND c.ts = s.next_click
+      WHERE s.event_type = 'signup'
+    )
+    SELECT count(*) AS n_signups,
+           count(*) FILTER (t_click IS NOT NULL
+                            AND t_click <= t_signup + INTERVAL 1 DAY)
+             AS n_clicked_in_window,
+           count(*) FILTER (t_click IS NOT NULL
+                            AND t_click <= t_signup + INTERVAL 1 DAY
+                            AND t_purchase IS NOT NULL
+                            AND t_purchase <= t_click + INTERVAL 1 DAY)
+             AS n_converted_in_window
+    FROM signups
+"""
+
+
+@query("win_funnel_time_bound", _TB_FUNNEL_ORACLE)
+def win_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded sequential funnel: signup → first click within 1 day →
+    first purchase within 1 day of THAT click — per-event sequential
+    matching (the attribution-window semantics), unlike
+    agg_funnel_events' unordered min-per-stage funnel.
+
+    Each event row gets its user's next click/purchase time from ONE
+    forward-frame window pass (rows 1 following → unbounded); a signup's
+    matched click then contributes its own next-purchase via a self
+    equi-join on the matched timestamp — every step is a window or a
+    hash join keyed on user_id, no per-row subqueries.  Ambiguity is
+    resolved identically in both engines by the (ts, event_id) frame
+    order.  A click shared by two signups attributes to both — the
+    documented (and oracle-matched) first-touch convention.
+    """
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_type", "ts", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+          .alias("next_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+          .alias("next_purchase"),
+    ).localCheckpoint(eager=False)
+    s = nxt.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("t_signup"),
+        F.col("next_click").alias("t_click"),
+    )
+    c = nxt.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("ct"),
+        F.col("next_purchase").alias("t_purchase"),
+    )
+    joined = s.join(
+        c,
+        (F.col("user_id") == F.col("cu")) & (F.col("t_click") == F.col("ct")),
+        "left",
+    )
+    clicked = F.col("t_click").isNotNull() & (
+        F.col("t_click") <= F.col("t_signup") + F.expr("INTERVAL 1 DAY")
+    )
+    converted = (
+        clicked
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") <= F.col("t_click") + F.expr("INTERVAL 1 DAY"))
+    )
+    return joined.agg(
+        F.count("*").alias("n_signups"),
+        F.sum(clicked.cast("long")).alias("n_clicked_in_window"),
+        F.sum(converted.cast("long")).alias("n_converted_in_window"),
+    )
