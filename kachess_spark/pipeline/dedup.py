@@ -1,13 +1,19 @@
 """Deduplication operators over the documents table.
 
-Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
-bucket-join), and n-gram Jaccard verification.  SimHash lives here too.
+Exact (hash-groupBy), MinHash+LSH candidates and the verified fuzzy
+chain, n-gram Jaccard + asymmetric containment, SimHash, span-level
+duplication, embedding-cosine and SemDeDup semantic-cluster dedup,
+connected components, the incremental band index, and the broadcast
+Bloom reference filter.
 
 Scale design: nothing here is all-pairs.  Exact dedup shuffles on a
 16-byte digest; MinHash candidates come from band-bucket joins (only
-docs sharing a band collide); Jaccard runs only on candidate pairs.
-MinHash uses md5(salt || shingle) with the *lexicographic* min — a
-portable permutation-free MinHash whose oracle twin is plain SQL.
+docs sharing a band collide); Jaccard/containment verification runs
+relationally on candidates; every adaptive constant (sign bits,
+cluster count) derives from the corpus count with the same rule
+inlined in its oracle.  MinHash uses md5(salt || shingle) with the
+*lexicographic* min — a portable permutation-free MinHash whose
+oracle twin is plain SQL.
 """
 
 from __future__ import annotations
