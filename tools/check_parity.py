@@ -140,8 +140,14 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from kachess_spark.session import get_spark
@@ -151,6 +157,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -160,10 +167,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "fail", "err": "spark error"}
             continue
         if name not in oracles:
             print(f"ROWS {name}: {len(sdf)} rows (no oracle)")
             n_rows_only += 1
+            records[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             ddf = con.execute(oracles[name]).arrow().to_pandas(types_mapper=None)
@@ -171,6 +180,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "fail", "err": "duckdb error"}
             continue
         problems = compare(name, sdf, ddf)
         if problems:
@@ -179,10 +189,30 @@ def main() -> int:
                 print(f"   - {p}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "fail", "problems": problems[:6]}
         else:
             print(f"PASS {name}: {len(sdf)} rows")
             n_pass += 1
+            records[name] = {"status": "pass", "rows": len(sdf)}
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "summary": {
+                        "pass": n_pass,
+                        "fail": n_fail,
+                        "rows_only": n_rows_only,
+                    },
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     if failures:
         print("failures:", " ".join(failures))
     return 1 if n_fail else 0
