@@ -628,3 +628,91 @@ def win_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("long")).alias("n_clicked_in_window"),
         F.sum(converted.cast("long")).alias("n_converted_in_window"),
     )
+
+
+# ------------------------------------------- CUSUM changepoint scan
+
+_CUSUM_ORACLE = """
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n, SUM(vi)::BIGINT AS total
+      FROM v GROUP BY event_type
+    ),
+    s AS (
+      SELECT v.event_type, v.ts, t.n,
+             ROW_NUMBER() OVER w AS idx,
+             SUM(t.n * v.vi - t.total) OVER (
+               PARTITION BY v.event_type ORDER BY v.ts, v.event_id
+               ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM v JOIN tot t USING (event_type)
+      WINDOW w AS (PARTITION BY v.event_type ORDER BY v.ts, v.event_id)
+    )
+    SELECT event_type, MAX(n)::BIGINT AS n,
+           MIN(idx) FILTER (ABS(cusum) = m)::BIGINT AS cp_index,
+           ROUND(CAST(MAX(m) AS DOUBLE) / (MAX(n) * 10000.0), 6)
+             AS max_excursion
+    FROM (SELECT *, MAX(ABS(cusum)) OVER (PARTITION BY event_type) AS m
+          FROM s)
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query("profile_changepoint_cusum", _CUSUM_ORACLE)
+def profile_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: the cumulative sum of
+    deviations from the series mean peaks at the most likely level-shift
+    point — the classic drift-location monitor next to KS (which says
+    THAT distributions differ, not WHERE the shift happened).
+
+    Exactness without float risk: values fix to 1e-4 integers and the
+    deviation is scaled to n·v_i − Σv (all integers), so the running
+    CUSUM is integer arithmetic — associative, identical under any
+    window implementation (Spark's running frame vs DuckDB's segment
+    tree) where a float running sum would depend on association order.
+    One shuffle on event_type; the running frame is partition-local.
+    """
+    ev = Tables(spark, sf_dir).events.select("event_type", "ts", "event_id", "value")
+    v = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+    )
+    tot = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vi").cast("long").alias("total"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        v.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.row_number().over(w_ord).alias("idx"),
+            F.sum(F.col("n") * F.col("vi") - F.col("total"))
+            .over(w_run)
+            .alias("cusum"),
+        )
+        .withColumn(
+            "m", F.max(F.abs("cusum")).over(Window.partitionBy("event_type"))
+        )
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(F.when(F.abs("cusum") == F.col("m"), F.col("idx")))
+            .cast("long")
+            .alias("cp_index"),
+            F.round(
+                F.max("m").cast("double") / (F.max("n") * 10000.0), 6
+            ).alias("max_excursion"),
+        )
+        .orderBy("event_type")
+    )
