@@ -1365,3 +1365,102 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= MINHASH_VERIFY_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------- LSH candidate evaluation
+
+_LSH_EVAL_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, lang, len(string_split({_CANON_SQL}, ' ')) // 50
+               AS len_bucket,
+             {_SHINGLES_SQL} AS shingles
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))
+            >= {MINHASH_VERIFY_TAU}
+    ),
+    sigs AS (
+      SELECT doc_id, {", ".join(_oracle_minhash(i) for i in range(N_HASHES))}
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+      SELECT t.doc_a FROM truth t JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT COUNT(*) FROM hit)::BIGINT AS n_hit,
+           ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1), 6) AS recall,
+           ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / GREATEST((SELECT COUNT(*) FROM cand), 1), 6) AS precision
+"""
+
+
+@query("dedup_lsh_eval", _LSH_EVAL_ORACLE)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine evaluation of the MinHash-LSH candidate generator
+    against exact ground truth: truth = blocked exact-Jaccard pairs at
+    τ={MINHASH_VERIFY_TAU}, candidates = the band join, and the report
+    is (n_truth, n_candidates, n_hit, recall, precision) — the
+    dedup-quality scorecard a pipeline publishes when tuning band/row
+    parameters, computed distributed rather than by sampling to a
+    notebook.
+
+    Scale: both pair sets come from the proven subquadratic shapes
+    (shingle-equality blocking for truth — at 100 TB the truth side is
+    itself sampled, the plan is unchanged — and the band bucket join
+    for candidates); the hit count is one more equality join on the
+    pair key.
+    """
+    t = Tables(spark, sf_dir)
+    truth = (
+        dedup_ngram_jaccard.__wrapped__(spark, sf_dir)
+        if hasattr(dedup_ngram_jaccard, "__wrapped__")
+        else dedup_ngram_jaccard(spark, sf_dir)
+    )
+    truth = (
+        truth.where(F.col("jaccard") >= MINHASH_VERIFY_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                n_hit,
+                round(n_hit / max(n_truth, 1), 6),
+                round(n_hit / max(n_cand, 1), 6),
+            )
+        ],
+        "n_truth bigint, n_candidates bigint, n_hit bigint,"
+        " recall double, precision double",
+    )
