@@ -10,6 +10,7 @@ oracle-checked; the streaming paths run the same logical plans through
 from kachess_spark.streaming.windows import (
     dedup_window_counts,
     streaming_dedup_counts,
+    streaming_ewma_smoothing,
     streaming_dedup_events,
     streaming_interval_join,
     streaming_static_enrich,
@@ -27,6 +28,7 @@ __all__ = [
     "stream_events",
     "dedup_window_counts",
     "streaming_dedup_counts",
+    "streaming_ewma_smoothing",
     "streaming_dedup_events",
     "streaming_interval_join",
     "streaming_static_enrich",

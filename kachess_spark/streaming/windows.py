@@ -847,3 +847,53 @@ def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_ewma_last, schema=out_schema)
         .orderBy("user_id")
     )
+
+
+def streaming_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_ewma_smoothing: the EWMA state (y, n) lives
+    in applyInPandasWithState keyed by user, updated with the same
+    (1-α)·y + α·x fold in (ts, event_id) order within each micro-batch
+    — correct under in-order delivery (the standard EWMA streaming
+    assumption; a late row would need an event-time reorder buffer).
+    A processing-time timeout evicts idle keys.  On the single-batch
+    availableNow replay of the static file this is bit-identical to
+    the batch twin, which the test asserts."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, y = state.get if state.exists else (0, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for x in rows["value"].astype("float64"):
+            y = x if n == 0 else 0.8 * y + 0.2 * x
+            n += 1
+        state.update((n, float(y) if y is not None else 0.0))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [round(y, 6)]}
+        )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -216,3 +216,17 @@ def test_streaming_dedup_counts_finalized_prefix(spark, sf_dir):
     want_rows = sorted(map(tuple, finalized.collect()))
     assert got_rows == want_rows
     assert len(got_rows) > 0
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir):
+    """Stateful streaming EWMA must be bit-identical to the batch twin
+    on the single-batch availableNow replay (same fold, same order)."""
+    from kachess_spark.streaming.windows import ts_ewma_smoothing
+    from kachess_spark.streaming import streaming_ewma_smoothing
+
+    got = _run_stream(spark, streaming_ewma_smoothing(spark, sf_dir), "update")
+    want = ts_ewma_smoothing(spark, sf_dir)
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
