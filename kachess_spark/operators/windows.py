@@ -716,3 +716,104 @@ def profile_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------- rolling autocorrelation
+
+ROLL_CORR_WINDOW = 100  # trailing pairs per correlation
+ROLL_CORR_EVERY = 500  # emit a checkpoint row every N pairs
+
+_ROLL_CORR_ORACLE = f"""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, ts, event_id, vi AS x,
+             lag(vi) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS idx
+      FROM v
+    ),
+    sums AS (
+      SELECT event_type, idx,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * y) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+      FROM pairs
+      WHERE y IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN {ROLL_CORR_WINDOW - 1} PRECEDING
+                            AND CURRENT ROW)
+    )
+    SELECT event_type, idx, n::BIGINT AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS autocorr
+    FROM sums
+    WHERE idx % {ROLL_CORR_EVERY} = 0
+    ORDER BY event_type, idx
+"""
+
+
+@query("win_rolling_autocorr", _ROLL_CORR_ORACLE)
+def win_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLL_CORR_WINDOW} lag-1 autocorrelation of each event
+    type's value stream, checkpointed every {ROLL_CORR_EVERY} events —
+    the signal-persistence monitor (a regime change shows up as an
+    autocorrelation shift before a level test fires).
+
+    Exactness: values fix to 1e-4 integers, so every windowed Σ (x, y,
+    xy, x², y²) is an exact BIGINT under any window implementation; the
+    correlation assembles n·Σxy − ΣxΣy and the variance terms as
+    integers (bounded ≪ 2^63 for this window size) and divides once in
+    double — both engines compute the identical value.  One shuffle on
+    event_type; all frames are partition-local.
+    """
+    ev = Tables(spark, sf_dir).events.select("event_type", "ts", "event_id", "value")
+    v = ev.select(
+        "event_type", "ts", "event_id",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = v.select(
+        "event_type",
+        F.col("vi").alias("x"),
+        F.lag("vi").over(w_ord).alias("y"),
+        F.row_number().over(w_ord).alias("idx"),
+    ).where(F.col("y").isNotNull())
+    w_roll = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(-(ROLL_CORR_WINDOW - 1), 0)
+    )
+    sums = pairs.select(
+        "event_type",
+        "idx",
+        F.count("*").over(w_roll).alias("n"),
+        F.sum("x").over(w_roll).alias("sx"),
+        F.sum("y").over(w_roll).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w_roll).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w_roll).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w_roll).alias("syy"),
+    )
+    a = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    bx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    by = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.where(F.col("idx") % ROLL_CORR_EVERY == 0)
+        .select(
+            "event_type",
+            "idx",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                a.cast("double") / F.sqrt(bx.cast("double") * by.cast("double")),
+                6,
+            ).alias("autocorr"),
+        )
+        .orderBy("event_type", "idx")
+    )
