@@ -1483,3 +1483,76 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------- weighted median
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+cum AS (
+  SELECT flag, price, wt,
+         SUM(wt) OVER (PARTITION BY flag ORDER BY price, wt
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wt) OVER (PARTITION BY flag) AS tot
+  FROM w
+)
+SELECT flag AS l_returnflag,
+       MIN(price) AS weighted_median_price
+FROM cum
+WHERE 2 * cw >= tot
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+@query("agg_weighted_median", _WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of extended price per return flag, with
+    l_quantity as the weight — the robust-statistics primitive
+    (percentile_approx is the sketch path; this is the exact one).
+
+    Definition: smallest price whose inclusive cumulative weight
+    reaches half the group total (2·cw ≥ tot — integer compare, no
+    division).  The picked price is invariant to ordering within equal
+    prices: a tie group's cumulative weight crosses the threshold iff
+    its LAST row does, so any stable tiebreak yields the same MIN.
+
+    Scale: ONE shuffle on the group key for the window; the group-total
+    is a frameless window over the same partitioning (no extra
+    exchange), and the final MIN-per-group reuses it too.  Weights cast
+    to BIGINT make every cumulative sum exact — no float-order drift
+    between engines.  Skewed groups: the running sum is O(1) state per
+    partition; a hot flag bounds to one task, the documented trade of
+    exact medians (the sketch twin agg_approx_percentile scales flat).
+    """
+    li = Tables(spark, sf_dir).lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    cum = li.select(
+        "flag",
+        "price",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_all).alias("tot"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(F.min("price").alias("weighted_median_price"))
+        .select(
+            F.col("flag").alias("l_returnflag"), "weighted_median_price"
+        )
+        .orderBy("l_returnflag")
+    )

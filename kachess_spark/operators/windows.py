@@ -817,3 +817,106 @@ def win_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "idx")
     )
+
+
+# ---------------------------------------------- interval merge / union
+
+_IVL_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value * 1000000) AS BIGINT) AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > COALESCE(
+                MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -9223372036854775808)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island,
+         MIN(s) AS island_start, MAX(e) AS island_end
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us
+FROM merged GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("win_interval_merge", _IVL_MERGE_ORACLE)
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of overlapping time intervals [ts, ts+value sec):
+    merged-island count and total covered microseconds — the classic
+    sessionize/utilization primitive (machine uptime, ad exposure,
+    speech-segment coverage).
+
+    Algorithm: running MAX of interval end over start-ordered rows; a
+    row whose start exceeds every earlier end opens a new island; island
+    ids are a running SUM of those flags; islands reduce to
+    (min start, max end).
+
+    Scale: ONE shuffle (hash on user_id for the window); both groupBys
+    that follow group by (user_id, …) — a superset of the existing
+    hash partitioning — so Catalyst adds no further exchange, and all
+    window frames are partition-local running aggregates (no buffering
+    beyond one row of state).  All arithmetic is exact BIGINT epoch
+    micros: FLOOR before the cast pins Spark (truncating) and DuckDB
+    (rounding) double→int semantics to the same value.
+    """
+    ev = Tables(spark, sf_dir).events
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1000000).cast("bigint")
+        ).alias("e"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = (
+        F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(prev_max_e, F.lit(-(2**63))), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum(F.col("island_end") - F.col("island_start")).alias(
+                "covered_us"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -725,3 +725,51 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(qual, 5, "quality_gated"))
     )
     return out.orderBy("stage")
+
+
+# ------------------------------------------------- per-domain quota
+
+DOMAIN_CAP = 10
+
+
+@query(
+    "pipeline_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, rk
+    FROM ranked WHERE rk <= {DOMAIN_CAP}
+    ORDER BY source, rk
+    """,
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep at most {DOMAIN_CAP} documents per source,
+    ranked by length (quality proxy) with doc_id as the deterministic
+    tiebreak — the CommonCrawl-style anti-domination filter that stops
+    one domain from flooding the training mixture.
+
+    Scale: rank-within-group is one shuffle on source.  Web-scale skew
+    (one domain with 10^8 docs) makes that partition hot; the fix at
+    scale is the two-phase pattern benched in agg_skew_two_phase —
+    per-partition local top-K first (each partition can discard all but
+    K rows per source it holds), then the global window over the
+    surviving ≤ K·partitions rows per source.  At driver-correctness
+    scales the single-window form is the same plan Catalyst picks after
+    AQE coalescing; the local-top-K pre-filter composes in front
+    without changing this operator's contract.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        t.documents.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= DOMAIN_CAP)
+        .orderBy("source", "rk")
+    )

@@ -1,0 +1,222 @@
+"""Retrieval-pipeline operators over the documents table: BM25 scoring
+and sliding-window chunking (the RAG/training-data preprocessing pair).
+
+Reference parity note: the reference (yibingbingwu/kachess) has no text
+retrieval surface — these are north-star additions per BASELINE.json,
+designed Spark-first: every expression is a built-in string/array
+function (JVM codegen, no Python UDFs), global statistics travel as a
+1-row broadcast, and top-k is a TakeOrdered, never a full sort.
+
+Determinism contract with the DuckDB oracle: term frequencies and
+document lengths are integer length-arithmetic (no regex dialect
+drift); the only floats are per-row IEEE ops on integer inputs plus one
+ln(), and every emitted float is ROUND(..., 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kachess_spark.catalog import Tables
+from kachess_spark.registry import query
+
+# ------------------------------------------------------------- BM25
+
+# Query terms for the benchmark corpus (TESTDATA.md synthetic vocabulary).
+BM25_TERMS = ("spark", "query", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _tf(col: Column, term: str) -> Column:
+    """Whole-word occurrence count via length arithmetic.
+
+    ``" term "`` matches in adjacent positions overlap through the
+    shared separator space ("x term term x"), so replace-counting would
+    miss every second hit.  Doubling all spaces first makes each word
+    flanked by two spaces while the single-spaced needle consumes only
+    one from each flank — matches can no longer overlap.
+    """
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    doubled = F.replace(padded, F.lit(" "), F.lit("  "))
+    needle = f" {term} "
+    return (
+        (F.length(doubled) - F.length(F.replace(doubled, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def _tf_sql(term: str) -> str:
+    needle = f" {term} "
+    return (
+        "CAST((length(replace(' ' || lower(text) || ' ', ' ', '  '))"
+        f" - length(replace(replace(' ' || lower(text) || ' ', ' ', '  '), '{needle}', '')))"
+        f" / {len(needle)} AS INT)"
+    )
+
+
+_DL_SQL = (
+    "CAST(length(' ' || text || ' ')"
+    " - length(replace(' ' || text || ' ', ' ', '')) AS BIGINT) - 1"
+)
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"{_tf_sql(t)} AS tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1)"
+        f" * (d.tf_{i} * ({BM25_K1} + 1))"
+        f" / (d.tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl"
+        f" / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_DL_SQL} AS dl,
+         {tf_cols}
+      FROM documents
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM d
+    )
+    SELECT d.doc_id, CAST(d.dl AS BIGINT) AS doc_len,
+           ROUND({score}, 6) AS bm25
+    FROM d, s
+    WHERE {" + ".join(f"d.tf_{i}" for i in range(len(BM25_TERMS)))} > 0
+    ORDER BY bm25 DESC, d.doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@query("text_bm25_search", _bm25_oracle())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query-term set.
+
+    Scale design: term frequencies and document length are codegen
+    length-arithmetic in ONE narrow pass over the corpus (no tokenize
+    shuffle, no explode); the corpus statistics (N, Σdl, per-term df)
+    reduce to a single broadcast row, so the score join moves zero
+    corpus bytes; the final top-k is TakeOrdered (per-partition heap +
+    driver merge of k rows), not a global sort.  At 100 TB the plan is
+    scan → map → 1-row broadcast → heap-k: exactly one tiny shuffle
+    (the global-agg combine).  avgdl is derived from the exact integer
+    Σdl so no float-summation-order drift vs the oracle.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        (
+            F.length(F.concat(F.lit(" "), F.col("text"), F.lit(" ")))
+            - F.length(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                    F.lit(" "),
+                    F.lit(""),
+                )
+            )
+            - 1
+        ).cast("bigint").alias("dl"),
+        *[
+            _tf(F.col("text"), term).alias(f"tf_{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = d.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1
+        )
+        tf = F.col(f"tf_{i}")
+        part = idf * (tf * (BM25_K1 + 1)) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    any_hit = sum(F.col(f"tf_{i}") for i in range(len(BM25_TERMS))) > 0
+    return (
+        scored.where(any_hit)
+        .select(
+            "doc_id",
+            F.col("dl").alias("doc_len"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ------------------------------------------- sliding-window chunking
+
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 90
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start,
+           CAST(length(substr(text, start + 1, {CHUNK_SIZE})) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, start + 1, {CHUNK_SIZE})) AS chunk_md5
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, GREATEST(length(text), 1), {CHUNK_STRIDE}))
+               AS start
+      FROM documents
+    )
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window document chunking (size {120}, stride
+    {90} → 30-char overlap) — the standard RAG / context-window prep.
+
+    Scale design: the start-offset list is generated per-row with
+    ``sequence()`` and exploded — a NARROW transformation (no shuffle
+    anywhere in the plan); chunk text, length, and content hash are all
+    codegen expressions.  Output grows by ~len/stride ≈ 1.1-4× the
+    corpus rows, each chunk row carrying only (ids, offsets, md5) — the
+    chunk text itself is hashed, not shipped, so 100 TB of text emits
+    ~100 GB of fingerprint rows.  Downstream exact-dedup of chunks is a
+    groupBy on chunk_md5 (see dedup_exact).
+    """
+    t = Tables(spark, sf_dir)
+    n = F.length(F.col("text"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n, F.lit(1)) - 1,
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.expr(f"substring(text, start + 1, {CHUNK_SIZE})")
+    return (
+        t.documents.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("start").cast("bigint").alias("start"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -59,6 +59,7 @@ def load_all() -> None:
         curation,
         dedup,
         multimodal,
+        retrieval,
         similarity,
         text,
     )

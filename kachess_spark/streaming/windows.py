@@ -897,3 +897,114 @@ def streaming_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------- watermark lateness audit
+
+WM_BATCH_ROWS = 1000  # arrival micro-batch size
+WM_JITTER_BLOCK = 3000  # arrival-order scramble span (rows)
+WM_DELAY_DIV = 20  # watermark delay = event-time span / this
+
+_WM_AUDIT_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         CAST(((event_id // {WM_JITTER_BLOCK}) * {WM_JITTER_BLOCK}
+               + (event_id * 37) % {WM_JITTER_BLOCK})
+              // {WM_BATCH_ROWS} AS BIGINT) AS batch_id
+  FROM events
+),
+sp AS (
+  SELECT (MAX(ts_us) - MIN(ts_us)) // {WM_DELAY_DIV} AS delay_us FROM ev
+),
+bm AS (
+  SELECT batch_id, MAX(ts_us) AS batch_max FROM ev GROUP BY batch_id
+),
+wm AS (
+  SELECT batch_id,
+         MAX(batch_max) OVER (ORDER BY batch_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS wm_max
+  FROM bm
+)
+SELECT ev.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN wm.wm_max IS NOT NULL
+                      AND ev.ts_us < wm.wm_max - sp.delay_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(CAST(SUM(CASE WHEN wm.wm_max IS NOT NULL
+                            AND ev.ts_us < wm.wm_max - sp.delay_us
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS late_frac
+FROM ev JOIN wm USING (batch_id), sp
+GROUP BY ev.event_type
+ORDER BY ev.event_type
+"""
+
+
+@query("stream_watermark_audit", _WM_AUDIT_ORACLE)
+def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness accounting: how many rows WOULD Structured
+    Streaming drop per event type under withWatermark(delay), replayed
+    batch-exactly on a deterministically jittered arrival order.
+
+    Semantics mirror the engine's watermark model: arrival order is a
+    bijective within-block scramble of event_id (block
+    {WM_JITTER_BLOCK}, multiplier 37 coprime to it — the test corpus
+    arrives perfectly time-sorted, so unjittered replay would audit
+    nothing); micro-batches of {WM_BATCH_ROWS}; the watermark applied
+    DURING batch b is the max event time seen in batches < b minus the
+    delay (frozen within a batch, advanced between batches); a row is
+    late iff its event time is below that frozen watermark.  Batch 0
+    has no watermark — nothing is late.  The delay is 1/{WM_DELAY_DIV}
+    of the corpus event-time span, so the audit stays non-degenerate at
+    any scale factor.
+
+    Scale: the big side takes one narrow pass (batch_id is integer
+    arithmetic on event_id); per-batch maxima and the span are tiny
+    two-level aggs (map-side combine → one row per batch / one row);
+    the running max runs on n/{WM_BATCH_ROWS} rows in a single task —
+    metadata-sized by construction — and joins back BROADCAST, so the
+    event stream itself never shuffles until the final per-type agg of
+    one row per (partition, type).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr(
+            f"((event_id div {WM_JITTER_BLOCK}) * {WM_JITTER_BLOCK}"
+            f" + (event_id * 37) % {WM_JITTER_BLOCK})"
+            f" div {WM_BATCH_ROWS}"
+        ).alias("batch_id"),
+    )
+    sp = ev.agg(
+        F.expr(f"(MAX(ts_us) - MIN(ts_us)) div {WM_DELAY_DIV}").alias(
+            "delay_us"
+        )
+    )
+    bm = ev.groupBy("batch_id").agg(F.max("ts_us").alias("batch_max"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = bm.select(
+        "batch_id", F.max("batch_max").over(w).alias("wm_max")
+    )
+    late = F.when(
+        F.col("wm_max").isNotNull()
+        & (F.col("ts_us") < F.col("wm_max") - F.col("delay_us")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.join(F.broadcast(wm), "batch_id")
+        .join(F.broadcast(sp))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            F.round(
+                F.sum(late).cast("double") / F.count("*"), 6
+            ).alias("late_frac"),
+        )
+        .orderBy("event_type")
+    )
