@@ -83,19 +83,23 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _minhash_cols() -> list:
+    """mh_0..mh_{N-1} minhash expressions over a ``shingles`` column."""
+    return [
+        F.expr(
+            f"array_min(transform(shingles, s -> md5(concat('s{i}|', s))))"
+        ).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+
+
 def minhash_signature(doc: DataFrame) -> DataFrame:
     """doc_id + mh_0..mh_{N-1} minhash columns (library entry point).
 
     MinHash via min(md5(salt_i || shingle)) — a permutation-free,
     engine-portable MinHash (lexicographic min over salted digests).
     """
-    cols = [
-        F.expr(
-            f"array_min(transform(shingles, s -> md5(concat('s{i}|', s))))"
-        ).alias(f"mh_{i}")
-        for i in range(N_HASHES)
-    ]
-    return _with_shingles(doc).select("doc_id", *cols)
+    return _with_shingles(doc).select("doc_id", *_minhash_cols())
 
 
 def _oracle_minhash(i: int) -> str:
@@ -175,7 +179,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist(DISK_ONLY) at cluster scale — same intent).
     """
     t = Tables(spark, sf_dir)
-    sigs = minhash_signature(t.documents)
+    return _lsh_candidates(_with_shingles(t.documents))
+
+
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a (doc_id, shingles) frame —
+    shared by dedup_minhash_lsh and the verified chain so callers that
+    already hold a materialized shingle frame don't recompute it."""
+    sigs = sh.select("doc_id", *_minhash_cols())
     band_structs = F.array(
         *[
             F.concat_ws(
@@ -988,7 +999,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection count runs in whole-stage codegen.  One shuffle keyed
     on (lang, shingle), one on the pair key.  At 100 TB the lang block
     is replaced by the MinHash band index (dedup_minhash_lsh) as the
-    candidate source; the containment verify below is unchanged.
+    candidate source, and shingles hash to 64-bit fingerprints before
+    the shuffle (the dedup_span_overlap trick — ~60% fewer wire bytes;
+    at bench scale the extra hash pass costs more than the bytes save,
+    so the local plan keeps strings).
     """
     t = Tables(spark, sf_dir)
     sh = (
@@ -1311,44 +1325,52 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH false positives never reach the delete list.
 
     Scale: candidates come from the band bucket join (dedup_minhash_lsh,
-    reused); verification counts shingle matches relationally — explode
-    only the DOCS that appear in candidate pairs (semi-join first), then
-    count equal shingles per pair in codegen.  Work is O(candidates ·
-    avg shingles), never all-pairs; the drop verdict (higher doc_id) is
-    what an anti-join consumes downstream.
+    reused); verification is ``size(array_intersect(...))`` on the two
+    shingle arrays carried through the candidate joins — pure codegen,
+    no shingle explode and no equality-join shuffle (the shingle sets
+    are array_distinct, so the intersect size IS the exact match
+    count).  A semi-join first restricts the arrays shipped to docs
+    that actually appear in a candidate pair, so bytes moved are
+    O(candidates · avg shingle bytes), never all-pairs; the drop
+    verdict (higher doc_id) is what an anti-join consumes downstream.
     """
-    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
     t = Tables(spark, sf_dir)
+    # ONE shingle materialization feeds both the LSH candidate pass and
+    # the exact verify (_with_shingles localCheckpoints internally)
     sh = _with_shingles(t.documents)
+    cand = _lsh_candidates(sh).localCheckpoint(eager=False)
     docs_in_cand = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    expl = (
-        sh.join(docs_in_cand, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("shingle"),
-        )
-        .localCheckpoint(eager=False)
+    sha = sh.join(docs_in_cand, "doc_id", "left_semi").select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
     )
-    ea, eb = expl.alias("ea"), expl.alias("eb")
     inter = (
-        cand.join(ea, F.col("doc_a") == F.col("ea.doc_id"))
-        .join(
-            eb,
-            (F.col("doc_b") == F.col("eb.doc_id"))
-            & (F.col("ea.shingle") == F.col("eb.shingle")),
+        cand.join(
+            sha.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("n_sh").alias("na"),
+            ),
+            "doc_a",
         )
-        .groupBy(
+        .join(
+            sha.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
             "doc_a",
             "doc_b",
-            F.col("ea.n_sh").alias("na"),
-            F.col("eb.n_sh").alias("nb"),
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
         )
-        .agg(F.count("*").alias("inter"))
     )
     jac = F.round(
         F.col("inter").cast("double")
