@@ -903,7 +903,6 @@ def streaming_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WM_BATCH_ROWS = 1000  # arrival micro-batch size
 WM_JITTER_BLOCK = 3000  # arrival-order scramble span (rows)
-WM_DELAY_DIV = 20  # watermark delay = event-time span / this
 
 _WM_AUDIT_ORACLE = f"""
 WITH ev AS (
@@ -914,7 +913,9 @@ WITH ev AS (
   FROM events
 ),
 sp AS (
-  SELECT (MAX(ts_us) - MIN(ts_us)) // {WM_DELAY_DIV} AS delay_us FROM ev
+  SELECT (MAX(ts_us) - MIN(ts_us)) * {WM_BATCH_ROWS} // COUNT(*)
+           AS delay_us
+  FROM ev
 ),
 bm AS (
   SELECT batch_id, MAX(ts_us) AS batch_max FROM ev GROUP BY batch_id
@@ -923,7 +924,7 @@ wm AS (
   SELECT batch_id,
          MAX(batch_max) OVER (ORDER BY batch_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING) AS wm_max
+                              AND 2 PRECEDING) AS wm_max
   FROM bm
 )
 SELECT ev.event_type,
@@ -947,17 +948,23 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming drop per event type under withWatermark(delay), replayed
     batch-exactly on a deterministically jittered arrival order.
 
-    Semantics mirror the engine's watermark model: arrival order is a
+    Semantics are ENGINE-MEASURED, not assumed (pytest
+    test_streaming_watermark_drops_match_replay drives a real
+    maxFilesPerTrigger=1 stream and matches the state operator's
+    numRowsDroppedByWatermark row for row): arrival order is a
     bijective within-block scramble of event_id (block
     {WM_JITTER_BLOCK}, multiplier 37 coprime to it — the test corpus
     arrives perfectly time-sorted, so unjittered replay would audit
     nothing); micro-batches of {WM_BATCH_ROWS}; the watermark applied
-    DURING batch b is the max event time seen in batches < b minus the
-    delay (frozen within a batch, advanced between batches); a row is
-    late iff its event time is below that frozen watermark.  Batch 0
-    has no watermark — nothing is late.  The delay is 1/{WM_DELAY_DIV}
-    of the corpus event-time span, so the audit stays non-degenerate at
-    any scale factor.
+    DURING batch b is the max event time over batches ≤ b-2 minus the
+    delay — the engine advances the watermark one batch AFTER the
+    batch whose data raised it (this build's measured microbatch
+    timing), so the first two batches run unwatermarked; a row is
+    dropped iff its event time is strictly below that frozen
+    watermark.  The delay is one micro-batch's worth of event time
+    (span · {WM_BATCH_ROWS} / n) — row-proportional like the jitter,
+    so the late fraction stays non-degenerate (~20%) at any scale
+    factor instead of collapsing to 0 or 1 as the corpus grows.
 
     Scale: the big side takes one narrow pass (batch_id is integer
     arithmetic on event_id); per-batch maxima and the span are tiny
@@ -977,15 +984,15 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("batch_id"),
     )
     sp = ev.agg(
-        F.expr(f"(MAX(ts_us) - MIN(ts_us)) div {WM_DELAY_DIV}").alias(
-            "delay_us"
-        )
+        F.expr(
+            f"(MAX(ts_us) - MIN(ts_us)) * {WM_BATCH_ROWS} div COUNT(*)"
+        ).alias("delay_us")
     )
     bm = ev.groupBy("batch_id").agg(F.max("ts_us").alias("batch_max"))
     from pyspark.sql import Window
 
     w = Window.orderBy("batch_id").rowsBetween(
-        Window.unboundedPreceding, -1
+        Window.unboundedPreceding, -2
     )
     wm = bm.select(
         "batch_id", F.max("batch_max").over(w).alias("wm_max")

@@ -230,3 +230,142 @@ def test_streaming_ewma_matches_batch(spark, sf_dir):
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
     assert len(got_rows) > 0
+
+
+def test_streaming_watermark_drops_match_replay(spark, sf_dir, tmp_path):
+    """The engine's own numRowsDroppedByWatermark must equal a frozen-
+    watermark batch replay — the semantic claim behind
+    stream_watermark_audit, checked against Structured Streaming itself.
+
+    Events are re-ordered by the same bijective block jitter the audit
+    uses and split into arrival micro-batch files consumed one per
+    trigger.  The stateful op is dropDuplicates (its state operator
+    sees RAW rows, so the drop metric counts source rows; a windowed
+    agg would count post-partial-agg rows).  Measured engine timing on
+    this build: the watermark applied during batch b is
+    max event-time (ms) over batches <= b-2 minus the delay, and a row
+    is dropped iff ts < that watermark — the same lag-2 rule
+    stream_watermark_audit replays.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from kachess_spark.catalog import load_table
+
+    BLOCK, BATCH, DELAY_S = 300, 100, 7200
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev["arr"] = (ev.event_id // BLOCK) * BLOCK + (ev.event_id * 37) % BLOCK
+    ev = ev.sort_values("arr").reset_index(drop=True)
+    ev["batch"] = ev.index // BATCH
+    # unit-safe epoch ms (toPandas may hand back datetime64[ns] or [us])
+    ev["ts_ms"] = ev.ts.astype("datetime64[us]").astype("int64") // 1_000
+
+    # frozen-watermark replay: lag-2 max, ts < wm (engine-measured rule)
+    batches = sorted(ev.batch.unique())
+    maxes = {b: int(ev[ev.batch == b].ts_ms.max()) for b in batches}
+    expected = []
+    for b in batches:
+        prior = [maxes[x] for x in batches if x <= b - 2]
+        wm = max(prior) - DELAY_S * 1000 if prior else None
+        rows = ev[ev.batch == b]
+        expected.append(
+            0 if wm is None else int((rows.ts_ms < wm).sum())
+        )
+    assert sum(expected) > 0  # parameters must actually exercise drops
+
+    # one parquet file per arrival batch, mtimes in arrival order
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    for b in batches:
+        rows = ev[ev.batch == b]
+        tbl = pa.table(
+            {
+                "event_id": pa.array(rows.event_id, pa.int64()),
+                "ts": pa.array(rows.ts_ms * 1000, pa.timestamp("us")),
+            }
+        )
+        path = str(src / f"batch_{b:04d}.parquet")
+        pq.write_table(tbl, path)
+        t = 1_700_000_000 + b * 10
+        os.utime(path, (t, t))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", f"{DELAY_S} seconds")
+        .dropDuplicates(["event_id", "ts"])
+    )
+    name = "wm" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+    got = [
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    ]
+    # engine appends a final empty flush batch; compare totals and the
+    # per-batch prefix (row-for-row agreement, not just the sum)
+    assert got[: len(expected)] == expected
+    assert sum(got) == sum(expected)
+
+
+def test_watermark_audit_consistent_with_replay(spark, sf_dir):
+    """stream_watermark_audit's n_late must equal an independent pandas
+    replay of the lag-2 frozen-watermark rule at the operator's own
+    constants (the engine-rule twin of the DuckDB oracle check)."""
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming.windows import (
+        WM_BATCH_ROWS,
+        WM_JITTER_BLOCK,
+        stream_watermark_audit,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev["ts_us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    ev["batch"] = (
+        (ev.event_id // WM_JITTER_BLOCK) * WM_JITTER_BLOCK
+        + (ev.event_id * 37) % WM_JITTER_BLOCK
+    ) // WM_BATCH_ROWS
+    delay = (int(ev.ts_us.max()) - int(ev.ts_us.min())) * WM_BATCH_ROWS // len(ev)
+    batches = sorted(ev.batch.unique())
+    maxes = {b: int(ev[ev.batch == b].ts_us.max()) for b in batches}
+    n_late = 0
+    for b in batches:
+        prior = [maxes[x] for x in batches if x <= b - 2]
+        if not prior:
+            continue
+        wm = max(prior) - delay
+        n_late += int((ev[ev.batch == b].ts_us < wm).sum())
+
+    got = stream_watermark_audit(spark, sf_dir)
+    assert got.agg({"n_late": "sum"}).collect()[0][0] == n_late
