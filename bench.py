@@ -45,6 +45,13 @@ BREADTH = [
     "pipeline_funnel_report",
     "pipeline_dataset_card",
     "dedup_minhash_verified",
+    # round 4: retrieval/robust-stats/streaming-audit additions
+    "text_bm25_search",
+    "text_chunk_overlap",
+    "agg_weighted_median",
+    "win_interval_merge",
+    "stream_watermark_audit",
+    "pipeline_epoch_shuffle",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

@@ -773,3 +773,89 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= DOMAIN_CAP)
         .orderBy("source", "rk")
     )
+
+
+# ------------------------------------------- deterministic epoch shuffle
+
+EPOCH_SALT = "ep1"  # change per training epoch for a fresh permutation
+N_SHUFFLE_SHARDS = 16  # one hex char of the md5 → 16 shard streams
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{EPOCH_SALT}|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, h, substr(h, 1, 1) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 1)
+                                ORDER BY h, doc_id) AS pos_in_shard
+      FROM keyed
+    ),
+    offsets AS (
+      SELECT shard,
+             COALESCE(SUM(cnt) OVER (ORDER BY shard
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS off
+      FROM (SELECT substr(h, 1, 1) AS shard, COUNT(*) AS cnt
+            FROM keyed GROUP BY 1)
+    )
+    SELECT s.doc_id, s.shard,
+           CAST(s.pos_in_shard AS BIGINT) AS pos_in_shard,
+           CAST(o.off + s.pos_in_shard - 1 AS BIGINT) AS global_pos
+    FROM sharded s JOIN offsets o USING (shard)
+    ORDER BY global_pos
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every document gets a
+    pseudo-random but reproducible global position (salted-md5 order),
+    materialized as (shard, pos_in_shard, global_pos) — the data-order
+    randomization a training run performs per epoch, replayable on any
+    cluster because there is no RNG state.
+
+    Scale: a single global ROW_NUMBER would serialize into one task, so
+    the position is assembled two-phase (the pipeline_sequence_pack
+    pattern): rank WITHIN each of the {N_SHUFFLE_SHARDS} md5-prefix
+    shards (hash-partitioned window, parallel), plus broadcast shard
+    offsets from a 16-row cumulative count — global_pos = offset +
+    local rank, no global sort of the corpus anywhere.  Re-salting
+    EPOCH_SALT yields an independent permutation per epoch.
+    """
+    t = Tables(spark, sf_dir)
+    keyed = t.documents.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{EPOCH_SALT}|"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    sharded = keyed.select(
+        "doc_id", "h", F.substring("h", 1, 1).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    ranked = sharded.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos_in_shard")
+    )
+    counts = sharded.groupBy("shard").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "shard",
+            F.col("pos_in_shard").cast("bigint").alias("pos_in_shard"),
+            (F.col("off") + F.col("pos_in_shard") - 1)
+            .cast("bigint")
+            .alias("global_pos"),
+        )
+        .orderBy("global_pos")
+    )
