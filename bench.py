@@ -134,17 +134,31 @@ def main() -> None:
     warm_dir = os.environ.get(
         "SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
     )
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE + BREADTH:
-            try:
-                registry.QUERIES[name](spark, warm_dir).count()
-            except Exception:
-                pass  # warmup is best-effort; the timed run will surface it
+    have_warm = os.path.isdir(warm_dir)
+
+    import gc
 
     per_query: dict[str, float] = {}
     per_profile: dict[str, dict[str, float]] = {}
     for name in HEADLINE + BREADTH:
         fn = registry.QUERIES[name]
+        # Warm THIS query's shape immediately before timing it.  A
+        # single warm-everything-first pass stopped working once the
+        # suite outgrew the JVM's bounded codegen cache (~100 generated
+        # classes): by the time timing started, the early queries'
+        # classes had been evicted and the timed run re-paid JIT —
+        # observed as a 1.3 s query reading 5 s inside the suite while
+        # timing at 1.3 s in isolation.  Warm-then-time per query keeps
+        # each shape hot regardless of suite size.
+        if have_warm:
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass  # warmup is best-effort; the timed run will surface it
+        # drop py4j refs to prior queries' localCheckpoint RDDs so the
+        # JVM can reclaim them — without this, checkpoint blocks pile up
+        # across the ~40-query session and late queries pay GC stalls
+        gc.collect()
         before = _stage_snapshot(spark) if profile else None
         t0 = time.perf_counter()
         # count() forces full execution without driver-side materialization

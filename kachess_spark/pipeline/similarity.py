@@ -204,25 +204,34 @@ def banded_hyperplane_buckets(df: DataFrame) -> DataFrame:
     dim = _emb_dim(df)
     # single-row-group parquet → spread before the CPU-bound folds
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_id")
-    # ONE expression holding the whole L·b sign matrix, not 64 separate
-    # mega-expressions: 64 projection columns each carrying a 64-literal
-    # array made the driver's analyze/codegen phase the bottleneck
-    # (seconds of planning for 2 s of compute); a single transform over
-    # the literal matrix plans in milliseconds and folds identically.
-    sign_rows = ", ".join(
-        "array(" + ",".join(f"{s:.1f}D" for s in _plane_signs(b, p, dim)) + ")"
-        for b in range(N_BANDS)
-        for p in range(N_PLANES)
+    # The L·b sign matrix travels as DATA (a 1-row LocalRelation,
+    # broadcast-joined) rather than as a 4k-literal expression tree:
+    # the literal form made EVERY call pay seconds of driver
+    # analysis/codegen over a ~4 KB constant (first call 10 s+), while
+    # a broadcast row analyzes in milliseconds and the executor-side
+    # fold is identical.
+    mat = df.sparkSession.createDataFrame(
+        [
+            (
+                [
+                    _plane_signs(b, p, dim)
+                    for b in range(N_BANDS)
+                    for p in range(N_PLANES)
+                ],
+            )
+        ],
+        "signs: array<array<double>>",
     )
+    df = df.join(F.broadcast(mat))
     dots = (
-        f"transform(array({sign_rows}), s ->"
+        f"transform(signs, s ->"
         f" aggregate(zip_with(embedding, s, (x, sg) ->"
         f" CAST(CAST(x AS DOUBLE) * sg AS {PDEC})),"
         f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC})))"
     )
-    # barrier: without it CollapseProject inlines the full literal-matrix
-    # fold into every element_at() below — 64 copies of a 4k-literal
-    # expression, and the optimizer/codegen phase runs for minutes
+    # barrier: without it CollapseProject inlines the 64-fold dot
+    # expression into every element_at() below — 64 recomputations of
+    # the whole fold per row
     sig = df.select(
         F.col("vec_id").alias("vid"), F.expr(dots).alias("dots")
     ).localCheckpoint(eager=False)
