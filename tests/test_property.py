@@ -365,3 +365,71 @@ def test_float_heavy_queries_rerun_identical(spark, sf_dir):
         second = sorted(map(tuple, fn(spark, sf_dir).collect()))
         assert first == second, f"{name} differs across reruns"
         assert len(first) > 0, f"{name} empty at test SF"
+
+
+# ------------------------------------------------- cyclic lineage graphs
+
+
+@st.composite
+def cyclic_graphs(draw):
+    """Random directed graphs with at least one guaranteed cycle —
+    self-referencing scripts produce these; the closure must terminate
+    and still report min-hop distances."""
+    n = draw(st.integers(min_value=3, max_value=10))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=24,
+            unique=True,
+        )
+    )
+    # force a cycle through the first three nodes
+    forced = [(0, 1), (1, 2), (2, 0)]
+    return list(dict.fromkeys(edges + forced))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(cyclic_graphs())
+def test_closure_terminates_on_cycles(spark, edges):
+    """Local-BFS path on cyclic graphs: terminates, min-hop distances."""
+    from kachess_spark.lineage.closure import transitive_closure
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        (r.ancestor_id, r.descendant_id): r.distance
+        for r in transitive_closure(df, "src", "dst").collect()
+    }
+    assert got == _bfs_closure(edges)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(cyclic_graphs())
+def test_distributed_closure_terminates_on_cycles(spark, edges):
+    """Distributed iterative path on cyclic graphs: the anti-join keeps
+    every (ancestor, descendant) pair at its first (minimum) distance,
+    so the frontier drains instead of orbiting the cycle forever."""
+    from kachess_spark.lineage import closure as C
+
+    old = C.SMALL_GRAPH_EDGES
+    C.SMALL_GRAPH_EDGES = 0
+    try:
+        df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+        got = {
+            (r.ancestor_id, r.descendant_id): r.distance
+            for r in C.transitive_closure(df, "src", "dst").collect()
+        }
+        assert got == _bfs_closure(edges)
+    finally:
+        C.SMALL_GRAPH_EDGES = old
