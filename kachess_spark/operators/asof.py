@@ -251,3 +251,120 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("a_event", "b_event")
     )
+
+
+# --------------------------------------------------- nearest as-of join
+
+_NEAREST_ORACLE = """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    logins AS (
+      SELECT user_id, ts, event_id AS login_event_id FROM events
+      WHERE event_type = 'login'
+    ),
+    back AS (
+      SELECT p.event_id, p.user_id, l.login_event_id AS bid,
+             epoch_us(p.ts) - epoch_us(l.ts) AS bgap
+      FROM purchases p
+      ASOF LEFT JOIN logins l ON p.user_id = l.user_id AND p.ts >= l.ts
+    ),
+    fwd AS (
+      SELECT p.event_id, l.login_event_id AS fid,
+             epoch_us(l.ts) - epoch_us(p.ts) AS fgap
+      FROM purchases p
+      ASOF LEFT JOIN logins l ON p.user_id = l.user_id AND p.ts < l.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN b.bid IS NULL THEN f.fid
+                WHEN f.fid IS NULL THEN b.bid
+                WHEN b.bgap <= f.fgap THEN b.bid ELSE f.fid END
+             AS nearest_login_id,
+           CASE WHEN b.bid IS NULL THEN f.fgap
+                WHEN f.fid IS NULL THEN -b.bgap
+                WHEN b.bgap <= f.fgap THEN -b.bgap ELSE f.fgap END
+             AS signed_gap_us
+    FROM back b JOIN fwd f USING (event_id)
+    ORDER BY b.event_id
+"""
+
+
+@query("join_asof_nearest", _NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: for every purchase, the user's login
+    closest in EITHER direction (sensor alignment / entity-resolution
+    matching; pandas merge_asof(direction='nearest'), which Spark has no
+    native operator for).  Ties (equidistant before/after) resolve to
+    the earlier login; a login at the exact purchase instant counts as
+    at-or-before.  signed_gap_us < 0 means the login preceded.
+
+    Plan: union+window twice over ONE hashpartitioning(user_id)
+    exchange — a backward carry (last login at-or-before, ascending
+    order) and a forward carry (first login strictly-after, descending
+    order).  Both windows stream with one row of state; the second sort
+    is partition-local, no second shuffle.  The oracle is DuckDB's
+    native ASOF in each direction plus the same tie CASE — an
+    independent implementation, not an echo of the window algorithm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("login_event_id"),
+    )
+    right = ev.where(F.col("event_type") == "login").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("login_event_id"),
+    )
+    both = left.unionByName(right)
+    # backward: logins at equal ts visible (tag 0 sorts first ascending)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag", "login_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: descending traversal; purchases (tag 1) sort before
+    # equal-ts logins so those logins stay invisible → strictly-after
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.desc("tag"), F.col("login_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        both.withColumn(
+            "bid", F.last("login_event_id", ignorenulls=True).over(w_back)
+        )
+        .withColumn(
+            "b_ts", F.last(F.when(F.col("tag") == 0, F.col("ts_us")), ignorenulls=True).over(w_back)
+        )
+        .withColumn(
+            "fid", F.last("login_event_id", ignorenulls=True).over(w_fwd)
+        )
+        .withColumn(
+            "f_ts", F.last(F.when(F.col("tag") == 0, F.col("ts_us")), ignorenulls=True).over(w_fwd)
+        )
+    )
+    bgap = F.col("ts_us") - F.col("b_ts")
+    fgap = F.col("f_ts") - F.col("ts_us")
+    pick_back = F.col("fid").isNull() | (
+        F.col("bid").isNotNull() & (bgap <= fgap)
+    )
+    return (
+        carried.where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(pick_back, F.col("bid"))
+            .otherwise(F.col("fid"))
+            .alias("nearest_login_id"),
+            F.when(pick_back & F.col("bid").isNotNull(), -bgap)
+            .otherwise(fgap)
+            .alias("signed_gap_us"),
+        )
+        .orderBy("event_id")
+    )
