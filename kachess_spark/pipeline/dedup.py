@@ -1486,3 +1486,86 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth bigint, n_candidates bigint, n_hit bigint,"
         " recall double, precision double",
     )
+
+
+@query("dedup_containment_prefix", _CONTAIN_ORACLE)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment's output via PREFIX FILTERING (the
+    PPJoin-family exact similarity-join technique) — the shape that
+    survives web-scale corpora where the plain shingle-equality join's
+    candidate set explodes on stop-shingles.
+
+    Pigeonhole guarantee: containment ≥ τ needs |Sa∩Sb| ≥ ⌈τ|Sa|⌉
+    shared shingles, so ordering Sa canonically and probing only its
+    first |Sa|−⌈τ|Sa|⌉+1 shingles (the PREFIX) cannot miss a
+    qualifying pair — a pair sharing no prefix shingle has at most
+    ⌈τ|Sa|⌉−1 shared.  Ordering by ascending document frequency makes
+    prefixes maximally rare, so the candidate join only meets on
+    discriminative shingles; frequent boilerplate shingles never
+    generate candidates from the contained side.  Exact verification
+    (size(array_intersect)/|Sa|, codegen) then removes false positives
+    — output is IDENTICAL to dedup_containment (same oracle).
+
+    Scale: the df table is a groupBy (map-side combined); the prefix
+    cut drops ~half of each doc's probe rows at τ=0.5 and, ordered by
+    rarity, the surviving keys have near-unique fan-out — candidate
+    pairs grow ~linearly in corpus size where the unfiltered join grows
+    with the square of per-shingle frequency.
+    """
+    t = Tables(spark, sf_dir)
+    sh = (
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "lang", F.expr(_WORDS_EXPR).alias("words"))
+        .where(F.size("words") >= 3)
+        .select("doc_id", "lang", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    expl = sh.select(
+        "doc_id",
+        "lang",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).localCheckpoint(eager=False)
+    dfreq = expl.groupBy("shingle").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("doc_id").orderBy("freq", "shingle")
+    prefix_len = F.floor(F.col("n_sh") / 2) + 1  # |Sa|-ceil(τ|Sa|)+1, τ=.5
+    pref = (
+        expl.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= prefix_len)
+        .select("doc_id", "lang", "shingle")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            expl.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+        )
+        .distinct()
+    )
+    sha = sh.select(
+        F.col("doc_id").alias("contained"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("na"),
+    )
+    shb = sh.select(
+        F.col("doc_id").alias("container"), F.col("shingles").alias("sh_b")
+    )
+    containment = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.col("na"),
+        6,
+    )
+    return (
+        cand.join(sha, "contained")
+        .join(shb, "container")
+        .select("contained", "container", containment.alias("containment"))
+        .where(F.col("containment") >= CONTAIN_TAU)
+        .orderBy("contained", "container")
+    )
