@@ -747,3 +747,109 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_mmr_select, schema=out_schema)
         .orderBy("qid", "rank")
     )
+
+
+# ------------------------------------------- feature covariance matrix
+
+_COV_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cells AS (
+      SELECT t.i AS i, u.j AS j,
+             CAST(CAST(embedding[t.i] AS DOUBLE)
+                  * CAST(embedding[u.j] AS DOUBLE)
+                  AS DECIMAL(28,14)) AS p
+      FROM e,
+      LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t,
+      LATERAL (SELECT unnest(range(t.i, len(embedding) + 1)) AS j) u
+    ),
+    dims AS (
+      SELECT t.i AS i,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(28,14)) AS x
+      FROM e,
+      LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    ),
+    m AS (SELECT i, SUM(x) AS sx, COUNT(*) AS n FROM dims GROUP BY i),
+    s AS (SELECT i, j, SUM(p) AS sp, COUNT(*) AS n
+          FROM cells GROUP BY i, j)
+    SELECT s.i, s.j,
+           ROUND(CAST(s.sp AS DOUBLE) / s.n
+                 - (CAST(mi.sx AS DOUBLE) / s.n)
+                   * (CAST(mj.sx AS DOUBLE) / s.n), 6) + 0.0 AS cov
+    FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
+    ORDER BY s.i, s.j
+"""
+
+
+@query("emb_covariance_matrix", _COV_ORACLE)
+def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle feature covariance matrix of the embedding corpus
+    (d·(d+1)/2 cells) — the statistic behind whitening, PCA prep, and
+    feature-drift monitoring of a vector store.
+
+    Exactness: every x_i·x_j product rounds independently to
+    DECIMAL(28,14) and the per-cell sums are exact decimal adds, so the
+    reduction is order-independent; the only float math is the final
+    per-cell assembly E[xy]−E[x]E[y], identical in both engines.
+
+    Scale: the per-vector outer product is generated NARROWLY (nested
+    transform + one explode — no self-join on vec_id, which would
+    shuffle the corpus); the groupBy reduces to d(d+1)/2 ≈ 2k cells
+    with map-side combine, so the shuffle carries ~2k rows per
+    partition regardless of corpus size, and the means table (d rows)
+    broadcasts back.  100 TB of vectors stream through one pass.
+    """
+    t = Tables(spark, sf_dir)
+    cells = (
+        t.embeddings.repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(embedding)), i ->"
+                    " transform(sequence(i, size(embedding)), j ->"
+                    " struct(i AS i, j AS j,"
+                    " CAST(CAST(element_at(embedding, i) AS DOUBLE)"
+                    " * CAST(element_at(embedding, j) AS DOUBLE)"
+                    f" AS {PDEC}) AS p))))"
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.j", "c.p")
+    )
+    dims = t.embeddings.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(embedding)), i ->"
+                " struct(i AS i,"
+                f" CAST(CAST(element_at(embedding, i) AS DOUBLE) AS {PDEC})"
+                " AS x))"
+            )
+        ).alias("d")
+    ).select("d.i", "d.x")
+    m = dims.groupBy("i").agg(F.sum("x").alias("sx"))
+    s = cells.groupBy("i", "j").agg(
+        F.sum("p").alias("sp"), F.count("*").alias("n")
+    )
+    mi = m.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
+    mj = m.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        s.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 flushes IEEE -0.0 to +0.0 — the engines disagree on
+            # the zero's sign after ROUND, which misaligns the compare
+            (
+                F.round(
+                    F.col("sp").cast("double") / F.col("n")
+                    - (F.col("sx_i").cast("double") / F.col("n"))
+                    * (F.col("sx_j").cast("double") / F.col("n")),
+                    6,
+                )
+                + 0.0
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

@@ -882,3 +882,91 @@ def text_destutter_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------- bigram-LM likelihood
+
+_BIGRAM_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(lower(
+               regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+             x -> x <> '') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+    ),
+    left_cnt AS (
+      SELECT w1, count(*) AS lc FROM bg GROUP BY w1
+    ),
+    pair_cnt AS (
+      SELECT w1, w2, count(*) AS pc FROM bg GROUP BY w1, w2
+    ),
+    cond AS (
+      SELECT p.w1, p.w2,
+             (p.pc * 1000000) // l.lc AS cond_ppm
+      FROM pair_cnt p JOIN left_cnt l USING (w1)
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c.cond_ppm) AS BIGINT) // count(*) AS avg_cond_ppm
+    FROM bg JOIN cond c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+"""
+
+
+@query("text_bigram_likelihood", _BIGRAM_ORACLE)
+def text_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score: per-document average conditional bigram
+    probability P(w2|w1) in ppm — the next step up from
+    text_unigram_likelihood (word-ORDER sensitivity: scrambled text
+    keeps its unigram score but collapses here, the gibberish/MT-noise
+    filter signal).  Exact integer arithmetic throughout (scaled ppm,
+    integer division) — no ln/exp, bit-stable across engines.
+
+    Scale: one explode to bigram rows → two vocabulary-sized
+    aggregations (left-context counts and pair counts, both map-side
+    combined) → conditional table joins back BROADCAST (bigram
+    vocabulary; at web scale swap for a shuffle join on w1,w2 — same
+    plan otherwise) → per-doc aggregation.
+    """
+    t = Tables(spark, sf_dir)
+    ws = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    bg = (
+        t.documents.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=False)
+    )
+    left_cnt = bg.groupBy("w1").agg(F.count("*").alias("lc"))
+    pair_cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("pc"))
+    cond = pair_cnt.join(left_cnt, "w1").select(
+        "w1", "w2", F.expr("(pc * 1000000) div lc").alias("cond_ppm")
+    )
+    return (
+        bg.join(F.broadcast(cond), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum(cond_ppm) div count(*)").alias("avg_cond_ppm"),
+        )
+        .orderBy("doc_id")
+    )
