@@ -859,3 +859,81 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_pos")
     )
+
+
+# --------------------------------------- train / val / test split
+
+SPLIT_SALT = "split1"
+# md5 first hex char: 0-b → train (12/16), c-d → val, e-f → test
+
+
+@query(
+    "pipeline_train_val_test",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tok,
+             CASE WHEN substr(md5('{SPLIT_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND 'b' THEN 'train'
+                  WHEN substr(md5('{SPLIT_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN 'c' AND 'd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac_of_lang
+    FROM assigned
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def pipeline_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document-level train/val/test split (~75/12.5/12.5
+    by salted-md5 hex prefix) with per-language stratification report —
+    the leakage-safe split a data pipeline materializes before
+    training: membership depends only on (salt, doc_id), so re-runs,
+    backfills, and incremental batches route every document to the
+    same split with no RNG state and no coordination.
+
+    Scale: split assignment is one codegen expression (no shuffle); the
+    report is a (lang, split) aggregation with map-side combine plus a
+    frameless window over its tiny result.  At 100 TB the assignment
+    column simply becomes the write-partition key
+    (df.write.partitionBy("split")) — same expression.
+    """
+    t = Tables(spark, sf_dir)
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(f"{SPLIT_SALT}|"), F.col("doc_id").cast("string"))
+        ),
+        1,
+        1,
+    )
+    assigned = t.documents.select(
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')")).alias(
+            "n_tok"
+        ),
+        F.when(h.between("0", "b"), "train")
+        .when(h.between("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    counts = assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "split",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("frac_of_lang"),
+    ).orderBy("lang", "split")
