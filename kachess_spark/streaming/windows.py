@@ -1015,3 +1015,117 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- linear interpolation
+
+_INTERP_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi,
+         CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS known
+  FROM events
+),
+ctx AS (
+  SELECT *,
+    last_value(CASE WHEN known = 1 THEN vi END IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN known = 1 THEN ts_us END IGNORE NULLS) OVER wp
+      AS pts,
+    first_value(CASE WHEN known = 1 THEN vi END IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN known = 1 THEN ts_us END IGNORE NULLS) OVER wn
+      AS nts
+  FROM base
+  WINDOW wp AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, event_type, ts_us, known,
+       ROUND(CASE
+         WHEN known = 1 THEN vi / 10000.0
+         WHEN pv IS NULL THEN nv / 10000.0
+         WHEN nv IS NULL OR nts = pts THEN pv / 10000.0
+         ELSE (pv + (nv - pv) * CAST(ts_us - pts AS DOUBLE)
+               / CAST(nts - pts AS DOUBLE)) / 10000.0
+       END, 6) AS interp_value
+FROM ctx
+ORDER BY event_type, ts_us, event_id
+"""
+
+
+@query("ts_linear_interpolate", _INTERP_ORACLE)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear interpolation between known samples — the gap
+    repair forward-fill can't do (LOCF steps; this draws the line):
+    every 5th event (deterministic event_id rule standing in for the
+    sensor's real cadence) is a known sample, the rest interpolate
+    between their time-nearest known neighbors, edges clamp to the one
+    available side.
+
+    Exactness: known values fix to 1e-4 integers, the neighbor carries
+    are integer window functions, and the only float math is one
+    slope-assembly per row on integer inputs + ROUND — identical in
+    both engines.
+
+    Scale: ONE shuffle (hash on event_type); both carries are
+    running-state window passes over the same sort (the descending
+    pass is a partition-local re-sort, no second exchange) — the same
+    single-exchange shape as join_asof_nearest.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+        F.when(F.col("event_id") % 5 == 0, 1).otherwise(0).alias("known"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    kv = F.when(F.col("known") == 1, F.col("vi"))
+    kt = F.when(F.col("known") == 1, F.col("ts_us"))
+    ctx = base.select(
+        "event_id",
+        "event_type",
+        "ts_us",
+        "known",
+        "vi",
+        F.last(kv, ignorenulls=True).over(wp).alias("pv"),
+        F.last(kt, ignorenulls=True).over(wp).alias("pts"),
+        F.first(kv, ignorenulls=True).over(wn).alias("nv"),
+        F.first(kt, ignorenulls=True).over(wn).alias("nts"),
+    )
+    interp = (
+        F.when(F.col("known") == 1, F.col("vi") / 10000.0)
+        .when(F.col("pv").isNull(), F.col("nv") / 10000.0)
+        .when(
+            F.col("nv").isNull() | (F.col("nts") == F.col("pts")),
+            F.col("pv") / 10000.0,
+        )
+        .otherwise(
+            (
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (F.col("ts_us") - F.col("pts")).cast("double")
+                / (F.col("nts") - F.col("pts")).cast("double")
+            )
+            / 10000.0
+        )
+    )
+    return ctx.select(
+        "event_id",
+        "event_type",
+        "ts_us",
+        "known",
+        F.round(interp, 6).alias("interp_value"),
+    ).orderBy("event_type", "ts_us", "event_id")
