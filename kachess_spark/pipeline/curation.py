@@ -937,3 +937,83 @@ def pipeline_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
         ).alias("frac_of_lang"),
     ).orderBy("lang", "split")
+
+
+# ---------------------------------------- temperature mixture sampling
+
+MIX_ALPHA_NUM, MIX_ALPHA_DEN = 1, 2  # temperature alpha = 1/2 (sqrt)
+
+
+@query(
+    "pipeline_temperature_mixture",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    wts AS (
+      -- weight ∝ n^alpha (alpha = {MIX_ALPHA_NUM}/{MIX_ALPHA_DEN});
+      -- sqrt keeps head sources from dominating, tail sources sampled up
+      SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w,
+             sqrt(CAST(n_docs AS DOUBLE))
+               / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS p
+      FROM sized
+    ),
+    drawn AS (
+      SELECT d.source, d.doc_id,
+             -- deterministic per-doc uniform in [0,1): first 8 md5 hex
+             -- chars as an integer / 16^8
+             CAST(('0x' || substr(md5('mix1|' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT)
+               / 4294967296.0 AS u,
+             w.p * 4.0 AS accept_p
+      FROM documents d JOIN wts w USING (source)
+    )
+    SELECT source,
+           COUNT(*) AS n_selected
+    FROM drawn WHERE u < accept_p
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (weight ∝ size^(1/2), the
+    multilingual-corpus alpha-sampling standard): each source's accept
+    probability derives from its sqrt-damped share, and each document
+    draws a DETERMINISTIC uniform from a salted md5 — reproducible
+    sampling with no RNG state, head sources damped, tail sources
+    up-weighted.  The oracle-checked output is the per-source selection
+    census (the mixture a training run would actually consume).
+
+    Scale: source sizes are a tiny aggregation; weights broadcast back;
+    the accept test is one codegen expression per row — no shuffle of
+    the corpus at all until the final per-source count (map-side
+    combined).  Changing the salt redraws the sample; changing alpha
+    retunes the mixture — both O(1) metadata edits.
+    """
+    t = Tables(spark, sf_dir)
+    sized = t.documents.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    wts = sized.select(
+        "source",
+        (
+            F.sqrt(F.col("n_docs").cast("double"))
+            / F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(w_all)
+        ).alias("p"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix1|"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(4294967296.0)
+    return (
+        t.documents.select("source", "doc_id")
+        .join(F.broadcast(wts), "source")
+        .where(u < F.col("p") * 4.0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_selected"))
+        .orderBy("source")
+    )

@@ -970,3 +970,66 @@ def text_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------ character diversity (Simpson)
+
+_CHAR_DIV_ORACLE = """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_distinct_chars,
+           CAST(SUM(cnt) AS BIGINT) AS n_chars,
+           ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                       / (CAST(SUM(cnt) AS DOUBLE)
+                          * CAST(SUM(cnt) AS DOUBLE)), 6) AS simpson_diversity
+    FROM freq
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@query("text_char_diversity", _CHAR_DIV_ORACLE)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Gini–Simpson diversity 1 − Σ(cntᵢ/n)² per
+    document — the log-free cousin of character entropy (keyboard-mash
+    and repeated-char spam score near 0; natural text sits high).
+    Chosen over Shannon entropy deliberately: the statistic is a pure
+    RATIONAL function of integer counts, so both engines compute the
+    identical value with no transcendental-function ulp drift — Σcnt²
+    and (Σcnt)² are exact BIGINTs and the single division rounds once.
+
+    Scale: explode to characters → two-level (doc, char) count with
+    map-side combine (≤ alphabet-size rows per doc reach the shuffle)
+    → per-doc reduce.  At 100 TB the first combine is the whole cost —
+    and it is the unavoidable one pass over the bytes.
+    """
+    t = Tables(spark, sf_dir)
+    freq = (
+        t.documents.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.sum("cnt")
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_chars"),
+            n.cast("bigint").alias("n_chars"),
+            F.round(
+                1.0
+                - F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+                / (n.cast("double") * n.cast("double")),
+                6,
+            ).alias("simpson_diversity"),
+        )
+        .orderBy("doc_id")
+    )
