@@ -23,7 +23,7 @@ join strategy changes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -239,4 +239,109 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
         )
         .orderBy("node")
+    )
+
+
+# ------------------------------------------- common-neighbor link prediction
+
+LINKPRED_MAX_CUST = 200  # bound the demo pair space (custkey < this)
+LINKPRED_MIN_COMMON = 2
+LINKPRED_TOPK = 5
+
+_LINKPRED_ORACLE = f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey < {LINKPRED_MAX_CUST}
+    ),
+    deg AS (SELECT cust, COUNT(*) AS d FROM edges GROUP BY cust),
+    common AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS cn
+      FROM edges a JOIN edges b
+        ON a.supp = b.supp AND a.cust < b.cust
+      GROUP BY a.cust, b.cust
+    ),
+    scored AS (
+      SELECT c.cust_a, c.cust_b, c.cn,
+             ROUND(CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn), 6)
+               AS jaccard
+      FROM common c
+      JOIN deg da ON c.cust_a = da.cust
+      JOIN deg db ON c.cust_b = db.cust
+      WHERE c.cn >= {LINKPRED_MIN_COMMON}
+    )
+    SELECT cust_a, cust_b, cn, jaccard, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cust_a
+                                   ORDER BY jaccard DESC, cn DESC, cust_b)
+                  AS rk
+      FROM scored
+    ) WHERE rk <= {LINKPRED_TOPK}
+    ORDER BY cust_a, rk
+"""
+
+
+@query("graph_link_prediction", _LINKPRED_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the customer–supplier
+    bipartite graph: customers sharing ≥{LINKPRED_MIN_COMMON} suppliers
+    score by neighbor-set Jaccard cn/(dₐ+d_b−cn); top-{LINKPRED_TOPK}
+    predicted peers per customer — the people-also-buy-from /
+    entity-resolution candidate generator.
+
+    Scale: the wedge join blocks on the shared supplier (the same
+    oriented-wedge shape as graph_triangle_count), so pairs only
+    materialize through actual co-purchases; degrees broadcast back.
+    Hot hubs (a supplier serving everyone) quadratically inflate the
+    wedge — production caps hub fan-out (drop suppliers above a degree
+    ceiling, the standard hub-cut) which bounds per-key work; the demo
+    bounds the customer universe instead so the oracle stays cheap.
+    """
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.orders.where(F.col("o_custkey") < LINKPRED_MAX_CUST)
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("cust").agg(F.count("*").alias("d"))
+    a, b = edges.alias("a"), edges.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.supp") == F.col("b.supp"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count("*").alias("cn"))
+        .where(F.col("cn") >= LINKPRED_MIN_COMMON)
+    )
+    da = deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("db"))
+    scored = (
+        common.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("cust_a").orderBy(
+        F.desc("jaccard"), F.desc("cn"), F.col("cust_b")
+    )
+    return (
+        scored.select(
+            "cust_a", "cust_b", "cn", "jaccard",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= LINKPRED_TOPK)
+        .orderBy("cust_a", "rk")
     )
