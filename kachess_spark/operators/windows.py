@@ -920,3 +920,79 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------- half-life decay score
+
+DECAY_HALF_LIFE_US = 86_400_000_000  # 1 day
+DECAY_SCALE = 10**12
+DECAY_MAX_K = 40  # beyond 40 half-lives the term underflows the scale
+
+_DECAY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+  FROM events
+),
+anchored AS (
+  SELECT user_id, vi,
+         LEAST((MAX(ts_us) OVER (PARTITION BY user_id) - ts_us)
+               // {DECAY_HALF_LIFE_US}, {DECAY_MAX_K}) AS k
+  FROM ev
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM((vi * {DECAY_SCALE}) // (1 << CAST(k AS INTEGER)))
+            AS BIGINT) AS decayed_score_scaled
+FROM anchored
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("win_decay_score", _DECAY_ORACLE)
+def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement score per user: each event
+    contributes value · 2^−⌊Δt/halflife⌋ relative to the user's LATEST
+    event — the recency-weighted activity metric (recommendation
+    freshness, churn features) — computed ENTIRELY in integers:
+    values fix to 1e-4 ints, the decay is a right-shift-equivalent
+    integer division by 2^k (k capped at {DECAY_MAX_K} where the term
+    underflows the 1e-12 scale), so both engines sum identical BIGINTs
+    in any order.  The usual exp(−λΔt) form is engine-unportable (libm
+    ulp + float sum order); the dyadic half-life ladder is the exact
+    stand-in with the same decay shape.
+
+    Scale: one shuffle on user_id; the per-user max is a frameless
+    window over that partitioning and the final agg reuses it — the
+    single-exchange pattern throughout this module.
+    """
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+    )
+    w = Window.partitionBy("user_id")
+    anchored = ev.select(
+        "user_id",
+        "vi",
+        F.least(
+            F.expr(
+                f"(max(ts_us) OVER (PARTITION BY user_id) - ts_us)"
+                f" div {DECAY_HALF_LIFE_US}"
+            ),
+            F.lit(DECAY_MAX_K).cast("bigint"),
+        ).alias("k"),
+    )
+    return (
+        anchored.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr(f"(vi * {DECAY_SCALE}) div shiftleft(1L, CAST(k AS INT))")
+            )
+            .cast("bigint")
+            .alias("decayed_score_scaled"),
+        )
+        .orderBy("user_id")
+    )
