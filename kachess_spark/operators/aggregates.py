@@ -1556,3 +1556,54 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ----------------------------------------------------------- mode
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT flag, qty, cnt,
+         ROW_NUMBER() OVER (PARTITION BY flag
+                            ORDER BY cnt DESC, qty) AS rn
+  FROM counts
+)
+SELECT flag AS l_returnflag, qty AS mode_qty, cnt AS mode_count
+FROM ranked WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_mode_per_group", _MODE_ORACLE)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode (most frequent value) per group with a
+    deterministic smallest-value tie-break — Spark's ``mode()``
+    aggregate leaves ties implementation-defined, so the portable form
+    is count-then-rank: a two-level aggregation (map-side combined to
+    one row per (group, value)) and a row_number over the tiny count
+    table.  Both shuffles key on the group — the second reuses the
+    first's partitioning (subset-key rule)."""
+    t = Tables(spark, sf_dir)
+    counts = (
+        t.lineitem.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("flag", "qty")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("flag").orderBy(F.desc("cnt"), F.col("qty"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -650,3 +650,51 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    ORDER BY doc_id
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's ``parse_url`` (JVM java.net URI
+    machinery) cross-checked against a pure-regexp DuckDB oracle — two
+    INDEPENDENT parsers agreeing on host/path/query-param extraction,
+    the crawl-pipeline canonicalization primitive (per-domain caps,
+    robots lookups, dedup keys all start here)."""
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return (
+        t.documents.where(F.col("doc_id") < 300)
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias(
+                "lang_param"
+            ),
+        )
+        .orderBy("doc_id")
+    )
