@@ -1033,3 +1033,159 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ BPE merge application
+
+BPE_N_MERGES = 12
+_EOW = "</w>"
+
+
+def bpe_learn(vocab: dict[str, int], n_merges: int = BPE_N_MERGES):
+    """Reference BPE learning (Sennrich-style) over a word→count
+    vocabulary: repeatedly merge the most frequent adjacent symbol pair
+    (count ties break lexicographically — deterministic).  Runs on the
+    AGGREGATED vocab table, which is how BPE is learned in practice
+    (the vocab is millions of types where the corpus is billions of
+    tokens), so driver-side execution is the correct sizing."""
+    words = {w: tuple(w) + (_EOW,) for w in vocab}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            c = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt = {}
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[w] = tuple(out)
+        words = nxt
+    return merges
+
+
+def bpe_encode_word(word: str, merges) -> list[str]:
+    """Apply the learned merges in rank order to one word."""
+    syms = list(word) + [_EOW]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@query("text_bpe_apply")  # tokenization is not SQL-expressible: rows-only
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE: learn {BPE_N_MERGES} merges from the corpus
+    vocabulary (true iterative pair-merge on the aggregated word-count
+    table — the text_bpe_pair_counts round, closed into a loop), then
+    TOKENIZE every document with them.  Output per doc: subword token
+    count, distinct subword types, and compression (chars per BPE
+    token) — the artifact a tokenizer-training pipeline materializes.
+    Correctness is pytest-pinned against an independent per-word
+    re-encoding (rows-only at the driver: merge application is
+    inherently procedural, not SQL).
+
+    Scale: learning consumes only the vocab table (one distributed
+    word-count agg feeds it; vocab ≪ corpus); the merge list (KBs)
+    broadcasts into an Arrow-batched kernel with a per-batch word
+    memo — each distinct word per batch encodes once however often it
+    repeats.  The corpus-sized work (apply) is embarrassingly parallel;
+    the driver never touches a document.
+    """
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    words_col = F.explode(
+        F.filter(
+            F.split(
+                F.lower(F.regexp_replace(F.col("text"), "[^a-z ]", "")), " "
+            ),
+            lambda x: x != "",
+        )
+    ).alias("word")
+    vocab_df = (
+        t.documents.select(words_col).groupBy("word").agg(F.count("*").alias("c"))
+    )
+    vocab = {r["word"]: r["c"] for r in vocab_df.collect()}  # vocab-sized
+    merges = bpe_learn(vocab)
+    b_merges = spark.sparkContext.broadcast(merges)
+
+    def encode_batches(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            n_tok, n_types, n_chars = [], [], []
+            for text in pdf["text"].values:
+                ws = [
+                    w
+                    for w in "".join(
+                        ch for ch in text.lower() if ch.isalpha() or ch == " "
+                    ).split(" ")
+                    if w
+                ]
+                total, types, chars = 0, set(), 0
+                for w in ws:
+                    if w not in memo:
+                        enc = bpe_encode_word(w, b_merges.value)
+                        memo[w] = len(enc)
+                        types.update(enc)
+                    else:
+                        types.update(bpe_encode_word(w, b_merges.value))
+                    total += memo[w]
+                    chars += len(w)
+                n_tok.append(total)
+                n_types.append(len(types))
+                n_chars.append(chars)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": pd.Series(n_tok, dtype="int64"),
+                    "n_token_types": pd.Series(n_types, dtype="int64"),
+                    "chars_per_token": [
+                        round(c / t, 4) if t else 0.0
+                        for c, t in zip(n_chars, n_tok)
+                    ],
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bpe_tokens", LongType()),
+            StructField("n_token_types", LongType()),
+            StructField("chars_per_token", DoubleType()),
+        ]
+    )
+    return (
+        t.documents.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", "text")
+        .mapInPandas(encode_batches, schema=out_schema)
+        .orderBy("doc_id")
+    )

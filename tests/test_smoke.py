@@ -494,3 +494,65 @@ def test_mmr_topk_matches_numpy_reference(spark, sf_dir):
             want[(qid, rank)] = (ids[i], round(float(score[i]), 6))
     assert got == want
     assert len(got) > 0
+
+
+def test_bpe_apply_matches_independent_encoder(spark, sf_dir):
+    """text_bpe_apply vs an INDEPENDENT merge applier (string-replace on
+    a space-joined symbol sequence — different mechanism than the
+    operator's list walker) plus a pandas recomputation of every doc's
+    token total from its words."""
+    from kachess_spark.catalog import load_table
+    from kachess_spark.pipeline.text import (
+        _EOW,
+        bpe_learn,
+        text_bpe_apply,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+
+    def words_of(text):
+        return [
+            w
+            for w in "".join(
+                ch for ch in text.lower() if ch.isalpha() or ch == " "
+            ).split(" ")
+            if w
+        ]
+
+    vocab = {}
+    for t in docs.text:
+        for w in words_of(t):
+            vocab[w] = vocab.get(w, 0) + 1
+    merges = bpe_learn(vocab)
+
+    def encode_replace(word):
+        # independent mechanism: repeated leftmost SINGLE-pair
+        # replacement until fixpoint per merge (vs the operator's
+        # one-pass walker; equivalent semantics, different machinery)
+        syms = list(word) + [_EOW]
+        for a, b in merges:
+            while True:
+                for i in range(len(syms) - 1):
+                    if syms[i] == a and syms[i + 1] == b:
+                        syms[i : i + 2] = [a + b]
+                        break
+                else:
+                    break
+        return syms
+
+    word_len = {w: len(encode_replace(w)) for w in vocab}
+    expected = {
+        int(r.doc_id): sum(word_len[w] for w in words_of(r.text))
+        for r in docs.itertuples()
+    }
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in text_bpe_apply(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # merges must actually compress in aggregate: corpus token total
+    # strictly below the unmerged char+EOW total
+    unmerged = sum((len(w) + 1) * c for w, c in vocab.items())
+    total = sum(word_len[w] * c for w, c in vocab.items())
+    assert len(merges) > 0 and total < unmerged
