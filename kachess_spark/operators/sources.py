@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kachess_spark.catalog import Tables
 from kachess_spark.registry import query
 
 # Per-micro-run ceiling on the driver-collected new-file list: bounds
@@ -534,4 +535,59 @@ def source_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shards.mapInPandas(_tar_member_batches, schema=schema).orderBy(
         "shard", "member"
+    )
+
+
+# ------------------------------------------------ fixed-width source
+
+_FW_WIDTHS = (4, 20, 4)  # nationkey, name, regionkey
+
+
+@query(
+    "source_fixed_width",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingestion (the mainframe/COBOL copybook format
+    ETL still meets): write nation as right-padded fixed columns, read
+    the lines back with ``spark.read.text`` and slice fields by
+    substring offsets — the round trip must reproduce the table
+    exactly.
+
+    Scale: a text scan is splittable by line, so the substring slicing
+    is one narrow codegen projection over arbitrarily many partitions —
+    fixed-width at 100 TB reads exactly like CSV minus the quoting
+    hazard; the offsets come from the copybook (here ``_FW_WIDTHS``),
+    never from data inspection.
+    """
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    t = Tables(spark, sf_dir)
+    w1, w2, w3 = _FW_WIDTHS
+    line = F.concat(
+        F.rpad(F.col("n_nationkey").cast("string"), w1, " "),
+        F.rpad(F.col("n_name"), w2, " "),
+        F.rpad(F.col("n_regionkey").cast("string"), w3, " "),
+    )
+    path = _os.path.join(
+        tempfile.gettempdir(), f"kachess_fw_{_uuid.uuid4().hex[:8]}"
+    )
+    t.nation.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return (
+        raw.select(
+            F.trim(F.substring("value", 1, w1)).cast("bigint").alias(
+                "n_nationkey"
+            ),
+            F.trim(F.substring("value", w1 + 1, w2)).alias("n_name"),
+            F.trim(F.substring("value", w1 + w2 + 1, w3))
+            .cast("bigint")
+            .alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
     )

@@ -996,3 +996,77 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------- z-score standardization
+
+_ZSCORE_ORACLE = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+  FROM events WHERE event_id < 2000
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(vi) AS BIGINT) AS sx,
+         CAST(SUM(vi * vi) AS BIGINT) AS sxx
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type,
+       ROUND(v.vi / 10000.0, 4) AS value,
+       ROUND((v.vi - CAST(s.sx AS DOUBLE) / s.n)
+             / sqrt((CAST(s.sxx AS DOUBLE)
+                     - CAST(s.sx AS DOUBLE) * s.sx / s.n) / (s.n - 1)),
+             6) + 0.0 AS zscore
+FROM v JOIN stats s USING (event_type)
+ORDER BY v.event_id
+"""
+
+
+@query("win_zscore_features", _ZSCORE_ORACLE)
+def win_zscore_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (x−μ)/σ — the feature-scaling
+    staple.  Group moments come from EXACT integer sums (n, Σx, Σx² of
+    1e-4-fixed values), so μ and the sample variance assemble from
+    identical integers in both engines; the per-row z is then one
+    deterministic double expression (sqrt is IEEE correctly-rounded),
+    ROUND 6, −0.0 flushed.
+
+    Scale: the moment table is a map-side-combined aggregation (one
+    tiny row per group) broadcast back — the big side never shuffles.
+    The window-function formulation would shuffle every row; the
+    aggregate-then-broadcast-join shape is the 100 TB way to
+    standardize features.
+    """
+    v = (
+        Tables(spark, sf_dir)
+        .events.where(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+        )
+    )
+    stats = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vi").cast("long").alias("sx"),
+        F.sum(F.col("vi") * F.col("vi")).cast("long").alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        v.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("vi") / 10000.0, 4).alias("value"),
+            (F.round((F.col("vi") - mu) / F.sqrt(var), 6) + 0.0).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_id")
+    )
