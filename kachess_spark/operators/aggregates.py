@@ -1607,3 +1607,75 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------- referential integrity audit
+
+_RI_ORACLE = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk,
+       (SELECT COUNT(*) FROM lineitem) AS n_child,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+ORDER BY fk
+"""
+
+
+@query("profile_referential_integrity", _RI_ORACLE)
+def profile_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: child rows whose
+    key misses the parent table, per relationship — the
+    data-contract check every warehouse load gates on (a nonzero
+    orphan count means a broken upstream join key, found BEFORE a
+    silent inner-join row loss downstream).
+
+    Scale: each orphan count is a LEFT ANTI join — parent sides that
+    fit broadcast (customer, part at dim scale) never shuffle the
+    fact; the orders parent join shuffles once on the key.  The three
+    audits are independent plans unioned at one summary row each, so
+    AQE runs them concurrently.
+    """
+    t = Tables(spark, sf_dir)
+
+    def audit(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        orphans = child.select(F.col(ck)).join(
+            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("n_child"),
+        ).crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+
+    out = (
+        audit(
+            "lineitem.l_orderkey -> orders",
+            t.lineitem, "l_orderkey", t.orders, "o_orderkey",
+        )
+        .unionByName(
+            audit(
+                "orders.o_custkey -> customer",
+                t.orders, "o_custkey", t.customer, "c_custkey",
+            )
+        )
+        .unionByName(
+            audit(
+                "lineitem.l_partkey -> part",
+                t.lineitem, "l_partkey", t.part, "p_partkey",
+            )
+        )
+    )
+    return out.select("fk", "n_child", "n_orphans").orderBy("fk")

@@ -1070,3 +1070,86 @@ def win_zscore_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------- period-over-period change
+
+_POP_ORACLE = """
+WITH monthly AS (
+  SELECT n.n_name AS nation,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE n.n_regionkey = 1
+  GROUP BY 1, 2
+)
+SELECT nation, month, rev_cents,
+       LAG(rev_cents) OVER w AS prev_rev_cents,
+       ROUND(CASE WHEN LAG(rev_cents) OVER w IS NULL
+                    OR LAG(rev_cents) OVER w = 0 THEN NULL
+                  ELSE 100.0 * (rev_cents - LAG(rev_cents) OVER w)
+                        / LAG(rev_cents) OVER w END, 4) AS mom_pct
+FROM monthly
+WINDOW w AS (PARTITION BY nation ORDER BY month)
+ORDER BY nation, month
+"""
+
+
+@query("win_period_over_period", _POP_ORACLE)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per nation (region-1 slice) —
+    the BI staple: time-grain aggregate, LAG to the prior period,
+    percent delta.  Revenue sums in exact integer cents so the
+    window's input is engine-identical; the percent is one
+    deterministic double expression.
+
+    Scale: the monthly rollup collapses the fact table to
+    (nation × month) rows BEFORE any window runs — the LAG operates on
+    a metadata-sized frame.  Aggregate-then-window is the order that
+    survives 100 TB; window-then-aggregate would shuffle raw rows.
+    """
+    t = Tables(spark, sf_dir)
+    monthly = (
+        t.orders.join(
+            F.broadcast(
+                t.customer.select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t.nation.where(F.col("n_regionkey") == 1).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "nation",
+        "month",
+        "rev_cents",
+        prev.alias("prev_rev_cents"),
+        F.round(
+            F.when(prev.isNull() | (prev == 0), F.lit(None)).otherwise(
+                100.0 * (F.col("rev_cents") - prev) / prev
+            ),
+            4,
+        ).alias("mom_pct"),
+    ).orderBy("nation", "month")
