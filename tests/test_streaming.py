@@ -369,3 +369,66 @@ def test_watermark_audit_consistent_with_replay(spark, sf_dir):
 
     got = stream_watermark_audit(spark, sf_dir)
     assert got.agg({"n_late": "sum"}).collect()[0][0] == n_late
+
+
+def test_streaming_checkpoint_resume_no_reprocessing(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: drain half the input files, let the
+    query terminate, land the other half, RESTART from the same
+    checkpoint — the second run must process only the new files (no
+    re-emission) and the final sink must equal a batch read of
+    everything."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+
+    def write_file(idx):
+        tbl = pa.table(
+            {
+                "k": pa.array(range(idx * 10, idx * 10 + 10), pa.int64()),
+                "v": pa.array([idx] * 10, pa.int64()),
+            }
+        )
+        p = str(src / f"f{idx:03d}.parquet")
+        pq.write_table(tbl, p)
+        t = 1_700_000_000 + idx
+        os.utime(p, (t, t))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return [p["numInputRows"] for p in q.recentProgress]
+
+    for i in range(5):
+        write_file(i)
+    first = run_once()
+    assert sum(first) == 50
+
+    for i in range(5, 10):
+        write_file(i)
+    second = run_once()
+    # restart resumes from the checkpoint: ONLY the 5 new files flow
+    assert sum(second) == 50
+
+    got = spark.read.parquet(sink)
+    assert got.count() == 100  # no duplicates, nothing lost
+    assert got.select(F.sum("k")).collect()[0][0] == sum(range(100))
