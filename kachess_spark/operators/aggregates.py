@@ -1679,3 +1679,92 @@ def profile_referential_integrity(
         )
     )
     return out.select("fk", "n_child", "n_orphans").orderBy("fk")
+
+
+# ------------------------------------------------- Gini concentration
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT n.n_regionkey AS region, o.o_custkey,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT region, cents,
+         ROW_NUMBER() OVER (PARTITION BY region
+                            ORDER BY cents, o_custkey) AS r,
+         COUNT(*) OVER (PARTITION BY region) AS n
+  FROM spend
+)
+SELECT region,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM((2 * r - n - 1) * cents) AS DOUBLE)
+             / (MAX(n) * CAST(SUM(cents) AS DOUBLE)), 6) AS gini
+FROM ranked
+GROUP BY region
+ORDER BY region
+"""
+
+
+@query("agg_gini_concentration", _GINI_ORACLE)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration per region —
+    the inequality/concentration metric (revenue dependence, data-
+    source domination) in its exact rank formulation
+    G = Σ(2r−n−1)·x / (n·Σx) over ascending-sorted spend.
+
+    Exactness: spend fixes to integer cents, ranks are integers, so
+    the numerator and Σx are exact BIGINT sums in any order; one
+    double division at the end.
+
+    Scale: per-customer spend is a map-side-combined aggregation; the
+    rank window shuffles once on region (partition-local sort).  A
+    global Gini at 100 TB swaps the single-partition rank for the
+    two-phase distributed prefix-rank used by pipeline_sequence_pack —
+    the per-region form here is already partition-parallel.
+    """
+    t = Tables(spark, sf_dir)
+    spend = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_regionkey").alias("region"), "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("cents", "o_custkey")
+    wall = Window.partitionBy("region")
+    ranked = spend.select(
+        "region",
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wall).alias("n"),
+    )
+    return (
+        ranked.groupBy("region")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(
+                    (2 * F.col("r") - F.col("n") - 1) * F.col("cents")
+                ).cast("double")
+                / (F.max("n") * F.sum("cents").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("region")
+    )

@@ -1189,3 +1189,73 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(encode_batches, schema=out_schema)
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- lang-ID confusion matrix
+
+_LANG_GUESS_SQL = f"""
+    CASE WHEN {_oracle_lang_score('en')} >= {_oracle_lang_score('de')}
+          AND {_oracle_lang_score('en')} >= {_oracle_lang_score('fr')}
+          AND {_oracle_lang_score('en')} >= {_oracle_lang_score('es')}
+          AND {_oracle_lang_score('en')} > 0 THEN 'en'
+         WHEN {_oracle_lang_score('de')} >= {_oracle_lang_score('fr')}
+          AND {_oracle_lang_score('de')} >= {_oracle_lang_score('es')}
+          AND {_oracle_lang_score('de')} > 0 THEN 'de'
+         WHEN {_oracle_lang_score('fr')} >= {_oracle_lang_score('es')}
+          AND {_oracle_lang_score('fr')} > 0 THEN 'fr'
+         WHEN {_oracle_lang_score('es')} > 0 THEN 'es'
+         ELSE 'unknown' END
+"""
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH guessed AS (
+      SELECT lang AS label, {_LANG_GUESS_SQL} AS guess FROM documents
+    )
+    SELECT label, guess, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY label), 6) AS frac
+    FROM guessed
+    GROUP BY label, guess
+    ORDER BY label, guess
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the stopword language
+    identifier against the labeled ``lang`` column: (label, guess)
+    counts with per-label recall fractions — the model-eval artifact a
+    curation pipeline reports before trusting a filter (here it also
+    quantifies the heuristic's en-bias on zh docs, which have no marker
+    set).
+
+    Scale: guessing is one codegen expression over the text (no
+    tokenize shuffle — the length-arithmetic trick from text_lang_id);
+    the matrix is a tiny two-key aggregation with a frameless window
+    over its own result.
+    """
+    t = Tables(spark, sf_dir)
+    text = F.col("text")
+    en, de = _lang_score(text, "en"), _lang_score(text, "de")
+    fr, es = _lang_score(text, "fr"), _lang_score(text, "es")
+    guess = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    guessed = t.documents.select(
+        F.col("lang").alias("label"), guess.alias("guess")
+    )
+    counts = guessed.groupBy("label", "guess").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("label")
+    return counts.select(
+        "label",
+        "guess",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w), 6
+        ).alias("frac"),
+    ).orderBy("label", "guess")
