@@ -1768,3 +1768,53 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ------------------------------------------------- Benford digit audit
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT d,
+       COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+         AS observed_frac,
+       ROUND(log10(1.0 + 1.0 / d), 6) AS benford_frac
+FROM digits
+GROUP BY d
+ORDER BY d
+"""
+
+
+@query("agg_benford_first_digit", _BENFORD_ORACLE)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) distribution of order totals next to the
+    theoretical log10(1+1/d) curve — the data-forensics screen for
+    fabricated or truncated numeric columns (synthetic uniform data
+    deviates loudly, which is itself the finding here).
+
+    Scale: the digit is string-head arithmetic in codegen; the audit
+    reduces to nine rows with map-side combine — constant output at
+    any corpus size.
+    """
+    t = Tables(spark, sf_dir)
+    digits = t.orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        "d",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "observed_frac"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_frac"),
+    ).orderBy("d")

@@ -368,3 +368,87 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------- as-of join with tolerance
+
+ASOF_TOLERANCE_S = 3600  # matches farther back than 1h are discarded
+
+_ASOF_TOL_ORACLE = f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    logins AS (
+      SELECT user_id, ts, event_id AS login_event_id FROM events
+      WHERE event_type = 'login'
+    ),
+    matched AS (
+      SELECT p.event_id, p.user_id, l.login_event_id,
+             floor(epoch(p.ts)) - floor(epoch(l.ts)) AS gap_s
+      FROM purchases p
+      ASOF LEFT JOIN logins l
+        ON p.user_id = l.user_id AND p.ts >= l.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN gap_s <= {ASOF_TOLERANCE_S}
+                THEN login_event_id END AS login_event_id,
+           CAST(CASE WHEN gap_s <= {ASOF_TOLERANCE_S}
+                THEN gap_s END AS BIGINT) AS secs_since_login
+    FROM matched
+    ORDER BY event_id
+"""
+
+
+@query("join_asof_tolerance", _ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof's
+    ``tolerance=``): the most recent login at-or-before each purchase,
+    but matches staler than {ASOF_TOLERANCE_S}s are discarded to NULL —
+    the freshness contract sensor fusion and feature-store lookups
+    need (a day-old "latest" feature is usually worse than none).
+
+    Same union+window single-shuffle plan as join_asof_events; the
+    tolerance is a post-carry filter, so it adds zero shuffle and the
+    carried state stays one row.  The oracle is DuckDB's native ASOF
+    plus the same staleness CASE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("login_event_id"),
+        F.lit(None).cast("timestamp").alias("login_ts"),
+    )
+    right = ev.where(F.col("event_type") == "login").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id", "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("login_event_id"),
+        F.col("ts").alias("login_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "login_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        left.unionByName(right)
+        .withColumn(
+            "asof_login_id", F.last("login_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "asof_login_ts", F.last("login_ts", ignorenulls=True).over(w)
+        )
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("asof_login_ts")
+    fresh = gap <= ASOF_TOLERANCE_S
+    return (
+        carried.where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(fresh, F.col("asof_login_id")).alias("login_event_id"),
+            F.when(fresh, gap).cast("bigint").alias("secs_since_login"),
+        )
+        .orderBy("event_id")
+    )
