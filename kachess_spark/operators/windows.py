@@ -1153,3 +1153,74 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mom_pct"),
     ).orderBy("nation", "month")
+
+
+# ---------------------------------------------------- maximum drawdown
+
+_DRAWDOWN_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+  FROM events
+),
+bal AS (
+  SELECT user_id, ts, event_id,
+         SUM(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS bal
+  FROM v
+),
+peaked AS (
+  SELECT user_id, bal,
+         MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM bal
+)
+SELECT user_id,
+       CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_scaled,
+       CAST(MAX(peak) AS BIGINT) AS peak_scaled
+FROM peaked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("win_drawdown_max", _DRAWDOWN_ORACLE)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative value stream: largest
+    peak-to-trough drop of the running balance — the risk metric
+    (finance) and regression detector (any monotone KPI) in one shape.
+    Exact: values fix to 1e-4 integers, so running sum, running peak,
+    and the drawdown max are all BIGINT — engine-identical.
+
+    Scale: ONE shuffle (hash on user_id); the running sum, the running
+    peak over it (layered selects — same sort, no re-exchange), and
+    the final per-user max are all streaming frames with constant
+    state per partition.
+    """
+    v = Tables(spark, sf_dir).events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = v.select(
+        "user_id", "ts", "event_id", F.sum("vi").over(w).alias("bal")
+    )
+    peaked = bal.select(
+        "user_id", "bal", F.max("bal").over(w).alias("peak")
+    )
+    return (
+        peaked.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("bal"))
+            .cast("bigint")
+            .alias("max_drawdown_scaled"),
+            F.max("peak").cast("bigint").alias("peak_scaled"),
+        )
+        .orderBy("user_id")
+    )
