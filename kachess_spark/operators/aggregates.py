@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kachess_spark.catalog import Tables, register_views
-from kachess_spark.operators._util import DEC, davg, dsum, money
+from kachess_spark.operators._util import _SCALE, DEC, davg, dsum, money
 from kachess_spark.registry import query
 
 
@@ -1818,3 +1818,238 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_frac"),
     ).orderBy("d")
+
+
+# ------------------------------------------- Shannon entropy per group
+
+_ENTROPY_ORACLE = """
+    WITH c AS (
+      SELECT source, lang, COUNT(*)::BIGINT AS n
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           SUM(n)::BIGINT  AS n_docs,
+           COUNT(*)::BIGINT AS n_langs,
+           ROUND(ln(CAST(SUM(n) AS DOUBLE))
+                 - CAST(SUM(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                                 AS DECIMAL(38,12))) AS DOUBLE)
+                   / SUM(n), 6) AS lang_entropy
+    FROM c GROUP BY source ORDER BY source
+"""
+
+
+@query("agg_entropy_per_group", _ENTROPY_ORACLE)
+def agg_entropy_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's language mix — the
+    mixture-diversity monitor a training-data pipeline runs per shard
+    (entropy collapse = a crawler stuck on one language).
+
+    Uses the identity H = ln(N) - Σ c·ln(c) / N so entropy comes from
+    integer counts plus one log per distinct (source, lang) cell; each
+    c·ln(c) term is snapped to DECIMAL(38,12) before summation so the
+    reduce is exact and combine-order-independent (same rule as
+    operators/_util.py — never aggregate raw doubles).
+
+    Scale: two hash aggregates over (source, lang) — the shuffle carries
+    one row per distinct cell, not per document.
+    """
+    t = Tables(spark, sf_dir)
+    cells = t.documents.groupBy("source", "lang").agg(
+        F.count("*").alias("n")
+    )
+    term = (
+        F.col("n").cast("double") * F.log(F.col("n").cast("double"))
+    ).cast("decimal(38,12)")
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.sum(term).alias("_tsum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.round(
+                F.log(F.col("n_docs").cast("double"))
+                - F.col("_tsum").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- Welch two-sample t-test
+
+_WELCH_ORACLE = """
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 10000 AS sx_f,
+             CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                  FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 10000 AS sx_o,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sq_f,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4)))
+                  FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sq_o
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_f, n_o,
+           ROUND(sx_f / n_f - sx_o / n_o, 6) AS mean_diff,
+           ROUND((sx_f / n_f - sx_o / n_o)
+                 / sqrt((sq_f - sx_f * sx_f / n_f) / (n_f - 1) / n_f
+                        + (sq_o - sx_o * sx_o / n_o) / (n_o - 1) / n_o),
+                 6) AS t_welch
+    FROM s ORDER BY o_orderpriority
+"""
+
+
+@query("agg_welch_ttest", _WELCH_ORACLE)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (unequal variances) comparing
+    finished vs open order totals inside each priority class — the
+    A/B-test primitive computed as a single grouped pass.
+
+    Determinism: both samples' first and second moments come from exact
+    accumulators (fixed-point bigint for Σx, DECIMAL(38,4) for Σx² —
+    o_totalprice has 2 decimals, so x² is an exact 4-decimal double
+    below 2^53 and the cast is lossless), then mean/variance/t are a
+    fixed dag of IEEE double ops — identical in any engine, any combine
+    order.
+
+    Scale: conditional aggregation, not two scans — one hash aggregate
+    with map-side combine; output is one row per priority class.
+    """
+    t = Tables(spark, sf_dir)
+    x = F.col("o_totalprice")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+
+    def moments(cond, tag):
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+            (
+                F.sum(F.when(cond, money(x)).cast("decimal(38,0)"))
+                .cast("double")
+                / _SCALE
+            ).alias(f"sx_{tag}"),
+            F.sum(F.when(cond, (x * x).cast("decimal(38,4)")))
+            .cast("double")
+            .alias(f"sq_{tag}"),
+        ]
+
+    s = t.orders.groupBy("o_orderpriority").agg(
+        *moments(is_f, "f"), *moments(is_o, "o")
+    )
+    m_f = F.col("sx_f") / F.col("n_f")
+    m_o = F.col("sx_o") / F.col("n_o")
+    v_f = (F.col("sq_f") - F.col("sx_f") * F.col("sx_f") / F.col("n_f")) / (
+        F.col("n_f") - 1
+    )
+    v_o = (F.col("sq_o") - F.col("sx_o") * F.col("sx_o") / F.col("n_o")) / (
+        F.col("n_o") - 1
+    )
+    return s.select(
+        "o_orderpriority",
+        "n_f",
+        "n_o",
+        F.round(m_f - m_o, 6).alias("mean_diff"),
+        F.round(
+            (m_f - m_o)
+            / F.sqrt(v_f / F.col("n_f") + v_o / F.col("n_o")),
+            6,
+        ).alias("t_welch"),
+    ).orderBy("o_orderpriority")
+
+
+# ------------------------------------------- market-basket brand lift
+
+_BASKET_LIFT_ORACLE = """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+    m AS (SELECT brand, COUNT(*) AS n_b FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) * tot.n_orders
+                 / (ma.n_b * mb.n_b), 6) AS lift
+    FROM pairs
+    JOIN m ma ON ma.brand = brand_a
+    JOIN m mb ON mb.brand = brand_b
+    CROSS JOIN tot
+    WHERE n_ab >= 5
+    ORDER BY brand_a, brand_b
+"""
+
+
+@query("agg_basket_brand_lift", _BASKET_LIFT_ORACLE)
+def agg_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift between part brands co-purchased in one
+    order: lift(a,b) = P(a,b) / (P(a)·P(b)) — the market-basket screen,
+    computed relationally (no candidate enumeration).
+
+    Scale: the only data-sized shuffle is the distinct (order, brand)
+    self-join, co-partitioned on orderkey with a per-order fan-out
+    bounded by basket size (≤7 lineitems/order in TPC-H), so the pair
+    explosion is O(rows · basket), not O(rows²).  Brand marginals and
+    the order total are broadcast (25 brands, 1 row).  Lift itself is
+    integer counts and one IEEE division — deterministic.
+    """
+    t = Tables(spark, sf_dir)
+    ob = (
+        t.lineitem.join(
+            F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = ob.select(F.countDistinct("okey").alias("n_orders"))
+    marg = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnsRenamed({"brand": "brand_a", "n_b": "na"})),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.withColumnsRenamed({"brand": "brand_b", "n_b": "nb"})),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

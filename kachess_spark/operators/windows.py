@@ -1224,3 +1224,62 @@ def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------- longest consecutive streak
+
+_STREAK_ORACLE = """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+      SELECT user_id,
+             CAST(floor(epoch(day) / 86400) AS BIGINT)
+             - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(len)::BIGINT   AS longest_streak,
+           COUNT(*)::BIGINT   AS n_streaks,
+           SUM(len)::BIGINT   AS active_days
+    FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("win_streak_longest", _STREAK_ORACLE)
+def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the classic
+    gaps-and-islands trick (day − row_number() is constant within a
+    consecutive run), the engagement-streak metric next to
+    agg_gaps_islands_ranges' value-range flavor.
+
+    Scale: one shuffle on user_id serves the distinct, the window and
+    both group-bys (same partitioning reused); within a user the data
+    is one row per active day.  Epoch-day arithmetic keeps the group
+    key integral — no date-interval types cross the engine boundary.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = r.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )

@@ -1129,3 +1129,83 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "known",
         F.round(interp, 6).alias("interp_value"),
     ).orderBy("event_type", "ts_us", "event_id")
+
+
+# ------------------------------- stream-stream LEFT OUTER interval join
+
+_OUTER_JOIN_ORACLE = """
+SELECT l.event_id AS click_id, p.event_id AS purchase_id, l.user_id,
+       (floor(epoch(p.ts)) - floor(epoch(l.ts)))::BIGINT AS secs_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = l.user_id
+ AND p.ts >= l.ts AND p.ts < l.ts + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+"""
+
+
+@query("stream_outer_join", _OUTER_JOIN_ORACLE)
+def outer_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join: every
+    click, attributed to same-user purchases in the following hour —
+    unconverted clicks survive with NULL purchase columns (the
+    conversion-attribution table, complement of stream_interval_join's
+    inner flavor)."""
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.where(F.col("event_type") == "click").alias("l")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    return (
+        l.join(
+            p,
+            (F.col("p.user_id") == F.col("l.user_id"))
+            & (F.col("p.ts") >= F.col("l.ts"))
+            & (F.col("p.ts") < F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("l.user_id").alias("user_id"),
+            (F.unix_timestamp("p.ts") - F.unix_timestamp("l.ts")).alias(
+                "secs_to_purchase"
+            ),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks.  Matched pairs
+    emit as soon as both rows arrive; a click's NULL-extended row emits
+    only once the watermark proves no in-window purchase can still
+    arrive (l.ts + 1h < watermark) — so the stream's output is the
+    batch twin's rows, with the newest unconverted clicks (those whose
+    join window the final watermark never passed) withheld in state for
+    the next run.  tests/test_streaming.py asserts exactly that
+    relationship; state per side stays bounded to the window + delay.
+    """
+    ev = stream_events(spark, sf_dir)
+    l = (
+        ev.where(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .alias("l")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .alias("p")
+    )
+    return l.join(
+        p,
+        (F.col("p.user_id") == F.col("l.user_id"))
+        & (F.col("p.ts") >= F.col("l.ts"))
+        & (F.col("p.ts") < F.col("l.ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_timestamp("p.ts") - F.unix_timestamp("l.ts")).alias(
+            "secs_to_purchase"
+        ),
+    )

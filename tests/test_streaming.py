@@ -432,3 +432,53 @@ def test_streaming_checkpoint_resume_no_reprocessing(spark, sf_dir, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 100  # no duplicates, nothing lost
     assert got.select(F.sum("k")).collect()[0][0] == sum(range(100))
+
+
+def test_streaming_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: matched pairs must equal
+    the batch twin's exactly; NULL-extended rows may only be withheld
+    for clicks whose 1h window + 2h watermark delay the final watermark
+    never passed (they stay in state for the next run) — every click
+    older than that must have been emitted."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming.windows import (
+        outer_join_batch,
+        streaming_outer_join,
+    )
+
+    got = _run_stream(spark, streaming_outer_join(spark, sf_dir), "append")
+    want = outer_join_batch(spark, sf_dir)
+
+    got_matched = sorted(
+        map(tuple, got.where(F.col("purchase_id").isNotNull()).collect())
+    )
+    want_matched = sorted(
+        map(tuple, want.where(F.col("purchase_id").isNotNull()).collect())
+    )
+    assert got_matched == want_matched
+
+    got_nulls = {
+        r.click_id
+        for r in got.where(F.col("purchase_id").isNull()).collect()
+    }
+    want_nulls = {
+        r.click_id
+        for r in want.where(F.col("purchase_id").isNull()).collect()
+    }
+    assert got_nulls <= want_nulls
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    must_emit = {
+        r.event_id
+        for r in ev.where(
+            (F.col("event_type") == "click")
+            & (
+                F.col("ts") + F.expr("INTERVAL 3 HOURS")
+                < F.lit(max_ts)
+            )
+        ).collect()
+    } & want_nulls
+    assert must_emit <= got_nulls
