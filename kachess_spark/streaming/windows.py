@@ -1181,8 +1181,13 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive (l.ts + 1h < watermark) — so the stream's output is the
     batch twin's rows, with the newest unconverted clicks (those whose
     join window the final watermark never passed) withheld in state for
-    the next run.  tests/test_streaming.py asserts exactly that
-    relationship; state per side stays bounded to the window + delay.
+    the next run.  The watermark's basis is ``min(max click ts, max
+    purchase ts)`` — Spark takes the MIN across all EventTimeWatermark
+    nodes, and each side's node only sees its own filtered stream — so
+    the newest click can never be evicted within the run that saw it
+    (it defines its side's watermark).  tests/test_streaming.py asserts
+    exactly that relationship; state per side stays bounded to the
+    window + delay.
     """
     ev = stream_events(spark, sf_dir)
     l = (

@@ -439,7 +439,15 @@ def test_streaming_outer_join(spark, sf_dir):
     the batch twin's exactly; NULL-extended rows may only be withheld
     for clicks whose 1h window + 2h watermark delay the final watermark
     never passed (they stay in state for the next run) — every click
-    older than that must have been emitted."""
+    older than that must have been emitted.
+
+    The final watermark's basis is ``min(max click ts, max purchase ts)``
+    — Spark takes the MIN across both sides' EventTimeWatermark nodes,
+    each of which only sees its own filtered stream — NOT the max ts of
+    the whole events table.  (Round-4 red: the old bound used the
+    overall max, which a late purchase dominates; the newest click then
+    looked overdue even though it *defines* the click-side watermark and
+    can never be evicted by it.)"""
     from pyspark.sql import functions as F
 
     from kachess_spark.catalog import load_table
@@ -470,15 +478,25 @@ def test_streaming_outer_join(spark, sf_dir):
     assert got_nulls <= want_nulls
 
     ev = load_table(spark, sf_dir, "events")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm_basis = min(
+        ev.where(F.col("event_type") == "click")
+        .agg(F.max("ts"))
+        .collect()[0][0],
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.max("ts"))
+        .collect()[0][0],
+    )
+    # final watermark = wm_basis - 2h delay; a click's NULL row emits
+    # once l.ts + 1h window < watermark, i.e. l.ts + 3h < wm_basis
     must_emit = {
         r.event_id
         for r in ev.where(
             (F.col("event_type") == "click")
             & (
                 F.col("ts") + F.expr("INTERVAL 3 HOURS")
-                < F.lit(max_ts)
+                < F.lit(wm_basis)
             )
         ).collect()
     } & want_nulls
     assert must_emit <= got_nulls
+    assert len(must_emit) > 0  # the contract bound is non-vacuous
