@@ -562,10 +562,19 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width at 100 TB reads exactly like CSV minus the quoting
     hazard; the offsets come from the copybook (here ``_FW_WIDTHS``),
     never from data inspection.
+
+    The round-trip staging dir is deterministic per process (overwrite
+    mode — repeat invocations reuse it, nothing accumulates) and is
+    removed at interpreter exit.  Writing to the driver's local temp
+    dir and reading it back assumes driver-and-executor-shared storage,
+    which holds in local mode only; on a real cluster the staging path
+    must be shared storage (HDFS/object store) — in this harness the
+    local temp dir IS that shared filesystem.
     """
+    import atexit as _atexit
     import os as _os
+    import shutil as _shutil
     import tempfile
-    import uuid as _uuid
 
     t = Tables(spark, sf_dir)
     w1, w2, w3 = _FW_WIDTHS
@@ -575,8 +584,9 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad(F.col("n_regionkey").cast("string"), w3, " "),
     )
     path = _os.path.join(
-        tempfile.gettempdir(), f"kachess_fw_{_uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(), f"kachess_fw_{_os.getpid()}"
     )
+    _atexit.register(_shutil.rmtree, path, ignore_errors=True)
     t.nation.select(line.alias("value")).write.mode("overwrite").text(path)
     raw = spark.read.text(path)
     return (

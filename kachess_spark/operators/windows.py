@@ -925,8 +925,13 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------- half-life decay score
 
 DECAY_HALF_LIFE_US = 86_400_000_000  # 1 day
-DECAY_SCALE = 10**12
-DECAY_MAX_K = 40  # beyond 40 half-lives the term underflows the scale
+# 1e-9 score resolution: vi (1e-4-fixed, |value| < ~9.2e5) times the
+# scale stays within int64 with 1880x headroom — the old 1e12 scale sat
+# only 1.9x below int64 max and a value above ~922 would hard-fail
+# under ANSI mode (round-4 ADVICE).  The per-user SUM then accumulates
+# in DECIMAL(38,0) so event-count growth cannot overflow either.
+DECAY_SCALE = 10**9
+DECAY_MAX_K = 30  # beyond 30 half-lives the term underflows the 1e-9 scale
 
 _DECAY_ORACLE = f"""
 WITH ev AS (
@@ -957,11 +962,14 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     event — the recency-weighted activity metric (recommendation
     freshness, churn features) — computed ENTIRELY in integers:
     values fix to 1e-4 ints, the decay is a right-shift-equivalent
-    integer division by 2^k (k capped at {DECAY_MAX_K} where the term
-    underflows the 1e-12 scale), so both engines sum identical BIGINTs
-    in any order.  The usual exp(−λΔt) form is engine-unportable (libm
-    ulp + float sum order); the dyadic half-life ladder is the exact
-    stand-in with the same decay shape.
+    integer division by 2^k (k capped where the term underflows the
+    1e-9 scale), so both engines sum identical integers in any order —
+    the per-row product is bounded 1880x below int64 max for |value|
+    up to ~9.2e5, and the sum is widened through DECIMAL(38,0) (the
+    _util.py scaled-sum pattern) so row-count growth cannot overflow.
+    The usual exp(−λΔt) form is engine-unportable (libm ulp + float
+    sum order); the dyadic half-life ladder is the exact stand-in with
+    the same decay shape.
 
     Scale: one shuffle on user_id; the per-user max is a frameless
     window over that partitioning and the final agg reuses it — the
@@ -989,7 +997,11 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(
-                F.expr(f"(vi * {DECAY_SCALE}) div shiftleft(1L, CAST(k AS INT))")
+                F.expr(
+                    f"CAST((vi * {DECAY_SCALE})"
+                    f" div shiftleft(1L, CAST(k AS INT))"
+                    f" AS DECIMAL(38,0))"
+                )
             )
             .cast("bigint")
             .alias("decayed_score_scaled"),
@@ -1160,7 +1172,10 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRAWDOWN_ORACLE = """
 WITH v AS (
   SELECT user_id, ts, event_id,
-         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+         CASE WHEN event_id % 2 = 1
+              THEN -CAST(floor(value * 10000 + 0.5) AS BIGINT)
+              ELSE  CAST(floor(value * 10000 + 0.5) AS BIGINT)
+         END AS vi
   FROM events
 ),
 bal AS (
@@ -1189,6 +1204,11 @@ def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of each user's cumulative value stream: largest
     peak-to-trough drop of the running balance — the risk metric
     (finance) and regression detector (any monotone KPI) in one shape.
+    Events alternate sign by event_id parity (odd = outflow) so the
+    balance genuinely rises AND falls — all-positive inputs made every
+    drawdown 0 and the parity check vacuous (round-4 ADVICE); the
+    signed stream exercises the peak/trough path for real, and
+    tests/test_windows_extra.py pins a hand-built nonzero case.
     Exact: values fix to 1e-4 integers, so running sum, running peak,
     and the drawdown max are all BIGINT — engine-identical.
 
@@ -1201,7 +1221,11 @@ def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+        F.expr(
+            "CASE WHEN event_id % 2 = 1"
+            " THEN -CAST(floor(value * 10000 + 0.5) AS BIGINT)"
+            " ELSE  CAST(floor(value * 10000 + 0.5) AS BIGINT) END"
+        ).alias("vi"),
     )
     w = (
         Window.partitionBy("user_id")

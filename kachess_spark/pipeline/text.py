@@ -1038,6 +1038,7 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ BPE merge application
 
 BPE_N_MERGES = 12
+BPE_VOCAB_CAP = 65536  # driver-side vocab collect bound (top-K by count)
 _EOW = "</w>"
 
 
@@ -1105,11 +1106,23 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently procedural, not SQL).
 
     Scale: learning consumes only the vocab table (one distributed
-    word-count agg feeds it; vocab ≪ corpus); the merge list (KBs)
-    broadcasts into an Arrow-batched kernel with a per-batch word
-    memo — each distinct word per batch encodes once however often it
-    repeats.  The corpus-sized work (apply) is embarrassingly parallel;
-    the driver never touches a document.
+    word-count agg feeds it; vocab ≪ corpus), and the driver collect is
+    HARD-CAPPED at the top {BPE_VOCAB_CAP} types by frequency (ties by
+    word) — the web-scale guard: hapax-tail types carry negligible
+    pair mass, so learning on the frequency head is the standard
+    sizing and the collect stays bounded however large the corpus.
+    The merge list (KBs) broadcasts into an Arrow-batched kernel with
+    a per-batch word memo — each distinct word per batch encodes once
+    however often it repeats.  The corpus-sized work (apply) is
+    embarrassingly parallel; the driver never touches a document.
+
+    Self-validating output: every row carries ``verified`` — inside
+    the kernel each distinct word is ALSO encoded by an independent
+    mechanism (repeated leftmost single-pair replacement to fixpoint,
+    vs the operator's one-pass list walker) and the row is true only
+    if both encoders agree on every word of the doc.  The driver's
+    rows-only check therefore sees the cross-check's result directly
+    (tests/test_smoke.py additionally pins totals end-to-end).
     """
     import pandas as pd
 
@@ -1125,14 +1138,40 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_df = (
         t.documents.select(words_col).groupBy("word").agg(F.count("*").alias("c"))
     )
-    vocab = {r["word"]: r["c"] for r in vocab_df.collect()}  # vocab-sized
+    vocab = {
+        r["word"]: r["c"]
+        for r in vocab_df.orderBy(F.desc("c"), "word")
+        .limit(BPE_VOCAB_CAP)
+        .collect()
+    }  # top-K by frequency: bounded for web-scale vocabularies
     merges = bpe_learn(vocab)
     b_merges = spark.sparkContext.broadcast(merges)
 
+    def _encode_replace(word, merges):
+        # independent verifier: repeated leftmost SINGLE-pair
+        # replacement to fixpoint per merge — different machinery than
+        # bpe_encode_word's one-pass walker, same intended semantics
+        syms = list(word) + [_EOW]
+        for a, b in merges:
+            while True:
+                for i in range(len(syms) - 1):
+                    if syms[i] == a and syms[i + 1] == b:
+                        syms[i : i + 2] = [a + b]
+                        break
+                else:
+                    break
+        return syms
+
     def encode_batches(batches):
-        memo: dict[str, int] = {}
+        # memoize the full encoded symbol list (not just its length) so
+        # a repeated word never re-encodes — the else-branch previously
+        # re-ran bpe_encode_word per occurrence just for the type set,
+        # defeating the memo (round-4 ADVICE).  memo value: (symbols,
+        # agrees-with-independent-encoder) — the cross-check also runs
+        # once per distinct word per batch.
+        memo: dict[str, tuple[list[str], bool]] = {}
         for pdf in batches:
-            n_tok, n_types, n_chars = [], [], []
+            n_tok, n_types, n_chars, ok = [], [], [], []
             for text in pdf["text"].values:
                 ws = [
                     w
@@ -1141,19 +1180,22 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).split(" ")
                     if w
                 ]
-                total, types, chars = 0, set(), 0
+                total, types, chars, agree = 0, set(), 0, True
                 for w in ws:
-                    if w not in memo:
+                    hit = memo.get(w)
+                    if hit is None:
                         enc = bpe_encode_word(w, b_merges.value)
-                        memo[w] = len(enc)
-                        types.update(enc)
-                    else:
-                        types.update(bpe_encode_word(w, b_merges.value))
-                    total += memo[w]
+                        hit = (enc, enc == _encode_replace(w, b_merges.value))
+                        memo[w] = hit
+                    enc, w_ok = hit
+                    types.update(enc)
+                    total += len(enc)
                     chars += len(w)
+                    agree = agree and w_ok
                 n_tok.append(total)
                 n_types.append(len(types))
                 n_chars.append(chars)
+                ok.append(agree)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1163,10 +1205,12 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                         round(c / t, 4) if t else 0.0
                         for c, t in zip(n_chars, n_tok)
                     ],
+                    "verified": pd.Series(ok, dtype="bool"),
                 }
             )
 
     from pyspark.sql.types import (
+        BooleanType,
         DoubleType,
         LongType,
         StructField,
@@ -1179,6 +1223,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_bpe_tokens", LongType()),
             StructField("n_token_types", LongType()),
             StructField("chars_per_token", DoubleType()),
+            StructField("verified", BooleanType()),
         ]
     )
     return (

@@ -546,11 +546,13 @@ def test_bpe_apply_matches_independent_encoder(spark, sf_dir):
         for r in docs.itertuples()
     }
 
-    got = {
-        r["doc_id"]: r["n_bpe_tokens"]
-        for r in text_bpe_apply(spark, sf_dir).collect()
-    }
+    rows = text_bpe_apply(spark, sf_dir).collect()
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in rows}
     assert got == expected
+    # the operator's in-kernel cross-check must agree on every doc —
+    # this is the self-validating column the driver's rows-only check
+    # surfaces (round-4 VERDICT #8)
+    assert all(r["verified"] for r in rows)
     # merges must actually compress in aggregate: corpus token total
     # strictly below the unmerged char+EOW total
     unmerged = sum((len(w) + 1) * c for w, c in vocab.items())
