@@ -127,7 +127,33 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PLANES = 4  # planes per band (2^4 = 16 buckets per band)
-N_BANDS = 16  # OR-amplified bands: candidate = same bucket in ANY band
+N_BANDS = 16  # base OR-amplified band count (corpus <= ANN_BASE_N vectors)
+ANN_BASE_N = 500  # corpus size the base band count was tuned at
+ANN_MAX_BANDS = 64
+
+
+def ann_n_bands(n: int) -> int:
+    """OR-amplification bands for an n-vector corpus: {N_BANDS} at the
+    base size, +8 per doubling beyond it, capped at {ANN_MAX_BANDS}.
+
+    Growing the corpus pushes a query's true top-k out to wider angles
+    (the k-th neighbor's per-plane agreement p falls), so a FIXED band
+    count loses recall exactly as the round-1/round-3 fixed-constant
+    lesson predicts — recall@5 measured 0.93 at 500 vectors but 0.73
+    at 2000 with 16 bands.  Each +8 bands multiplies a true
+    neighbor's miss probability (1-p^b)^L by (1-p^b)^8 (~0.6x at
+    p=0.5), compensating the p drop with logarithmic-in-n extra
+    bands; candidate volume grows at most linearly in L and the band
+    dots stay one codegen projection.  RECALL.md records the measured
+    recall at each sf with this sizing."""
+    import math
+
+    if n <= ANN_BASE_N:
+        return N_BANDS
+    return min(
+        ANN_MAX_BANDS,
+        N_BANDS + 8 * int(math.ceil(math.log2(n / ANN_BASE_N))),
+    )
 
 
 def _plane_signs(band: int, p: int, dim: int) -> list[float]:
@@ -190,8 +216,10 @@ def hyperplane_bucket(df: DataFrame, band: int = 0) -> DataFrame:
     return sig.select("vid", bucket.alias("bucket"))
 
 
-def banded_hyperplane_buckets(df: DataFrame) -> DataFrame:
-    """(vid, band, bucket) for all N_BANDS bands, one exploded pass.
+def banded_hyperplane_buckets(df: DataFrame, n_bands: int | None = None) -> DataFrame:
+    """(vid, band, bucket) for all bands, one exploded pass.  The band
+    count defaults to ``ann_n_bands(corpus size)`` — adaptive
+    OR-amplification so recall holds as the corpus grows.
 
     Banding OR-amplifies LSH the same way MinHash banding does: a true
     neighbor only has to agree on ALL planes of SOME band, so recall
@@ -202,6 +230,8 @@ def banded_hyperplane_buckets(df: DataFrame) -> DataFrame:
     (hashing the plane signs per row was ~dim·L·b md5 calls per vector,
     the dominant wall-clock of the previous plan)."""
     dim = _emb_dim(df)
+    if n_bands is None:
+        n_bands = ann_n_bands(df.count())
     # single-row-group parquet → spread before the CPU-bound folds
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_id")
     # The L·b sign matrix travels as DATA (a 1-row LocalRelation,
@@ -215,7 +245,7 @@ def banded_hyperplane_buckets(df: DataFrame) -> DataFrame:
             (
                 [
                     _plane_signs(b, p, dim)
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                     for p in range(N_PLANES)
                 ],
             )
@@ -240,7 +270,7 @@ def banded_hyperplane_buckets(df: DataFrame) -> DataFrame:
         f" THEN {1 << p} ELSE 0 END)"
         for p in range(N_PLANES)
     )
-    buckets = f"transform(sequence(0, {N_BANDS - 1}), b -> {bucket_terms})"
+    buckets = f"transform(sequence(0, {n_bands - 1}), b -> {bucket_terms})"
     return sig.select("vid", F.expr(buckets).alias("bkts")).select(
         "vid", F.posexplode("bkts").alias("band", "bucket")
     )

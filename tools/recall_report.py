@@ -20,7 +20,11 @@ sys.path.insert(0, REPO)
 
 METHODS = [
     # name, parameter summary (kept in sync with similarity.py constants)
-    ("sim_ann_lsh", "banded hyperplane LSH, 16 bands x 4 planes (OR-amplified)"),
+    (
+        "sim_ann_lsh",
+        "banded hyperplane LSH, adaptive ann_n_bands(n) x 4 planes "
+        "(16 bands at n<=500, +8/doubling, cap 64)",
+    ),
     ("sim_ivf_topk", "IVF, N_CELLS=8, N_PROBE=2, seeded centroids"),
     ("sim_ivf_kmeans_topk", "IVF, N_CELLS=8, N_PROBE=2, 3 k-means iters"),
     (
