@@ -439,7 +439,12 @@ def upsert_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_foreach_batch_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    state_root: str | None = None,
+) -> DataFrame:
     """``foreachBatch`` incremental upsert: each microbatch pre-aggregates
     its rows, then merges (full-outer, sums combine) into a parquet
     serving table — the streaming MERGE pattern for sinks without
@@ -449,25 +454,48 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     (delta is ≤#distinct-users rows, not #events); the serving table
     rewrite is versioned (write new, swap pointer) so readers never see
     a partial overwrite — on Delta/Iceberg this whole function is
-    ``MERGE INTO`` with the same delta plan.  Counts and fixed-point
-    sums are associative, so restarts that replay a *whole* microbatch
-    stay correct as long as the swap is atomic per batch_id
-    (exactly-once via idempotent versioned writes).
+    ``MERGE INTO`` with the same delta plan.
+
+    Exactly-once across restarts: batch N's merge reads the serving
+    state from the NEWEST VERSION WITH ID < N — never from the
+    ``current`` pointer — so a replayed microbatch (offset log behind
+    the sink at crash time) recomputes v{N} from the same v{N-1} it
+    read the first time and swaps in an identical table, instead of
+    double-merging its own output.  Counts and fixed-point sums are
+    associative, so batch boundaries may differ across runs without
+    changing the final state.  tests/test_streaming.py restarts the
+    query mid-stream and asserts the final table equals the batch twin.
+
+    ``source`` overrides the default file stream; passing
+    ``state_root`` resumes an existing serving dir + checkpoint instead
+    of starting fresh (the restart path).
 
     Returns the final serving-table DataFrame (compare to
     ``stream_upsert_totals``).
     """
     import os
+    import re
     import shutil
 
     from kachess_spark.operators._util import money
 
     from kachess_spark.operators.sinks import _scratch
 
-    state_root = _scratch("upsert_serving")
-    shutil.rmtree(state_root, ignore_errors=True)
+    if state_root is None:
+        state_root = _scratch("upsert_serving")
+        shutil.rmtree(state_root, ignore_errors=True)
     os.makedirs(state_root, exist_ok=True)
     current = os.path.join(state_root, "current")
+
+    def _state_version_before(batch_id: int) -> str | None:
+        ids = [
+            int(m.group(1))
+            for m in (
+                re.fullmatch(r"v(\d+)", d) for d in os.listdir(state_root)
+            )
+            if m and int(m.group(1)) < batch_id
+        ]
+        return os.path.join(state_root, f"v{max(ids)}") if ids else None
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_df.groupBy("user_id").agg(
@@ -475,8 +503,9 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(money("value").cast("decimal(38,0)")).alias("d_scaled"),
         )
         sp = batch_df.sparkSession
-        if os.path.exists(current):
-            state = sp.read.parquet(current).select(
+        prev = _state_version_before(batch_id)
+        if prev is not None:
+            state = sp.read.parquet(prev).select(
                 F.col("user_id").alias("s_user"), "n_events", "scaled"
             )
             merged = (
@@ -508,9 +537,9 @@ def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         os.symlink(version, tmp_link)
         os.replace(tmp_link, current)
 
+    ev = source if source is not None else stream_events(spark, sf_dir)
     q = (
-        stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(merge_batch)
+        ev.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", os.path.join(state_root, "_chk"))
         .trigger(availableNow=True)
         .start()
@@ -754,15 +783,18 @@ def dedup_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_counts(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Streaming twin: dropDuplicates → windowed count, the chained
     multiple-stateful-operators pattern (supported in append mode since
     Spark 3.5).  The dedup key includes the event-time minute column so
     watermark advance evicts dedup state; the downstream window agg
     finalizes (and emits) a window once the watermark passes its end —
     the test compares exactly the finalized prefix against the batch
-    twin."""
-    ev = stream_events(spark, sf_dir)
+    twin.  ``source`` overrides the default file stream (the restart
+    tests inject a file-at-a-time source over the same schema)."""
+    ev = source if source is not None else stream_events(spark, sf_dir)
     m = ev.withColumn("minute_ts", F.date_trunc("minute", F.col("ts")))
     return (
         m.withWatermark("minute_ts", "10 minutes")
@@ -1174,7 +1206,9 @@ def outer_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_outer_join(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Stream-stream LEFT OUTER join with watermarks.  Matched pairs
     emit as soon as both rows arrive; a click's NULL-extended row emits
     only once the watermark proves no in-window purchase can still
@@ -1187,9 +1221,10 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the newest click can never be evicted within the run that saw it
     (it defines its side's watermark).  tests/test_streaming.py asserts
     exactly that relationship; state per side stays bounded to the
-    window + delay.
+    window + delay.  ``source`` overrides the default file stream (the
+    restart tests inject a file-at-a-time source over the same schema).
     """
-    ev = stream_events(spark, sf_dir)
+    ev = source if source is not None else stream_events(spark, sf_dir)
     l = (
         ev.where(F.col("event_type") == "click")
         .withWatermark("ts", "2 hours")

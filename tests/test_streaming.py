@@ -500,3 +500,168 @@ def test_streaming_outer_join(spark, sf_dir):
     } & want_nulls
     assert must_emit <= got_nulls
     assert len(must_emit) > 0  # the contract bound is non-vacuous
+
+
+# ---------------------------------------------------------------------------
+# Restart coverage for the stateful breadth (round-4 VERDICT #6): stop
+# mid-stream, restart from the same checkpoint, assert exactly-once.
+
+
+def _halved_events_source(spark, sf_dir, tmp_path):
+    """events split into two time-ordered parquet files under
+    tmp_path/src (micros timestamps — no nanos special-casing on the
+    stream read).  Returns (src_dir, schema, write_half) where
+    write_half(i) lands half i; callers land 0, stream, land 1,
+    stream again from the same checkpoint."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kachess_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    schema = ev.schema
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = (pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :])
+
+    def write_half(i):
+        tbl = pa.Table.from_pandas(halves[i], preserve_index=False)
+        idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            idx, "ts", tbl.column("ts").cast(pa.timestamp("us"))
+        )
+        p = str(src / f"half_{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    return str(src), schema, write_half
+
+
+def _file_stream(spark, src_dir, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def _drain(sdf, sink, chk):
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+
+def test_streaming_dedup_restart_exactly_once(spark, sf_dir, tmp_path):
+    """dropDuplicates → windowed count across a mid-stream restart:
+    the restarted run's total output must equal a single uninterrupted
+    run's (nothing re-emitted, nothing lost), each window must
+    finalize exactly once, and every emitted row must carry the batch
+    twin's count for its window."""
+    from kachess_spark.streaming.windows import (
+        dedup_window_counts,
+        streaming_dedup_counts,
+    )
+
+    src, schema, write_half = _halved_events_source(spark, sf_dir, tmp_path)
+    sink, chk = str(tmp_path / "sink"), str(tmp_path / "chk")
+
+    write_half(0)
+    _drain(streaming_dedup_counts(spark, sf_dir, _file_stream(spark, src, schema)), sink, chk)
+    write_half(1)
+    _drain(streaming_dedup_counts(spark, sf_dir, _file_stream(spark, src, schema)), sink, chk)
+    restarted = sorted(map(tuple, spark.read.parquet(sink).collect()))
+
+    sink2, chk2 = str(tmp_path / "sink2"), str(tmp_path / "chk2")
+    _drain(streaming_dedup_counts(spark, sf_dir, _file_stream(spark, src, schema)), sink2, chk2)
+    single = sorted(map(tuple, spark.read.parquet(sink2).collect()))
+
+    assert len(restarted) > 0
+    assert restarted == single
+    keys = [(r[0], r[1]) for r in restarted]
+    assert len(keys) == len(set(keys))  # each window finalized once
+    want = {
+        (r["window_epoch"], r["event_type"]): r["n_unique"]
+        for r in dedup_window_counts(spark, sf_dir).collect()
+    }
+    for wk, et, n in restarted:
+        assert want[(wk, et)] == n
+
+
+def test_streaming_outer_join_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Stream-stream LEFT OUTER join across a mid-stream restart: the
+    restarted run must emit exactly the rows a single uninterrupted
+    run emits — matched pairs and NULL-extended rows alike (join state
+    survives the checkpoint round trip)."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.streaming.windows import streaming_outer_join
+
+    src, schema, write_half = _halved_events_source(spark, sf_dir, tmp_path)
+    sink, chk = str(tmp_path / "sink"), str(tmp_path / "chk")
+
+    write_half(0)
+    _drain(streaming_outer_join(spark, sf_dir, _file_stream(spark, src, schema)), sink, chk)
+    write_half(1)
+    _drain(streaming_outer_join(spark, sf_dir, _file_stream(spark, src, schema)), sink, chk)
+    restarted = spark.read.parquet(sink)
+
+    sink2, chk2 = str(tmp_path / "sink2"), str(tmp_path / "chk2")
+    _drain(streaming_outer_join(spark, sf_dir, _file_stream(spark, src, schema)), sink2, chk2)
+    single = spark.read.parquet(sink2)
+
+    r_matched = sorted(
+        map(tuple, restarted.where(F.col("purchase_id").isNotNull()).collect())
+    )
+    s_matched = sorted(
+        map(tuple, single.where(F.col("purchase_id").isNotNull()).collect())
+    )
+    assert len(r_matched) > 0
+    assert r_matched == s_matched
+    r_nulls = sorted(
+        r.click_id
+        for r in restarted.where(F.col("purchase_id").isNull()).collect()
+    )
+    s_nulls = sorted(
+        r.click_id
+        for r in single.where(F.col("purchase_id").isNull()).collect()
+    )
+    assert r_nulls == s_nulls
+
+
+def test_streaming_upsert_restart_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch upsert across a mid-stream restart: resume the same
+    serving dir + checkpoint after landing the second half; the final
+    serving table must equal the batch twin exactly (no double-merged
+    deltas, no lost batches)."""
+    from kachess_spark.streaming.windows import (
+        streaming_foreach_batch_upsert,
+        upsert_totals_batch,
+    )
+
+    src, schema, write_half = _halved_events_source(spark, sf_dir, tmp_path)
+    state_root = str(tmp_path / "serving")
+
+    write_half(0)
+    streaming_foreach_batch_upsert(
+        spark, sf_dir, _file_stream(spark, src, schema), state_root
+    ).collect()
+    write_half(1)
+    got = streaming_foreach_batch_upsert(
+        spark, sf_dir, _file_stream(spark, src, schema), state_root
+    )
+    want = upsert_totals_batch(spark, sf_dir)
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert len(got_rows) > 0
+    assert got_rows == want_rows
