@@ -1027,3 +1027,168 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_selected"))
         .orderBy("source")
     )
+
+
+# ------------------------------------------ per-doc importance resample
+
+IMP_TOK_CAP = 400  # tokens at (or above) which a doc's accept prob is 1.0
+
+
+@query(
+    "pipeline_importance_resample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    drawn AS (
+      SELECT doc_id, source, n_tokens,
+             LEAST(1.0, CAST(n_tokens AS DOUBLE) / {IMP_TOK_CAP}) AS w,
+             CAST(('0x' || substr(md5('imp1|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(w * 1000000) AS BIGINT) AS accept_ppm
+    FROM drawn WHERE u < w
+    ORDER BY doc_id
+    """,
+)
+def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance sampling: each doc is kept with
+    probability proportional to its own quality weight (here token
+    count capped at {IMP_TOK_CAP} — substitute any per-doc score), via
+    a DETERMINISTIC salted-md5 uniform — seedless, rerun-stable,
+    reproducible on any cluster.  The per-DOC complement of
+    pipeline_temperature_mixture's per-SOURCE alpha sampling: that one
+    rebalances corpora, this one up-samples individual high-quality
+    documents within them.
+
+    Scale: one codegen expression per row — weight, uniform, and the
+    accept test are all narrow projections; NO shuffle of the corpus
+    at all (the final orderBy is presentation).  Reweighting = editing
+    the weight expression; resampling = changing the salt — both O(1)
+    metadata edits, no state carried between runs.
+    """
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')")).alias(
+            "n_tokens"
+        ),
+    )
+    w = F.least(
+        F.lit(1.0), F.col("n_tokens").cast("double") / IMP_TOK_CAP
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("imp1|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            w.alias("w"),
+            u.alias("u"),
+        )
+        .where(F.col("u") < F.col("w"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("w") * 1000000).cast("bigint").alias("accept_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------- boilerplate-line dedup
+
+BP_MIN_DOCS = 3  # a sentence in >= this many distinct docs is boilerplate
+
+
+@query(
+    "text_boilerplate_lines",
+    oracle=f"""
+    WITH sent AS (
+      SELECT DISTINCT doc_id,
+             md5(trim(s)) AS sfp
+      FROM documents,
+           unnest(string_split(text, '.')) AS t(s)
+      WHERE trim(s) <> ''
+    ),
+    freq AS (
+      SELECT sfp, count(*) AS n_docs FROM sent GROUP BY 1
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.sfp,
+             CASE WHEN f.n_docs >= {BP_MIN_DOCS} THEN 1 ELSE 0 END AS bp
+      FROM sent s JOIN freq f USING (sfp)
+    )
+    SELECT doc_id,
+           count(*) AS n_sentences,
+           CAST(SUM(bp) AS BIGINT) AS n_boilerplate,
+           ROUND(CAST(SUM(bp) AS DOUBLE) / count(*), 6) AS bp_ratio
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate detection (the C4/RefinedWeb line-dedup
+    step): a sentence whose fingerprint appears in >= {BP_MIN_DOCS}
+    DISTINCT documents is boilerplate (nav text, license headers,
+    templates); per doc, report its sentence count and boilerplate
+    ratio — the signal the curation gate thresholds on.  Doc-level
+    dedup (dedup_exact et al.) misses this entirely: two pages can be
+    globally unique yet 80% shared chrome.
+
+    Scale: sentences shuffle ONCE on their md5 fingerprint (never the
+    raw text — 16-byte keys) for the cross-doc frequency count; the
+    flag joins back on the same key (same partitioning family, AQE
+    coalesces), and the per-doc rollup is map-side combined.  No
+    pairwise comparisons anywhere — boilerplate detection is a
+    frequency count, not a similarity join.
+    """
+    t = Tables(spark, sf_dir)
+    sent = (
+        t.documents.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "\\.")).alias("s"),
+        )
+        .where(F.trim(F.col("s")) != "")
+        .select("doc_id", F.md5(F.trim(F.col("s"))).alias("sfp"))
+        .distinct()
+    )
+    freq = sent.groupBy("sfp").agg(F.count("*").alias("n_docs"))
+    flagged = sent.join(freq, "sfp").select(
+        "doc_id",
+        F.when(F.col("n_docs") >= BP_MIN_DOCS, 1).otherwise(0).alias("bp"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum("bp").cast("bigint").alias("n_boilerplate"),
+            F.round(
+                F.sum("bp").cast("double") / F.count("*"), 6
+            ).alias("bp_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -220,3 +220,146 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ----------------------------------------- tf-idf sparse-cosine pairs
+
+TFIDF_DF_CAP = 100  # posting lists longer than this are pruned (stopword guard)
+TFIDF_COS_MIN = 0.2
+
+_TFIDF_WS = (
+    "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '')), ' '),"
+    " w -> w != '')"
+)
+_TFIDF_SH = (
+    "transform(sequence(0, size(ws) - 3),"
+    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+)
+
+_TFIDF_PAIRS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(
+           regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+         x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle,
+         count(*) AS tf
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)
+  GROUP BY 1, 2
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh),
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.shingle,
+         s.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS w
+  FROM sh s JOIN df d USING (shingle) CROSS JOIN n
+  WHERE d.df BETWEEN 2 AND {TFIDF_DF_CAP}
+),
+nrm AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM kept GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN nrm na ON na.doc_id = doc_a
+JOIN nrm nb ON nb.doc_id = doc_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= {TFIDF_COS_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("text_tfidf_similar_pairs", _TFIDF_PAIRS_ORACLE)
+def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted sparse cosine over word-3-gram shingles: the
+    GRADED similarity complement to the set-based dedups — near-dups
+    score ~1.0, partial template reuse scores fractionally, and the
+    rare-shingle IDF weighting means boilerplate shared by many docs
+    contributes ~nothing.  Pairs with cosine >= {TFIDF_COS_MIN} emit.
+
+    Scale: an inverted-index join, never all-pairs — candidate pairs
+    come from shared POSTINGS, and posting lists longer than
+    {TFIDF_DF_CAP} docs are pruned (df-cap): a shingle shared by d
+    docs contributes d*(d-1)/2 pairs, so the cap bounds per-key join
+    fan-out at cap^2/2 while dropping exactly the boilerplate shingles
+    IDF would near-zero anyway (df=1 lists are dropped too — they
+    cannot form pairs).  The corpus constant N travels as a 1-row
+    broadcast (the BM25 stats pattern); weight products accumulate in
+    DECIMAL so the dot is summation-order independent; the one libm
+    call (ln) is on an integer ratio with the result ROUND(6)-ed —
+    the module's determinism contract.  Shingles collapse to 64-bit
+    xxhash fingerprints IMMEDIATELY after the explode (the
+    dedup_span_overlap trick): every shuffle, group and join key
+    downstream is 8 bytes instead of a ~30-byte string — a 64-bit
+    collision merging two shingles is ~n²/2⁶⁵, negligible against the
+    ROUND(6) output granularity.
+    """
+    t = Tables(spark, sf_dir)
+    sh = (
+        t.documents.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", F.expr(_TFIDF_WS).alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", F.explode(F.expr(_TFIDF_SH)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("sfp"))
+        .groupBy("doc_id", "sfp")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = (
+        sh.groupBy("sfp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(2, TFIDF_DF_CAP))
+    )
+    kept = (
+        sh.join(df, "sfp")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "sfp",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+        .persist()  # feeds both the norm agg and the postings self-join
+    )
+    nrm = kept.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.expr("CAST(w * w AS DECIMAL(28,12))")).cast("double")
+        ).alias("nrm")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.sfp") == F.col("b.sfp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(a.w * b.w AS DECIMAL(28,12))"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= TFIDF_COS_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
