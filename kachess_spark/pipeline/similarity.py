@@ -277,22 +277,28 @@ def banded_hyperplane_buckets(df: DataFrame, n_bands: int | None = None) -> Data
 
 
 @query("sim_ann_lsh")  # rows-only: candidate generation; recall asserted in tests
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_lsh(
+    spark: SparkSession, sf_dir: str, n_bands: int | None = None
+) -> DataFrame:
     """ANN scale path: banded hyperplane-LSH → candidates share a bucket
     in ANY band → exact cosine only on the candidate set.  Returns
     (qid, vid, cosine, rk) top-k for the query vectors; RECALL.md and
     the pytest floor track quality vs brute force.
 
     Scale: candidate generation is a bucket-equality join per band —
-    never all-pairs; N_BANDS multiplies candidate-set size by at most L
-    while OR-amplification takes recall from p^b to 1-(1-p^b)^L.  The
-    L·b plane dots are one aggregation pass (32 codegen SUMs), and the
-    exact re-rank touches only the deduped candidate union."""
+    never all-pairs; the band count (default ``ann_n_bands(n)``,
+    adaptive in corpus size; ``n_bands`` overrides for the RECALL.md
+    parameter sweep) multiplies candidate-set size by at most L while
+    OR-amplification takes recall from p^b to 1-(1-p^b)^L.  The L·b
+    plane dots are one aggregation pass of codegen SUMs, and the exact
+    re-rank touches only the deduped candidate union."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     # materialize: the bucket table feeds BOTH the query filter and the
     # probe join — without the barrier the 64-dot projection runs twice
-    buckets = banded_hyperplane_buckets(emb).localCheckpoint(eager=False)
+    buckets = banded_hyperplane_buckets(emb, n_bands).localCheckpoint(
+        eager=False
+    )
     queries = buckets.where(F.col("vid").isin(*QUERY_IDS)).select(
         F.col("vid").alias("qid"), "band", "bucket"
     )
