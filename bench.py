@@ -52,6 +52,8 @@ BREADTH = [
     "win_interval_merge",
     "stream_watermark_audit",
     "pipeline_epoch_shuffle",
+    # round 5: the inverted-index tf-idf pair join (the round's heavy)
+    "text_tfidf_similar_pairs",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
