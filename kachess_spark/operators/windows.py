@@ -1307,3 +1307,76 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------- leave-one-out target encoding
+
+_TARGET_ENC_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+  FROM events WHERE event_id < 2000
+),
+grp AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(vi) AS BIGINT) AS sv
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type,
+       ROUND(v.vi / 10000.0, 4) AS value,
+       CASE WHEN g.n > 1
+            THEN ROUND((CAST(g.sv AS DOUBLE) - v.vi)
+                       / (g.n - 1) / 10000.0, 6) + 0.0
+       END AS loo_target_mean
+FROM v JOIN grp g USING (event_type)
+ORDER BY v.event_id
+"""
+
+
+@query("win_target_encoding", _TARGET_ENC_ORACLE)
+def win_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical feature
+    (event_type) becomes the mean target (value) of all OTHER rows in
+    its category — the standard high-cardinality categorical encoding
+    for gradient-boosted / linear models, leave-one-out so a row never
+    leaks its own label into its feature.  Exact: group moments are
+    integer sums of 1e-4-fixed values, so (sv − vi)/(n−1) assembles
+    from identical integers in both engines; singleton categories
+    yield NULL (no other rows to average).
+
+    Scale: the same aggregate-then-broadcast-join shape as
+    win_zscore_features — group moments are one map-side-combined agg
+    (one tiny row per category) joined back broadcast, so the fact
+    side NEVER shuffles; the naive window formulation would shuffle
+    every row on the category key and hot-spot on skewed categories.
+    """
+    v = (
+        Tables(spark, sf_dir)
+        .events.where(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+        )
+    )
+    grp = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vi").cast("bigint").alias("sv"),
+    )
+    loo = F.round(
+        (F.col("sv").cast("double") - F.col("vi"))
+        / (F.col("n") - 1)
+        / 10000.0,
+        6,
+    ) + F.lit(0.0)
+    return (
+        v.join(F.broadcast(grp), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("vi") / 10000.0, 4).alias("value"),
+            F.when(F.col("n") > 1, loo).alias("loo_target_mean"),
+        )
+        .orderBy("event_id")
+    )

@@ -1328,3 +1328,90 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w), 6
         ).alias("frac"),
     ).orderBy("label", "guess")
+
+
+# ---------------------------------------------- n-gram novelty profile
+
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(
+           regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+         x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)
+),
+first_seen AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_ratio
+FROM sh s JOIN first_seen f USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@query("text_ngram_novelty", _NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in ingestion (doc_id) order: the
+    fraction of a doc's distinct 3-gram shingles first seen IN that doc
+    — the corpus-redundancy growth curve.  A crawl whose marginal
+    novelty decays to ~0 has stopped adding training signal however
+    many bytes keep arriving; this is the metric that decision reads.
+
+    Scale: shingles collapse to 64-bit xxhash fingerprints right after
+    the explode (8-byte keys everywhere downstream); ONE logical
+    shuffle on the fingerprint serves both the global min(doc_id) and
+    the join back (same key family, AQE coalesces); the per-doc rollup
+    is map-side combined.  No ordering dependence beyond min() —
+    "first seen" is an aggregate, not a scan order.
+    """
+    t = Tables(spark, sf_dir)
+    ws_expr = (
+        "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '')), ' '),"
+        " w -> w != '')"
+    )
+    sh_expr = (
+        "transform(sequence(0, size(ws) - 3),"
+        " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+    )
+    sh = (
+        t.documents.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", F.expr(ws_expr).alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", F.explode(F.expr(sh_expr)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("sfp"))
+        .distinct()
+    )
+    first = sh.groupBy("sfp").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sfp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )
