@@ -41,6 +41,11 @@ NOTES = {
     "win_decay_score": "Frameless per-user max + final agg share one hashpartitioning(user_id); decay is integer division by shifted powers of two.",
     "graph_link_prediction": "Wedge join blocked on the shared supplier; degree table broadcast back; per-customer top-k window.",
     "join_asof_nearest": "Backward and forward carries over ONE user_id exchange; descending pass re-sorts partition-locally.",
+    "text_tfidf_similar_pairs": "Inverted-index self-join on 64-bit shingle fingerprints (df-capped postings); decimal dot accumulation; InMemoryTableScan barrier feeds norm agg and both join sides.",
+    "text_ngram_novelty": "One hashpartitioning(sfp) exchange serves min(doc_id) AND the join back (AQE coalesces); per-doc rollup map-side combined.",
+    "pipeline_importance_resample": "Zero exchanges before the output sort: weight, md5 uniform, and accept test are one codegen projection.",
+    "win_target_encoding": "Group moments broadcast back (BroadcastHashJoin); the fact side never shuffles — compare the window formulation's full-row exchange.",
+    "text_boilerplate_lines": "Sentence md5 fingerprints shuffle once; frequency join reuses the key family; no pairwise comparison operators anywhere.",
 }
 
 
