@@ -1243,12 +1243,16 @@ def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # the real job
     m = obs.get
+    # SUM over zero rows observes NULL — an empty partition/date must
+    # yield a clean zero row, not a float(None) crash
     return spark.createDataFrame(
         [
             (
                 m["n_rows"],
-                m["n_discounted"],
-                float(m["price_scaled"]) / 10000,
+                m["n_discounted"] if m["n_discounted"] is not None else 0,
+                float(m["price_scaled"]) / 10000
+                if m["price_scaled"] is not None
+                else 0.0,
             )
         ],
         "n_rows bigint, n_discounted bigint, total_price double",

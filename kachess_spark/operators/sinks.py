@@ -164,17 +164,19 @@ _PARTITIONED_ORACLE = """
 def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITIONED BY write + partition-pruned read-back: the filter on
     the partition column prunes to a single directory (visible as
-    ``PartitionFilters`` in the scan; §2.1 table_partition_clause)."""
+    ``PartitionFilters`` in the scan; §2.1 table_partition_clause).
+
+    The read-back declares the schema explicitly: a partitioned write
+    of ZERO rows creates no partition directories, so schema inference
+    on the read side fails — exactly what an empty ingestion date does
+    to a daily 100 TB pipeline.  Explicit schema makes the empty case
+    a clean 0-row result instead of an AnalysisException."""
     t = Tables(spark, sf_dir)
     path = _scratch("part_orders")
-    (
-        t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
-        .write.mode("overwrite")
-        .partitionBy("o_orderpriority")
-        .parquet(path)
-    )
+    proj = t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    proj.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
     return (
-        spark.read.parquet(path)
+        spark.read.schema(proj.schema).parquet(path)
         .where(F.col("o_orderpriority") == "1-URGENT")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("cnt"))
@@ -438,13 +440,11 @@ def dpp_join_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning (build side; writes the partitioned fact once)."""
     t = Tables(spark, sf_dir)
     path = _scratch("dpp_orders")
-    (
-        t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
-        .write.mode("overwrite")
-        .partitionBy("o_orderpriority")
-        .parquet(path)
-    )
-    fact = spark.read.parquet(path)
+    proj = t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    proj.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    # explicit schema: an empty partitioned write creates no directories,
+    # so inference would fail on the empty-ingestion case
+    fact = spark.read.schema(proj.schema).parquet(path)
     dim = spark.createDataFrame(_DPP_DIM, "prio string, tier string")
     return (
         fact.join(dim, fact["o_orderpriority"] == dim["prio"])
@@ -515,7 +515,10 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_frag = len(glob.glob(f"{frag}/part-*"))
     n_compact = len(glob.glob(f"{compact}/part-*"))
-    assert n_compact < n_frag / 10, (n_frag, n_compact)
+    # empty input degenerates to one empty part file on both sides —
+    # nothing to compact, nothing to assert
+    if n_frag > 10:
+        assert n_compact < n_frag / 10, (n_frag, n_compact)
     return (
         spark.read.parquet(compact)
         .groupBy("o_orderpriority")

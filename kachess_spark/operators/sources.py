@@ -234,14 +234,11 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     path = os.path.join("/tmp/kachess_sinks", "meta_orders")
-    (
-        t.orders.select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .partitionBy("o_orderpriority")
-        .parquet(path)
-    )
+    proj = t.orders.select("o_orderkey", "o_orderpriority")
+    proj.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    # explicit schema: an empty partitioned write creates no directories
     return (
-        spark.read.parquet(path)
+        spark.read.schema(proj.schema).parquet(path)
         .select(
             F.regexp_extract(
                 F.col("_metadata.file_path"), r"o_orderpriority=([^/]+)/", 1

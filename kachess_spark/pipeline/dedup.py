@@ -744,11 +744,15 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one-time historical index build (idempotent per scratch dir)
     hist = t.documents.where(F.col("doc_id") % 2 == 0)
-    bands_of(hist).write.mode("overwrite").partitionBy("band").parquet(store)
+    hist_bands = bands_of(hist)
+    hist_bands.write.mode("overwrite").partitionBy("band").parquet(store)
 
     new_docs = t.documents.where(F.col("doc_id") % 2 == 1)
     new_bands = bands_of(new_docs).localCheckpoint(eager=False)
-    index = spark.read.parquet(store)
+    # explicit schema: an EMPTY historical corpus writes no partition
+    # directories, and the probe against an empty index must return a
+    # clean 0-row result, not an inference AnalysisException
+    index = spark.read.schema(hist_bands.schema).parquet(store)
     return (
         new_bands.alias("a")
         .join(
