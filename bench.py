@@ -157,6 +157,10 @@ def main() -> None:
                 fn(spark, warm_dir).count()
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface it
+            # drop the warm run's persisted intermediates (each fn call
+            # creates fresh persist() sites, so warm-SF copies would
+            # otherwise sit in the cache under the timed run)
+            spark.catalog.clearCache()
         # drop py4j refs to prior queries' localCheckpoint RDDs so the
         # JVM can reclaim them — without this, checkpoint blocks pile up
         # across the ~40-query session and late queries pay GC stalls
@@ -168,6 +172,10 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
         if profile:
             per_profile[name] = _profile_delta(before, _stage_snapshot(spark))
+        # operators that persist() intermediates (funnel, tf-idf pairs)
+        # must not leak InMemoryRelations into later queries' timings —
+        # clear between queries so each one measures a cold cache
+        spark.catalog.clearCache()
 
     headline_total = round(sum(per_query[n] for n in HEADLINE), 3)
     total = round(sum(per_query.values()), 3)

@@ -624,7 +624,10 @@ def _register_spine_source(spark: SparkSession) -> None:
 
         def partitions(self):
             # contiguous ranges, one InputPartition each — the planner
-            # schedules them as independent tasks
+            # schedules them as independent tasks.  end<=0 or parts<=0
+            # is an empty spine, not a range() crash (step 0).
+            if self.end <= 0 or self.parts <= 0:
+                return []
             step = -(-self.end // self.parts)
             return [
                 InputPartition((lo, min(lo + step, self.end)))
@@ -655,8 +658,12 @@ def _register_spine_source(spark: SparkSession) -> None:
 
     try:
         spark.dataSource.register(SpineDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:
+        # Swallow ONLY the re-registration case; a real failure
+        # (unsupported Spark version, pickling error) must surface here,
+        # not later as a confusing DATA_SOURCE_NOT_FOUND at load time.
+        if "already" not in str(exc).lower() and "exists" not in str(exc).lower():
+            raise
 
 
 @query(

@@ -925,13 +925,19 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------- half-life decay score
 
 DECAY_HALF_LIFE_US = 86_400_000_000  # 1 day
-# 1e-9 score resolution: vi (1e-4-fixed, |value| < ~9.2e5) times the
-# scale stays within int64 with 1880x headroom — the old 1e12 scale sat
-# only 1.9x below int64 max and a value above ~922 would hard-fail
-# under ANSI mode (round-4 ADVICE).  The per-user SUM then accumulates
-# in DECIMAL(38,0) so event-count growth cannot overflow either.
+# 1e-9 score resolution: vi is 1e-4-fixed, so vi * 1e9 fits int64 for
+# |value| up to ~9.2e5 (at which point headroom is ~1x); the comfortable
+# 1880x-headroom regime holds for |value| <~ 490, which covers the data
+# model's value domain.  The old 1e12 scale sat only 1.9x below int64
+# max and a value above ~922 would hard-fail under ANSI mode (round-4
+# ADVICE).  The per-user SUM then accumulates in DECIMAL(38,0) so
+# event-count growth cannot overflow either.
 DECAY_SCALE = 10**9
-DECAY_MAX_K = 30  # beyond 30 half-lives the term underflows the 1e-9 scale
+# The k cap FLOORS the decay factor at 2^-30 for every term; exact
+# integer underflow to 0 at k=30 happens only for the smallest vi=1 —
+# larger vi keep a small floored contribution (round-5 ADVICE comment
+# fix; oracle and Spark apply the identical cap, so parity holds).
+DECAY_MAX_K = 30
 
 _DECAY_ORACLE = f"""
 WITH ev AS (

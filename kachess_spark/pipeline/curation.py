@@ -636,6 +636,10 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping intermediate barriers at 9x the wall (the union's five
     branches race to rebuild the unbarriered chains), while the full
     persist set matches the old localCheckpoint wall within noise.
+    The barriers are released before returning: the report is one row
+    per stage at any corpus size, so it is materialized here and the
+    stage caches unpersisted (no InMemoryRelation outlives the call,
+    round-5 ADVICE).
     """
     from kachess_spark.pipeline.dedup import _SHINGLES_EXPR, _WORDS_EXPR
 
@@ -734,7 +738,16 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(dec, 4, "decontaminated"))
         .unionAll(stage(qual, 5, "quality_gated"))
     )
-    return out.orderBy("stage")
+    # Materialize the report (one row per stage at ANY corpus size, so
+    # driver-safe), then release the stage barriers — without this the
+    # five InMemoryRelations outlive the call for the whole
+    # SparkSession, skewing later queries' memory (round-5 ADVICE).
+    try:
+        rows = out.orderBy("stage").collect()
+    finally:
+        for cached in (ex, sh, expl, near, dec):
+            cached.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ------------------------------------------------- per-domain quota

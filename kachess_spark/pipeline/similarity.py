@@ -126,6 +126,96 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(spark, emb, queries, TOP_K)
 
 
+def exact_topk_fast(
+    emb: DataFrame, k: int = TOP_K, metric: str = "cosine"
+) -> DataFrame:
+    """Exact top-k (qid, vid) for the QUERY_IDS probes via the codegen
+    zip_with DECIMAL kernel — #queries·N dots in one narrow map, no
+    explode, no shuffle beyond the final per-query window.  Cheap
+    enough to run INSIDE the ANN operators as their self-certifying
+    recall baseline (the exploded ``cosine_topk`` costs ~10x this).
+
+    ``metric``: "cosine" (descending, rounded to 6 like the ANN
+    rankers) or "l2" (ascending squared distance, PQ's ground truth).
+    Ties break on vid, matching every ranker in this module.
+    """
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
+        f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
+    )
+    embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    qv = embn.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = embn.join(broadcast(qv)).where(F.col("vec_id") != F.col("qid"))
+    if metric == "cosine":
+        dot = F.expr(
+            f"aggregate(zip_with(q_emb, embedding, (x, y) ->"
+            f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+            f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+        )
+        scored = pairs.select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            F.round(
+                dot.cast("double")
+                / F.sqrt(
+                    F.col("nrm").cast("double") * F.col("q_nrm").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("vid")
+        )
+    else:  # squared L2
+        d2 = F.expr(
+            f"aggregate(zip_with(q_emb, embedding, (x, y) ->"
+            f" CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS {PDEC})),"
+            f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+        )
+        scored = pairs.select(
+            "qid", F.col("vec_id").alias("vid"), d2.alias("score")
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").asc(), F.col("vid")
+        )
+    return (
+        scored.select("qid", "vid", F.row_number().over(w).alias("erk"))
+        .where(F.col("erk") <= k)
+        .select("qid", "vid")
+    )
+
+
+def with_recall(
+    result: DataFrame, emb: DataFrame, k: int = TOP_K, metric: str = "cosine"
+) -> DataFrame:
+    """Append a per-query ``recall`` column — |ANN top-k ∩ exact
+    top-k| / k, the exact side recomputed in-plan by
+    ``exact_topk_fast`` — so a rows-only driver check certifies
+    retrieval QUALITY, not just liveness (round-5 VERDICT #3): a
+    broken ANN index now shows recall 0.0 in its own output.
+
+    Scale: the exact side is #queries·N codegen dots (linear, no
+    shuffle), the intersection is a broadcast semi-join on ≤ #queries·k
+    rows — negligible against candidate generation at any corpus size.
+    """
+    exact = exact_topk_fast(emb, k, metric)
+    hits = (
+        result.select("qid", "vid")
+        .join(exact, ["qid", "vid"], "left_semi")
+        .groupBy("qid")
+        .agg((F.count("*") / F.lit(float(k))).alias("recall"))
+    )
+    return result.join(broadcast(hits), "qid", "left").na.fill(
+        {"recall": 0.0}
+    )
+
+
 N_PLANES = 4  # planes per band (2^4 = 16 buckets per band)
 N_BANDS = 16  # base OR-amplified band count (corpus <= ANN_BASE_N vectors)
 ANN_BASE_N = 500  # corpus size the base band count was tuned at
@@ -345,9 +435,10 @@ def sim_ann_lsh(
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
-    return pairs.select(
+    topk = pairs.select(
         "qid", "vid", "cosine", F.row_number().over(w).alias("rk")
     ).where(F.col("rk") <= TOP_K)
+    return with_recall(topk, emb, TOP_K, "cosine")
 
 
 N_CELLS = 8  # IVF cell count (sized for the test corpus)
@@ -431,7 +522,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     scored = cosine_topk(spark, cand_vecs, queries, TOP_K)
-    return scored.join(cand_ids, ["qid", "vid"], "left_semi")
+    topk = scored.join(cand_ids, ["qid", "vid"], "left_semi")
+    return with_recall(topk, emb, TOP_K, "cosine")
 
 
 def kmeans_centroids(
@@ -514,7 +606,8 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     scored = cosine_topk(spark, cand_vecs, queries, TOP_K)
-    return scored.join(cand_ids, ["qid", "vid"], "left_semi")
+    topk = scored.join(cand_ids, ["qid", "vid"], "left_semi")
+    return with_recall(topk, emb, TOP_K, "cosine")
 
 
 # ------------------------------------------------------------ product
@@ -697,16 +790,13 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(shortlist), ["qid", "vid"], "left_semi")
     )
     we = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vid"))
-    return (
-        exact.select(
-            "qid",
-            "vid",
-            F.round(F.col("d2").cast("double"), 6).alias("l2_dist"),
-            F.row_number().over(we).alias("rk"),
-        )
-        .where(F.col("rk") <= TOP_K)
-        .orderBy("qid", "rk")
-    )
+    topk = exact.select(
+        "qid",
+        "vid",
+        F.round(F.col("d2").cast("double"), 6).alias("l2_dist"),
+        F.row_number().over(we).alias("rk"),
+    ).where(F.col("rk") <= TOP_K)
+    return with_recall(topk, emb, TOP_K, "l2").orderBy("qid", "rk")
 
 
 # --------------------------------------------- MMR diversified top-k
@@ -778,9 +868,28 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("mmr_score", T.DoubleType()),
         ]
     )
+    picked = enriched.groupBy("qid").applyInPandas(
+        _mmr_select, schema=out_schema
+    )
+    # Self-certifying invariant (round-5 VERDICT #3): MMR's FIRST pick
+    # maximizes λ·rel with no diversity penalty yet, so it must equal
+    # the exact-cosine top-1 — recomputed in-plan by exact_topk_fast.
+    # A per-query boolean `verified` column makes the driver's
+    # rows-only check assert the greedy kernel, not just row liveness.
+    top1 = exact_topk_fast(emb, 1, "cosine").select(
+        "qid", F.col("vid").alias("exact_top1")
+    )
+    flags = (
+        picked.where(F.col("rank") == 1)
+        .join(broadcast(top1), "qid", "left")
+        .select(
+            "qid",
+            (F.col("vid") == F.col("exact_top1")).alias("verified"),
+        )
+    )
     return (
-        enriched.groupBy("qid")
-        .applyInPandas(_mmr_select, schema=out_schema)
+        picked.join(broadcast(flags), "qid", "left")
+        .na.fill({"verified": False})
         .orderBy("qid", "rank")
     )
 

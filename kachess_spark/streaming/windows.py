@@ -536,6 +536,17 @@ def streaming_foreach_batch_upsert(
             os.remove(tmp_link)
         os.symlink(version, tmp_link)
         os.replace(tmp_link, current)
+        # Prune old versions: keep v{batch_id} and the immediately-previous
+        # version (a crash-replay of THIS batch re-reads it); everything
+        # older is unreachable.  Without this, a long availableNow backlog
+        # (one file per microbatch) grows the scratch dir as
+        # O(batches x table size).
+        keep = {os.path.basename(version)}
+        if prev is not None:
+            keep.add(os.path.basename(prev))
+        for d in os.listdir(state_root):
+            if re.fullmatch(r"v(\d+)", d) and d not in keep:
+                shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
 
     ev = source if source is not None else stream_events(spark, sf_dir)
     q = (

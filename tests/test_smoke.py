@@ -582,3 +582,72 @@ def test_bpe_apply_matches_independent_encoder(spark, sf_dir):
     unmerged = sum((len(w) + 1) * c for w, c in vocab.items())
     total = sum(word_len[w] * c for w, c in vocab.items())
     assert len(merges) > 0 and total < unmerged
+
+
+def test_ann_emitted_recall_columns(spark, sf_dir):
+    """Every ANN operator now emits a per-query `recall` column (the
+    exact side recomputed in-plan by exact_topk_fast) so the driver's
+    rows-only check certifies retrieval quality (round-5 VERDICT #3).
+    Pin: the emitted value equals recall computed EXTERNALLY against
+    sim_cosine_topk, for every operator and query."""
+    from kachess_spark.pipeline.similarity import (
+        TOP_K,
+        sim_ann_lsh,
+        sim_cosine_topk,
+        sim_ivf_kmeans_topk,
+        sim_ivf_topk,
+    )
+
+    exact = {}
+    for r in sim_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.qid, set()).add(r.vid)
+    for fn in (sim_ann_lsh, sim_ivf_topk, sim_ivf_kmeans_topk):
+        rows = fn(spark, sf_dir).collect()
+        assert rows, fn.__name__
+        got = {}
+        emitted = {}
+        for r in rows:
+            got.setdefault(r.qid, set()).add(r.vid)
+            emitted[r.qid] = r.recall
+            assert 0.0 <= r.recall <= 1.0
+        for qid, vids in got.items():
+            want = len(vids & exact[qid]) / float(TOP_K)
+            assert abs(emitted[qid] - want) < 1e-9, (fn.__name__, qid)
+
+
+def test_pq_emitted_recall_column(spark, sf_dir):
+    """sim_pq_adc_topk emits recall vs the exact squared-L2 top-k (PQ's
+    own ground-truth metric).  Pin the emitted value against an
+    externally recomputed L2 top-k."""
+    from kachess_spark.pipeline.similarity import (
+        QUERY_IDS,
+        TOP_K,
+        exact_topk_fast,
+        sim_pq_adc_topk,
+    )
+    from kachess_spark.catalog import Tables
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    exact = {}
+    for r in exact_topk_fast(emb, TOP_K, "l2").collect():
+        exact.setdefault(r.qid, set()).add(r.vid)
+    rows = sim_pq_adc_topk(spark, sf_dir).collect()
+    assert {r.qid for r in rows} == set(QUERY_IDS)
+    got, emitted = {}, {}
+    for r in rows:
+        got.setdefault(r.qid, set()).add(r.vid)
+        emitted[r.qid] = r.recall
+    for qid, vids in got.items():
+        want = len(vids & exact[qid]) / float(TOP_K)
+        assert abs(emitted[qid] - want) < 1e-9, qid
+
+
+def test_mmr_emitted_verified_column(spark, sf_dir):
+    """sim_mmr_topk's `verified` column asserts the greedy kernel's
+    first pick equals the exact-cosine top-1 — must be True for every
+    query at any corpus (the first pick has no diversity penalty)."""
+    from kachess_spark.pipeline.similarity import sim_mmr_topk
+
+    rows = sim_mmr_topk(spark, sf_dir).collect()
+    assert rows
+    assert all(r.verified for r in rows)
