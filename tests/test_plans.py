@@ -406,16 +406,51 @@ def test_banded_lsh_no_cartesian(spark, sf_dir):
     """sim_ann_lsh: candidate generation must be the (band, bucket)
     equality join with the query side broadcast — never a cartesian or
     all-pairs product — and scoring must stay JVM-side (zip_with dot,
-    no EvalPython)."""
-    from kachess_spark.pipeline.similarity import sim_ann_lsh
+    no EvalPython).  Asserted on the certify=False plan: the recall
+    certificate deliberately adds a broadcast nested-loop baseline
+    (#queries x N codegen dots — linear, query side broadcast), which
+    the second half of this test pins down."""
+    from kachess_spark.pipeline.similarity import QUERY_IDS, sim_ann_lsh
 
-    df = sim_ann_lsh(spark, sf_dir)
+    df = sim_ann_lsh(spark, sf_dir, certify=False)
     df.count()
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
     assert "Broadcast" in plan
+
+    # certified plan: the ONLY nested-loop join allowed is the recall
+    # baseline's, and it must build (broadcast) the <=len(QUERY_IDS)-row
+    # query side — a linear scan, not an all-pairs product.
+    cert = sim_ann_lsh(spark, sf_dir)
+    cert.count()
+    cplan = _plan(cert)
+    assert "CartesianProduct" not in cplan
+    assert "recall" in cert.columns
+    bnlj = cplan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 1
+    if bnlj:
+        # the BNLJ's build side is the broadcast side; exact_topk_fast
+        # broadcasts qv (the query vectors), so the join must be
+        # BuildRight over a plan whose broadcast input is the filtered
+        # <=15-row query relation.
+        assert len(QUERY_IDS) <= 15
+        assert "BroadcastNestedLoopJoin BuildRight" in cplan
+
+
+def test_ann_certify_flag_paths(spark, sf_dir):
+    """certify=True (the driver default) appends the in-plan recall
+    column; certify=False returns the bare top-k with no recall
+    baseline in the plan (production callers can skip the 2x cost)."""
+    from kachess_spark.pipeline.similarity import sim_ann_lsh
+
+    bare = sim_ann_lsh(spark, sf_dir, certify=False)
+    assert "recall" not in bare.columns
+    cert = sim_ann_lsh(spark, sf_dir)
+    assert "recall" in cert.columns
+    rows = cert.select("qid", "recall").distinct().collect()
+    assert rows and all(0.0 <= r["recall"] <= 1.0 for r in rows)
 
 
 def test_png_roundtrip_arrow_batched(spark, sf_dir):

@@ -29,7 +29,8 @@ METHODS = [
     ("sim_ivf_kmeans_topk", "IVF, N_CELLS=8, N_PROBE=2, 3 k-means iters"),
     (
         "sim_pq_adc_topk",
-        "PQ-ADC, M=4 subspaces x 16 codewords, shortlist 128 + exact re-rank",
+        "PQ-ADC, M=4 subspaces x 16 codewords, adaptive pq_shortlist(n)"
+        " (128 at n<=500, +64/doubling, cap 1024) + exact re-rank",
     ),
 ]
 
