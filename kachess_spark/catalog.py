@@ -11,6 +11,7 @@ only this module would change.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,9 +35,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Session-scoped DataFrame cache: spark.read.parquet costs a file
+# listing + schema RPC per call, and every query invocation paid it
+# again for every table it touches (~50-150 ms each — measured as a
+# third of some headline queries' wall, all driver-side).  DataFrames
+# are immutable plan handles, so one per (session, path) is safe to
+# share across queries; the WeakKey keeps stopped sessions collectable.
+# The testdata dirs are read-only, so a cached file listing never goes
+# stale (a mutable-table deployment would key on a snapshot/version).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = table_path(sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         # timestamp semantics must not depend on who built the session
         # (the external driver supplies its own): epoch arithmetic in the

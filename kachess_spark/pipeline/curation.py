@@ -731,6 +731,14 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.coalesce(F.sum("n_tok").cast("long"), F.lit(0)).alias("n_tokens"),
         ).select("stage", "name", "n_docs", "n_tokens")
+    # Fill ALL barrier caches with ONE linear job before the union:
+    # persist() is lazy, and the union's five branches otherwise race
+    # to compute the still-empty caches concurrently — an intermittent
+    # 3x wall blowup measured on identical runs (5.9 s vs 18.0 s).
+    # dec's plan reads near -> (ex, expl -> sh -> ex), so this single
+    # count materializes every barrier in dependency order, exactly
+    # once, with no extra passes.
+    dec.count()
     out = (
         stage(base, 1, "raw")
         .unionAll(stage(ex, 2, "exact_dedup"))

@@ -324,25 +324,27 @@ def banded_hyperplane_buckets(df: DataFrame, n_bands: int | None = None) -> Data
         n_bands = ann_n_bands(df.count())
     # single-row-group parquet → spread before the CPU-bound folds
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_id")
-    # The L·b sign matrix travels as DATA (a 1-row LocalRelation,
-    # broadcast-joined) rather than as a 4k-literal expression tree:
-    # the literal form made EVERY call pay seconds of driver
-    # analysis/codegen over a ~4 KB constant (first call 10 s+), while
-    # a broadcast row analyzes in milliseconds and the executor-side
-    # fold is identical.
-    mat = df.sparkSession.createDataFrame(
+    # The L·b sign matrix travels as ONE string literal decoded by
+    # from_json, which ConstantFolding collapses to a literal array at
+    # optimize time — a single expression node, so analysis stays
+    # milliseconds (a 4k-element nested-literal tree cost 10 s+ of
+    # driver analysis; the earlier 1-row broadcast-DataFrame join was
+    # fast but planned as a BroadcastNestedLoopJoin, muddying the
+    # no-all-pairs plan assertions) and the executor-side fold reads a
+    # constant.
+    import json
+
+    signs_json = json.dumps(
         [
-            (
-                [
-                    _plane_signs(b, p, dim)
-                    for b in range(n_bands)
-                    for p in range(N_PLANES)
-                ],
-            )
-        ],
-        "signs: array<array<double>>",
+            _plane_signs(b, p, dim)
+            for b in range(n_bands)
+            for p in range(N_PLANES)
+        ]
     )
-    df = df.join(F.broadcast(mat))
+    df = df.withColumn(
+        "signs",
+        F.from_json(F.lit(signs_json), "array<array<double>>"),
+    )
     dots = (
         f"transform(signs, s ->"
         f" aggregate(zip_with(embedding, s, (x, sg) ->"
@@ -389,9 +391,7 @@ def sim_ann_lsh(
     emb = t.embeddings.select("vec_id", "embedding")
     # materialize: the bucket table feeds BOTH the query filter and the
     # probe join — without the barrier the 64-dot projection runs twice
-    buckets = banded_hyperplane_buckets(emb, n_bands).localCheckpoint(
-        eager=False
-    )
+    buckets = banded_hyperplane_buckets(emb, n_bands).persist()
     queries = buckets.where(F.col("vid").isin(*QUERY_IDS)).select(
         F.col("vid").alias("qid"), "band", "bucket"
     )
