@@ -664,11 +664,18 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("words") >= 3)
         .select("doc_id", "lang", F.expr(_SHINGLES_EXPR).alias("shingles"))
     )
+    # explode_outer, NOT explode: for an inner explode Catalyst infers
+    # `size(shingles) > 0 AND isnotnull(shingles)` and pushes it below
+    # the repartition, inlining the whole regexp+split+transform
+    # shingle expression ~3x into a per-row Filter (measured 25 s vs
+    # 1 s at sf0.1 — the round-6 sh.persist() used to block exactly
+    # this pushdown).  Output is identical: every >=3-word doc has
+    # >=1 shingle, so no null rows are produced.
     expl = sh.select(
         "doc_id",
         "lang",
         F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
+        F.explode_outer("shingles").alias("shingle"),
     ).persist()
     a, b = expl.alias("a"), expl.alias("b")
     contained = (
