@@ -1574,3 +1574,122 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= CONTAIN_TAU)
         .orderBy("contained", "container")
     )
+
+
+# ------------------------------------- longest shared substring run
+
+SUBRUN_MIN = 8  # min shared run, in 3-gram shingles (≈ 10 words)
+SUBRUN_DF_CAP = 50  # shingles in more docs than this are stop-shingles
+
+_SUBRUN_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_CANON_SQL}, ' ') AS words
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, t.i AS pos,
+             words[t.i] || ' ' || words[t.i+1] || ' ' || words[t.i+2] AS sh
+      FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+      WHERE len(words) >= 3
+    ),
+    keep AS (
+      SELECT sh FROM (
+        SELECT sh, count(DISTINCT doc_id) AS c FROM p GROUP BY sh
+      ) WHERE c BETWEEN 2 AND {SUBRUN_DF_CAP}
+    ),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM p a JOIN p b USING (sh) JOIN keep USING (sh)
+      WHERE a.doc_id < b.doc_id
+    ),
+    r AS (
+      SELECT da, db, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+                                     ORDER BY pa) AS grp,
+             pa - pb AS delta
+      FROM m
+    ),
+    runs AS (
+      SELECT da, db, count(*) AS run_len
+      FROM r GROUP BY da, db, delta, grp
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM runs GROUP BY da, db
+    HAVING MAX(run_len) >= {SUBRUN_MIN}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_substring_run", _SUBRUN_ORACLE)
+def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared contiguous substring run per document pair — the
+    diagonal-run primitive of exact-substring training-data dedup (the
+    suffix-array family's output, computed relationally): positional
+    3-gram shingles matched across docs form diagonals (constant
+    pa−pb); consecutive positions on a diagonal are a verbatim shared
+    passage, and pairs whose longest run ≥ {SUBRUN_MIN} shingles
+    (≈ {SUBRUN_MIN + 2} words) are substring-duplicates that doc-level
+    MinHash can miss entirely (a long quote inside an otherwise-unique
+    doc).
+
+    Scale shape: positional postings are hashed to 64-bit xxhash64
+    fingerprints BEFORE the shuffle (string-keyed oracle pins collisions
+    at test scale, as in dedup_span_overlap); the document-frequency cap
+    ({SUBRUN_DF_CAP}) drops stop-shingles so no fingerprint fans out
+    more than C(cap,2) pairs — the self-join is bounded per key, never
+    quadratic in corpus size.  Postings are exchanged ONCE on the
+    fingerprint (the df-count groupBy, the keep semi-join, and the
+    self-join all reuse that partitioning); the diagonal run-length pass
+    is a window + groupBy on the matched-pair stream, which the df cap
+    keeps proportional to true duplication, not corpus².
+    """
+    t = Tables(spark, sf_dir)
+    posts = (
+        t.documents.select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
+        .where(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 3), i ->"
+                    " xxhash64(concat_ws(' ', words[i], words[i+1],"
+                    " words[i+2])))"
+                )
+            ).alias("pos", "fp"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "fp")
+        .localCheckpoint(eager=False)
+    )
+    keep = (
+        posts.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("c"))
+        .where((F.col("c") >= 2) & (F.col("c") <= SUBRUN_DF_CAP))
+        .select("fp")
+    )
+    matched = posts.join(keep, "fp")
+    a = matched.select(
+        "fp", F.col("doc_id").alias("da"), F.col("pos").alias("pa")
+    )
+    b = matched.select(
+        "fp", F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    m = (
+        a.join(b, "fp")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", "pa", (F.col("pa") - F.col("pb")).alias("delta"))
+    )
+    w = Window.partitionBy("da", "db", "delta").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("da", "db", "delta", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+        )
+        .agg(F.max("run_len").alias("max_run"))
+        .where(F.col("max_run") >= SUBRUN_MIN)
+        .orderBy("doc_a", "doc_b")
+    )

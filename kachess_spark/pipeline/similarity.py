@@ -1103,3 +1103,202 @@ def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# ------------------------------------------- int8 embedding quantization
+
+# Shared quantization rule (both engines, formula-identical): symmetric
+# per-vector int8 — scale = max|x|, q_i = floor(x_i·127/scale + 0.5).
+# floor(+0.5) instead of round() because the engines disagree on
+# round-half behavior for negative doubles; floor is unambiguous.
+_MA_SQL = (
+    "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"
+)
+_Q_LAMBDA = (
+    "x -> CAST(CASE WHEN ma = 0 THEN 0"
+    " ELSE floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) END AS BIGINT)"
+)
+
+_INT8_ORACLE = """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, ma,
+             list_transform(embedding, x -> CAST(CASE WHEN ma = 0 THEN 0
+                 ELSE floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5)
+                 END AS BIGINT)) AS qv,
+             len(embedding) AS dim
+      FROM s
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(floor(ma * 1e6 + 0.5) AS BIGINT) AS scale_q,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+           CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum')
+                AS BIGINT) AS qabs,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+    FROM q
+    ORDER BY vec_id
+"""
+
+
+@query("emb_int8_quantize", _INT8_ORACLE)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization profile of the embedding
+    store — the storage/bandwidth op behind every production vector
+    index (4x smaller vectors, SIMD-int dot products downstream).  Per
+    vector: the 1e6-fixed-point scale, quantized sum / L1 mass, and the
+    saturation count (elements hitting ±127 — exactly the max-|x|
+    elements under symmetric scaling).
+
+    Exactness: the only float math is x·127/scale, formula-identical in
+    the oracle, then floor() makes the int8 codes integer-exact — every
+    output column is integer arithmetic from there, so the cross-engine
+    hash match certifies the codes themselves, not a rounded proxy.
+
+    Scale: one narrow projection pass — per-vector lambdas inside
+    whole-stage codegen, no shuffle at all until the final presentation
+    sort.  100 TB of vectors quantize embarrassingly parallel.
+    """
+    t = Tables(spark, sf_dir)
+    s = t.embeddings.select(
+        "vec_id", "embedding", F.expr(_MA_SQL).alias("ma")
+    )
+    q = s.select(
+        "vec_id",
+        "ma",
+        F.expr(f"transform(embedding, {_Q_LAMBDA})").alias("qv"),
+        F.size("embedding").alias("dim"),
+    )
+    return q.select(
+        "vec_id",
+        "dim",
+        F.expr("CAST(floor(ma * 1e6 + 0.5) AS BIGINT)").alias("scale_q"),
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("qsum"),
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + abs(v))"
+        ).alias("qabs"),
+        F.expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS INT)").alias(
+            "n_sat"
+        ),
+    ).orderBy("vec_id")
+
+
+# ------------------------------------------- int8 quantized retrieval
+
+_INT8_TOPK_ORACLE = f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+      FROM embeddings
+    ),
+    qt AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(CASE WHEN ma = 0 THEN 0
+                 ELSE floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5)
+                 END AS BIGINT)) AS qv
+      FROM s
+    ),
+    qn AS (
+      SELECT vec_id, qv,
+             CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+                  AS BIGINT) AS qn
+      FROM qt
+    ),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS vid,
+             ROUND(CAST(list_aggregate(list_transform(
+                       list_zip(a.qv, b.qv), s -> s[1] * s[2]), 'sum')
+                       AS DOUBLE)
+                   / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE)),
+                   6) AS q_cosine
+      FROM qn a JOIN qn b
+        ON a.vec_id IN {QUERY_IDS} AND b.vec_id <> a.vec_id
+    )
+    SELECT qid, vid, q_cosine, rk FROM (
+      SELECT qid, vid, q_cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY q_cosine DESC, vid) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    ORDER BY qid, rk
+"""
+
+
+@query("sim_int8_topk", _INT8_TOPK_ORACLE)
+def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} retrieval over int8-QUANTIZED vectors for the
+    {QUERY_IDS} probes — the memory-bandwidth-bound scale path of
+    brute-force search: 4x fewer bytes per vector and integer dot
+    products (what a SIMD VNNI kernel executes), ranked by the cosine
+    of the quantized representations (the per-vector scales cancel in
+    the cosine, so no dequantization is needed).
+
+    Exactness: dots and norms are pure int64 arithmetic on the int8
+    codes — exact in both engines — and the final cosine divides two
+    exactly-representable integers (|dot| ≤ 64·127² < 2^53), so the
+    oracle hash-checks the full ranking, which float-dot ANN operators
+    cannot (this is the one top-k in the module that needs no
+    rows-only concession and no recall certificate: it IS exact for
+    what it computes).
+
+    Scale: quantize in one codegen map, broadcast the ≤{TOP_K} query
+    codes, one narrow pass of integer dots over the corpus (the
+    deliberate small-side broadcast nested loop of exact_topk_fast),
+    final per-query window on #queries·N scored rows.  int8 recall vs
+    the float exact top-k is asserted in pytest (≥0.8 on the fixture
+    corpus).
+    """
+    t = Tables(spark, sf_dir)
+    s = t.embeddings.select(
+        "vec_id", "embedding", F.expr(_MA_SQL).alias("ma")
+    )
+    qt = s.select(
+        "vec_id", F.expr(f"transform(embedding, {_Q_LAMBDA})").alias("qv")
+    )
+    qn = qt.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+        ).alias("qn"),
+    )
+    probes = qn.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("q_qv"),
+        F.col("qn").alias("q_qn"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_qv, qv, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    scored = (
+        qn.join(broadcast(probes))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            F.round(
+                dot.cast("double")
+                / F.sqrt(
+                    F.col("q_qn").cast("double") * F.col("qn").cast("double")
+                ),
+                6,
+            ).alias("q_cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("q_cosine").desc(), F.col("vid"))
+    return (
+        scored.select(
+            "qid", "vid", "q_cosine", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )

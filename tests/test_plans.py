@@ -560,3 +560,80 @@ def test_bigram_join_strategy_auto_selects(spark, sf_dir):
     assert sorted(map(tuple, bcast.collect())) == sorted(
         map(tuple, shuffled.collect())
     )
+
+
+def test_int8_quantize_no_shuffle_narrow(spark, sf_dir):
+    """emb_int8_quantize: quantization is one codegen projection pass —
+    no Exchange before the presentation sort, no Python eval."""
+    from kachess_spark.pipeline.similarity import emb_int8_quantize
+
+    df = emb_int8_quantize(spark, sf_dir)
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    # the ONLY exchange is the rangepartitioning of the final orderBy
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_int8_topk_broadcast_small_side(spark, sf_dir):
+    """sim_int8_topk: the corpus is never collected — the ≤3-row probe
+    side broadcasts (a deliberate small-side BNLJ, same contract as
+    exact_topk_fast); integer dots stay in codegen."""
+    from kachess_spark.pipeline.similarity import QUERY_IDS, sim_int8_topk
+
+    df = sim_int8_topk(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    if "BroadcastNestedLoopJoin" in plan:
+        # the build side must be the probe side (BuildRight after
+        # qn.join(broadcast(probes)))
+        assert "BuildRight" in plan
+
+
+def test_int8_topk_recall_vs_float_exact(spark, sf_dir):
+    """int8 quantization must preserve retrieval quality: top-5 by
+    quantized cosine vs top-5 by exact float cosine, recall ≥ 0.8
+    averaged over the probe queries."""
+    from kachess_spark.pipeline.similarity import (
+        QUERY_IDS,
+        TOP_K,
+        exact_topk_fast,
+        sim_int8_topk,
+    )
+    from kachess_spark.catalog import Tables
+
+    got = sim_int8_topk(spark, sf_dir).toPandas()
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    exact = exact_topk_fast(emb, TOP_K, "cosine").toPandas()
+    hits = total = 0
+    for qid in QUERY_IDS:
+        g = set(got[got.qid == qid].vid)
+        e = set(exact[exact.qid == qid].vid)
+        hits += len(g & e)
+        total += TOP_K
+    assert hits / total >= 0.8, f"int8 recall {hits}/{total}"
+
+
+def test_substring_run_no_cartesian_df_capped(spark, sf_dir):
+    """dedup_substring_run: pair candidates come from the fingerprint
+    equality join over df-capped postings — no cartesian, no Python;
+    postings carry 64-bit fingerprints (not span strings) into the
+    shuffle."""
+    from kachess_spark.pipeline.dedup import dedup_substring_run
+
+    df = dedup_substring_run(spark, sf_dir)
+    df.count()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # postings enter the shuffle as 64-bit fingerprints, not span
+    # strings (the localCheckpoint truncates lineage to a LogicalRDD,
+    # so assert on the checkpointed schema: fp#<id>L = LongType)
+    import re
+
+    assert re.search(r"LogicalRDD \[doc_id#\d+L, pos#\d+, fp#\d+L\]", _optimized(df))
