@@ -597,7 +597,7 @@ def dedup_embedding_cosine(
     )
 
 
-_CC_ORACLE = f"""
+_CC_CTES = f"""
     WITH RECURSIVE sigs AS (
       SELECT doc_id, {", ".join(_oracle_minhash(i) for i in range(N_HASHES))}
       FROM documents
@@ -633,12 +633,18 @@ _CC_ORACLE = f"""
       FROM sigs s LEFT JOIN reach r ON r.u = s.doc_id
       GROUP BY s.doc_id
     )
+"""
+
+_CC_ORACLE = (
+    _CC_CTES
+    + """
     SELECT doc_id, component_id,
            count(*) OVER (PARTITION BY component_id) AS component_size,
            CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS keep
     FROM comp
     ORDER BY doc_id
 """
+)
 
 
 @query("dedup_connected_components", _CC_ORACLE)
@@ -655,6 +661,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kachess_spark.operators.graph import dedup_groups
 
+    pairs, universe = _lsh_pairs_and_universe(spark, sf_dir)
+    return dedup_groups(pairs, universe).orderBy("doc_id")
+
+
+def _lsh_pairs_and_universe(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash-LSH candidate pairs + the ≥3-word doc universe — the
+    shared front half of the component-based dedup queries."""
     t = Tables(spark, sf_dir)
     # ONE signature pass: universe and LSH bands both derive from sigs
     # (running dedup_minhash_lsh + a separate shingle pass would run the
@@ -683,7 +698,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     universe = sigs.select("doc_id")
-    return dedup_groups(pairs, universe).orderBy("doc_id")
+    return pairs, universe
 
 
 _INCR_ORACLE = f"""
@@ -1581,6 +1596,50 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBRUN_MIN = 8  # min shared run, in 3-gram shingles (≈ 10 words)
 SUBRUN_DF_CAP = 50  # shingles in more docs than this are stop-shingles
 
+def _diagonal_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document positional shingle matches (da < db): the shared
+    candidate stream of the substring-run family.  Positional 3-gram
+    postings are fingerprinted to 64 bits BEFORE the exchange, df-capped
+    (``SUBRUN_DF_CAP``) to drop stop-shingles, and self-joined on the
+    fingerprint — the df-count groupBy, the keep semi-join, and the
+    self-join all reuse one hash partitioning on ``fp``."""
+    t = Tables(spark, sf_dir)
+    posts = (
+        t.documents.select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
+        .where(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 3), i ->"
+                    " xxhash64(concat_ws(' ', words[i], words[i+1],"
+                    " words[i+2])))"
+                )
+            ).alias("pos", "fp"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "fp")
+        .localCheckpoint(eager=False)
+    )
+    keep = (
+        posts.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("c"))
+        .where((F.col("c") >= 2) & (F.col("c") <= SUBRUN_DF_CAP))
+        .select("fp")
+    )
+    matched = posts.join(keep, "fp")
+    a = matched.select(
+        "fp", F.col("doc_id").alias("da"), F.col("pos").alias("pa")
+    )
+    b = matched.select(
+        "fp", F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "fp")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", "pa", "pb")
+    )
+
+
 _SUBRUN_ORACLE = f"""
     WITH w AS (
       SELECT doc_id, string_split({_CANON_SQL}, ' ') AS words
@@ -1644,40 +1703,8 @@ def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a window + groupBy on the matched-pair stream, which the df cap
     keeps proportional to true duplication, not corpus².
     """
-    t = Tables(spark, sf_dir)
-    posts = (
-        t.documents.select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
-        .where(F.size("words") >= 3)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(0, size(words) - 3), i ->"
-                    " xxhash64(concat_ws(' ', words[i], words[i+1],"
-                    " words[i+2])))"
-                )
-            ).alias("pos", "fp"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism, "fp")
-        .localCheckpoint(eager=False)
-    )
-    keep = (
-        posts.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("c"))
-        .where((F.col("c") >= 2) & (F.col("c") <= SUBRUN_DF_CAP))
-        .select("fp")
-    )
-    matched = posts.join(keep, "fp")
-    a = matched.select(
-        "fp", F.col("doc_id").alias("da"), F.col("pos").alias("pa")
-    )
-    b = matched.select(
-        "fp", F.col("doc_id").alias("db"), F.col("pos").alias("pb")
-    )
-    m = (
-        a.join(b, "fp")
-        .where(F.col("da") < F.col("db"))
-        .select("da", "db", "pa", (F.col("pa") - F.col("pb")).alias("delta"))
+    m = _diagonal_matches(spark, sf_dir).select(
+        "da", "db", "pa", (F.col("pa") - F.col("pb")).alias("delta")
     )
     w = Window.partitionBy("da", "db", "delta").orderBy("pa")
     runs = (
@@ -1692,4 +1719,171 @@ def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("run_len").alias("max_run"))
         .where(F.col("max_run") >= SUBRUN_MIN)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+_SUBSPAN_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_CANON_SQL}, ' ') AS words
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, t.i - 1 AS pos,
+             words[t.i] || ' ' || words[t.i+1] || ' ' || words[t.i+2] AS sh
+      FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+      WHERE len(words) >= 3
+    ),
+    keep AS (
+      SELECT sh FROM (
+        SELECT sh, count(DISTINCT doc_id) AS c FROM p GROUP BY sh
+      ) WHERE c BETWEEN 2 AND {SUBRUN_DF_CAP}
+    ),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM p a JOIN p b USING (sh) JOIN keep USING (sh)
+      WHERE a.doc_id < b.doc_id
+    ),
+    r AS (
+      SELECT da, db, pb, pa - pb AS delta,
+             pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+                                     ORDER BY pb) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT db AS doc_id, MIN(pb) AS s, MIN(pb) + count(*) + 1 AS e
+      FROM r GROUP BY da, db, delta, grp
+      HAVING count(*) >= {SUBRUN_MIN}
+    ),
+    ivl AS (SELECT DISTINCT doc_id, s, e FROM runs),
+    flag AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(MAX(e) OVER (
+                 PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_island
+      FROM ivl
+    ),
+    grp2 AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id
+                                   ORDER BY s, e) AS island
+      FROM flag
+    )
+    SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_words
+    FROM grp2 GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""
+
+
+@query("dedup_substring_spans", _SUBSPAN_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged duplicated-passage spans per document — the ACTIONABLE
+    output of exact-substring dedup: for every doc, the 0-based word
+    intervals [span_start, span_end] that verbatim-repeat a passage of
+    an earlier (lower doc_id) document, ready to cut before training
+    (keep-first policy, matching dedup_span_overlap).  A run of L ≥
+    {SUBRUN_MIN} consecutive diagonal matches covers L+2 words;
+    overlapping runs — from different source docs or different
+    diagonals — merge into maximal spans via the classic
+    running-max-end island pass.
+
+    Scale shape: shares ``_diagonal_matches`` (df-capped 64-bit
+    positional postings, one exchange, per-key-bounded fan-out) with
+    dedup_substring_run; the interval-merge window partitions by
+    doc_id — per-document interval counts are bounded by document
+    length, so no partition outgrows a task at any corpus size.
+    """
+    m = _diagonal_matches(spark, sf_dir).select(
+        "da", "db", "pb", (F.col("pa") - F.col("pb")).alias("delta")
+    )
+    wrun = Window.partitionBy("da", "db", "delta").orderBy("pb")
+    runs = (
+        m.withColumn("grp", F.col("pb") - F.row_number().over(wrun))
+        .groupBy("da", "db", "delta", "grp")
+        .agg(F.min("pb").alias("s"), F.count("*").alias("run_len"))
+        .where(F.col("run_len") >= SUBRUN_MIN)
+        .select(
+            F.col("db").alias("doc_id"),
+            "s",
+            (F.col("s") + F.col("run_len") + F.lit(1)).alias("e"),
+        )
+    )
+    ivl = runs.distinct()
+    wdoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = ivl.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
+    )
+    grp2 = flag.withColumn("island", F.sum("new_island").over(wdoc))
+    return (
+        grp2.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("s") + F.lit(1)).alias("span_words"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_words").cast("long").alias("span_words"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_KEEP_LONGEST_ORACLE = (
+    _CC_CTES
+    + """
+    , ranked AS (
+      SELECT c.doc_id, c.component_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rnk
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component_id, n_chars,
+           CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS keep
+    FROM ranked
+    ORDER BY doc_id
+"""
+)
+
+
+@query("dedup_keep_longest", _KEEP_LONGEST_ORACLE)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster-representative selection: the same LSH →
+    connected-components duplicate groups as
+    dedup_connected_components, but the survivor is the LONGEST member
+    (ties → min doc_id) instead of the min-id one — the policy real
+    curation pipelines use, since the longest near-duplicate usually
+    dominates its truncated or boilerplate-trimmed copies.
+
+    Scale shape: adds exactly one broadcast-able projection (doc_id,
+    n_chars) and a per-component window to the components pass; the
+    window partitions on component_id, whose cardinality is the number
+    of duplicate groups — the skew ceiling is the largest duplicate
+    cluster, identical to the base operator's.
+    """
+    from kachess_spark.operators.graph import dedup_groups
+
+    t = Tables(spark, sf_dir)
+    pairs, universe = _lsh_pairs_and_universe(spark, sf_dir)
+    labeled = dedup_groups(pairs, universe).select("doc_id", "component_id")
+    wc = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.join(t.documents.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rnk", F.row_number().over(wc))
+        .select(
+            "doc_id",
+            "component_id",
+            "n_chars",
+            F.when(F.col("rnk") == 1, 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("doc_id")
     )

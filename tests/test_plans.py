@@ -637,3 +637,40 @@ def test_substring_run_no_cartesian_df_capped(spark, sf_dir):
     import re
 
     assert re.search(r"LogicalRDD \[doc_id#\d+L, pos#\d+, fp#\d+L\]", _optimized(df))
+
+
+def test_substring_spans_merge_semantics(spark, sf_dir):
+    """dedup_substring_spans: spans are maximal (no two spans of one
+    doc overlap or touch), each is >= SUBRUN_MIN+2 words, and every
+    span lies inside its document."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.dedup import SUBRUN_MIN, dedup_substring_spans
+
+    df = dedup_substring_spans(spark, sf_dir)
+    pdf = df.toPandas()
+    assert (pdf.span_words >= SUBRUN_MIN + 2).all()
+    assert (pdf.span_end - pdf.span_start + 1 == pdf.span_words).all()
+    for _, g in pdf.groupby("doc_id"):
+        g = g.sort_values("span_start")
+        ends = g.span_end.shift(1)
+        assert (g.span_start.iloc[1:] > ends.iloc[1:]).all(), "overlap"
+    # spans fit inside the doc's word count
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_keep_longest_one_survivor_per_component(spark, sf_dir):
+    """dedup_keep_longest: exactly one keep=1 per component, and it is
+    a maximal-length member."""
+    from kachess_spark.pipeline.dedup import dedup_keep_longest
+
+    pdf = dedup_keep_longest(spark, sf_dir).toPandas()
+    per = pdf.groupby("component_id").agg(
+        keeps=("keep", "sum"), mx=("n_chars", "max")
+    )
+    assert (per.keeps == 1).all()
+    kept = pdf[pdf.keep == 1].set_index("component_id")
+    assert (kept.n_chars == per.loc[kept.index].mx).all()
