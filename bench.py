@@ -54,6 +54,11 @@ BREADTH = [
     "pipeline_epoch_shuffle",
     # round 5: the inverted-index tf-idf pair join (the round's heavy)
     "text_tfidf_similar_pairs",
+    # round 7: substring-run dedup family + quantized retrieval
+    "dedup_substring_run",
+    "dedup_substring_spans",
+    "dedup_keep_longest",
+    "sim_int8_topk",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
