@@ -1293,7 +1293,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_VERIFY_TAU = 0.5
 
-_MINHASH_VERIFIED_ORACLE = f"""
+_MHV_CTES = f"""
     WITH sigs AS (
       SELECT doc_id, {", ".join(_oracle_minhash(i) for i in range(N_HASHES))}
       FROM documents
@@ -1316,22 +1316,32 @@ _MINHASH_VERIFIED_ORACLE = f"""
       SELECT doc_id, {_SHINGLES_SQL} AS shingles
       FROM documents
       WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))), 6)
+               AS jaccard,
+             c.doc_b AS drop_doc
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
+      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))), 6)
+            >= {MINHASH_VERIFY_TAU}
     )
-    SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 6)
-             AS jaccard,
-           c.doc_b AS drop_doc
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b
-    WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                / (len(a.shingles) + len(b.shingles)
-                   - len(list_intersect(a.shingles, b.shingles))), 6)
-          >= {MINHASH_VERIFY_TAU}
+"""
+
+_MINHASH_VERIFIED_ORACLE = (
+    _MHV_CTES
+    + """
+    SELECT doc_a, doc_b, jaccard, drop_doc
+    FROM verified
     ORDER BY doc_a, doc_b
 """
+)
 
 
 @query("dedup_minhash_verified", _MINHASH_VERIFIED_ORACLE)
@@ -1886,4 +1896,80 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rnk") == 1, 1).otherwise(0).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = (
+    _MHV_CTES
+    + """
+    , labeled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             v.jaccard
+      FROM verified v
+      JOIN documents da ON da.doc_id = v.doc_a
+      JOIN documents db ON db.doc_id = v.doc_b
+    )
+    SELECT source_a, source_b,
+           count(*) AS dup_pairs,
+           ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_jaccard
+    FROM labeled
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+"""
+)
+
+
+@query("dedup_source_overlap", _SOURCE_OVERLAP_ORACLE)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the governance artifact of
+    corpus dedup: for each unordered source pair, the count of
+    VERIFIED near-duplicate doc pairs (the dedup_minhash_verified
+    chain: banded LSH candidates, exact-Jaccard ≥ τ) and their mean
+    Jaccard.  Off-diagonal mass flags mirror/scraped-twice sources
+    whose overlap should be deduplicated before mixture weighting;
+    diagonal mass is within-source duplication.
+
+    Scale shape: everything heavy is the verified chain (subquadratic
+    banded candidates, codegen array_intersect verify); this adds two
+    broadcast-able (doc_id, source) joins and a groupBy whose key
+    cardinality is #sources² at most — the report never outgrows a
+    single partition's worth of output.
+    """
+    t = Tables(spark, sf_dir)
+    ver = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    src = t.documents.select("doc_id", "source")
+    labeled = (
+        ver.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("dup_pairs"),
+            # exact decimal sum → order-independent mean (raw double
+            # AVG is combine-order nondeterministic in Spark)
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )
