@@ -11,7 +11,6 @@ only this module would change.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,18 +39,33 @@ def table_path(sf_dir: str, name: str) -> str:
 # again for every table it touches (~50-150 ms each — measured as a
 # third of some headline queries' wall, all driver-side).  DataFrames
 # are immutable plan handles, so one per (session, path) is safe to
-# share across queries; the WeakKey keeps stopped sessions collectable.
+# share across queries.  The cache dict hangs OFF the session object
+# itself (not a module-global map): a cached DataFrame strongly
+# references its SparkSession, so a global WeakKeyDictionary would
+# never release an entry (value reaches key) — as an attribute, the
+# cache is a self-cycle inside the session and dies with it.
 # The testdata dirs are read-only, so a cached file listing never goes
 # stale (a mutable-table deployment would key on a snapshot/version).
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+_CACHE_ATTR = "_kachess_table_cache"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    try:
+        # timestamp semantics must not depend on who built the session
+        # (the external driver supplies its own): epoch arithmetic in the
+        # oracles assumes UTC, and this conf is runtime-settable.  Pinned
+        # on EVERY load — including cache hits — so a caller flipping the
+        # session timezone between queries can't leak local-tz semantics
+        # into a cached table's downstream plan.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    per_session = getattr(spark, _CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _CACHE_ATTR, per_session)
     key = table_path(sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:
@@ -62,13 +76,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    try:
-        # timestamp semantics must not depend on who built the session
-        # (the external driver supplies its own): epoch arithmetic in the
-        # oracles assumes UTC, and this conf is runtime-settable
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet.  Depending on the Spark
         # build it arrives as (a) timestamp_ntz — native nanos support,

@@ -669,7 +669,13 @@ def _register_spine_source(spark: SparkSession) -> None:
             err_cls = exc.getErrorClass()
         except Exception:
             err_cls = None
-        if err_cls != "DATA_SOURCE_ALREADY_EXISTS" and (
+        if err_cls is not None:
+            # definite error class: trust it outright — the substring
+            # fallback must not swallow a DIFFERENT framework error whose
+            # message merely mentions an existing path/object
+            if err_cls != "DATA_SOURCE_ALREADY_EXISTS":
+                raise
+        elif (
             "already" not in str(exc).lower()
             and "exists" not in str(exc).lower()
         ):

@@ -390,8 +390,15 @@ def sim_ann_lsh(
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     # materialize: the bucket table feeds BOTH the query filter and the
-    # probe join — without the barrier the 64-dot projection runs twice
-    buckets = banded_hyperplane_buckets(emb, n_bands).persist()
+    # probe join — without the barrier the 64-dot projection runs twice.
+    # localCheckpoint, NOT persist(): this operator returns a lazy plan,
+    # so a persist() here could never be unpersisted and its
+    # InMemoryRelation would outlive the call for the whole session
+    # (checkpoint blocks are GC-released with the plan); the ~0.3 s of
+    # eager planning is the price of not leaking executor memory.
+    buckets = banded_hyperplane_buckets(emb, n_bands).localCheckpoint(
+        eager=False
+    )
     queries = buckets.where(F.col("vid").isin(*QUERY_IDS)).select(
         F.col("vid").alias("qid"), "band", "bucket"
     )
@@ -820,7 +827,6 @@ def sim_pq_adc_topk(
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    n = emb.count()
     if codewords is None:
         # NOT pq_codewords(n) yet: the measured k-sweep at sf0.1 was
         # non-monotonic (k=32/64 LOWERED recall with this trainer), so
@@ -828,7 +834,9 @@ def sim_pq_adc_topk(
         # change makes the adaptive sizing pay off — see RECALL.md.
         codewords = PQ_K
     if shortlist is None:
-        shortlist = pq_shortlist(n)  # corpus-adaptive C
+        # corpus-adaptive C — counted only when actually needed (an
+        # explicit shortlist= sweep call must not pay a corpus scan)
+        shortlist = pq_shortlist(emb.count())
     books, codes = pq_train_encode(spark, emb, codewords)
     queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
 

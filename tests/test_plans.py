@@ -581,7 +581,7 @@ def test_int8_topk_broadcast_small_side(spark, sf_dir):
     """sim_int8_topk: the corpus is never collected — the ≤3-row probe
     side broadcasts (a deliberate small-side BNLJ, same contract as
     exact_topk_fast); integer dots stay in codegen."""
-    from kachess_spark.pipeline.similarity import QUERY_IDS, sim_int8_topk
+    from kachess_spark.pipeline.similarity import sim_int8_topk
 
     df = sim_int8_topk(spark, sf_dir)
     df.count()
@@ -656,7 +656,27 @@ def test_substring_spans_merge_semantics(spark, sf_dir):
         g = g.sort_values("span_start")
         ends = g.span_end.shift(1)
         assert (g.span_start.iloc[1:] > ends.iloc[1:]).all(), "overlap"
-    # spans fit inside the doc's word count
+    # spans fit inside the doc's word count (0-based end < n_words)
+    words = (
+        Tables(spark, sf_dir)
+        .documents.select(
+            "doc_id",
+            F.size(
+                F.split(
+                    F.lower(
+                        F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")
+                    ),
+                    " ",
+                )
+            ).alias("n_words"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (
+        pdf.span_end < words.loc[pdf.doc_id].n_words.values
+    ).all(), "span exceeds document"
+    assert (pdf.span_start >= 0).all()
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
