@@ -694,3 +694,18 @@ def test_keep_longest_one_survivor_per_component(spark, sf_dir):
     assert (per.keeps == 1).all()
     kept = pdf[pdf.keep == 1].set_index("component_id")
     assert (kept.n_chars == per.loc[kept.index].mx).all()
+
+
+def test_source_overlap_report_shape(spark, sf_dir):
+    """dedup_source_overlap: unordered source pairs (a <= b), positive
+    pair counts, jaccard within [tau, 1]."""
+    from kachess_spark.pipeline.dedup import (
+        MINHASH_VERIFY_TAU,
+        dedup_source_overlap,
+    )
+
+    pdf = dedup_source_overlap(spark, sf_dir).toPandas()
+    assert (pdf.source_a <= pdf.source_b).all()
+    assert (pdf.dup_pairs >= 1).all()
+    assert (pdf.avg_jaccard >= MINHASH_VERIFY_TAU).all()
+    assert (pdf.avg_jaccard <= 1.0).all()
