@@ -46,6 +46,12 @@ NOTES = {
     "pipeline_importance_resample": "Zero exchanges before the output sort: weight, md5 uniform, and accept test are one codegen projection.",
     "win_target_encoding": "Group moments broadcast back (BroadcastHashJoin); the fact side never shuffles — compare the window formulation's full-row exchange.",
     "text_boilerplate_lines": "Sentence md5 fingerprints shuffle once; frequency join reuses the key family; no pairwise comparison operators anywhere.",
+    "dedup_substring_run": "Positional postings as 64-bit fingerprints BEFORE the shuffle; df-cap bounds per-key fan-out; diagonal runs are a window + groupBy on the matched stream.",
+    "dedup_substring_spans": "Same df-capped diagonal stream; run intervals merge via running-max-end islands partitioned by doc_id (per-doc interval count bounded by doc length).",
+    "dedup_keep_longest": "One signature pass feeds bands AND universe; components labeled, then a broadcast (doc_id, n_chars) join + per-component window picks the survivor.",
+    "sim_int8_topk": "Quantization is one codegen map; the <=3-row probe side broadcasts (deliberate small-side BNLJ); dots are pure int64 zip_with folds.",
+    "emb_int8_quantize": "Zero exchanges before the presentation sort: scale, codes, and saturation counts are per-row lambda folds in one WholeStageCodegen span.",
+    "dedup_source_overlap": "All heavy work is the verified-dedup chain; source labels join broadcast; the groupBy key space is #sources^2 at most.",
 }
 
 
