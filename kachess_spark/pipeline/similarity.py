@@ -127,7 +127,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_topk_fast(
-    emb: DataFrame, k: int = TOP_K, metric: str = "cosine"
+    emb: DataFrame,
+    k: int = TOP_K,
+    metric: str = "cosine",
+    probe_ids: tuple[int, ...] = QUERY_IDS,
 ) -> DataFrame:
     """Exact top-k (qid, vid) for the QUERY_IDS probes via the codegen
     zip_with DECIMAL kernel — #queries·N dots in one narrow map, no
@@ -145,7 +148,7 @@ def exact_topk_fast(
         f" AS {PDEC}) AS {PDEC}))"
     )
     embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    qv = embn.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+    qv = embn.where(F.col("vec_id").isin(*probe_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -192,7 +195,11 @@ def exact_topk_fast(
 
 
 def with_recall(
-    result: DataFrame, emb: DataFrame, k: int = TOP_K, metric: str = "cosine"
+    result: DataFrame,
+    emb: DataFrame,
+    k: int = TOP_K,
+    metric: str = "cosine",
+    probe_ids: tuple[int, ...] = QUERY_IDS,
 ) -> DataFrame:
     """Append a per-query ``recall`` column — |ANN top-k ∩ exact
     top-k| / k, the exact side recomputed in-plan by
@@ -204,7 +211,7 @@ def with_recall(
     shuffle), the intersection is a broadcast semi-join on ≤ #queries·k
     rows — negligible against candidate generation at any corpus size.
     """
-    exact = exact_topk_fast(emb, k, metric)
+    exact = exact_topk_fast(emb, k, metric, probe_ids)
     hits = (
         result.select("qid", "vid")
         .join(exact, ["qid", "vid"], "left_semi")
@@ -643,27 +650,29 @@ PQ_SHORTLIST_MAX = 1024
 
 def pq_shortlist(n: int) -> int:
     """ADC shortlist size for an n-vector corpus: {PQ_SHORTLIST} at the
-    base size, +64 per doubling beyond it, capped at
+    base size, +192 per doubling beyond it, capped at
     {PQ_SHORTLIST_MAX}.
 
     Same fixed-constant lesson as ``ann_n_bands``: PQ quantization
     error is corpus-independent, but the number of distractors whose
     TRUE distance sits within that error band of the k-th neighbor
     grows with corpus size — so a FIXED shortlist captures a shrinking
-    share of the true top-k (measured 0.93 recall@5 with C=128 at both
-    500 and 2000 vectors only because the re-rank rescued it; the ADC
-    rank of the worst true neighbor degrades ~linearly in n).  Growing
-    C logarithmically in n keeps the shortlist fraction C/n FALLING
-    (25.6% at 500 → 12.8% at 2000) while the absolute candidate count
-    rises enough to hold recall; RECALL.md records the measured sweep
-    and the knee."""
+    share of the true top-k (the ADC rank of the worst true neighbor
+    degrades ~linearly in n).  Growing C logarithmically in n keeps
+    the absolute candidate count rising while the shortlist fraction
+    C/n falls beyond ~4k vectors.  The +192 slope was chosen jointly
+    with the adaptive ``pq_codewords`` default on the 20-probe/100-pair
+    metric (tools/pq_probe_sweep.py): at sf0.1 (n=2000 → k=64, C=512)
+    recall@5 is 0.97 wide-probe / 0.933 on the legacy 3-probe set —
+    dominating the old fixed (k=16, C=256) default's 0.83/0.933;
+    RECALL.md records the full sweep."""
     import math
 
     if n <= ANN_BASE_N:
         return PQ_SHORTLIST
     return min(
         PQ_SHORTLIST_MAX,
-        PQ_SHORTLIST + 64 * int(math.ceil(math.log2(n / ANN_BASE_N))),
+        PQ_SHORTLIST + 192 * int(math.ceil(math.log2(n / ANN_BASE_N))),
     )
 
 
@@ -671,24 +680,20 @@ PQ_K_MAX = 256  # 8 bits/subspace — the classic PQ ceiling
 
 
 def pq_codewords(n: int) -> int:
-    """THEORETICAL codewords-per-subspace sizing for an n-vector
-    corpus: {PQ_K} at the base size, doubling per corpus doubling,
-    capped at {PQ_K_MAX} — keeps cell occupancy n/k^M roughly constant
-    so per-cell quantization radius stays bounded as the corpus grows.
+    """Codewords-per-subspace sizing for an n-vector corpus: {PQ_K} at
+    the base size, doubling per corpus doubling, capped at {PQ_K_MAX}
+    — keeps cell occupancy n/k^M roughly constant so per-cell
+    quantization radius stays bounded as the corpus grows.
 
-    NOT the operator default (see sim_pq_adc_topk): shortlist growth
-    alone cannot rescue recall once quantization error dominates
-    (measured at 2000 vectors with k=16, query 3's 5th true neighbor
-    sat at ADC rank 552 — beyond any practical shortlist; C=128..512
-    all plateaued at 14/15), but the measured k-sweep with THIS
-    trainer (2-iter Lloyd, first-k seeds) was non-monotonic
-    (k=16→0.93, 32→0.80, 64→0.73, 128→0.93 at C=256), i.e. training
-    quality, not code width, is the binding constraint on this corpus.
-    The sizing function is kept (and exercised by the RECALL.md sweep
-    tooling) so a better trainer can flip the default in one line.
-    Cost when used: codebooks stay broadcast-sized (M·k·D/M floats),
-    training assignment is n·k dots per subspace, code width grows
-    log2(k) bits."""
+    The operator DEFAULT since round 7: the original 3-probe k-sweep
+    looked non-monotonic (k=16→0.93, 32→0.80, 64→0.73, 128→0.93 at
+    C=256), but its 15-pair ground truth has recall quantum 0.067 —
+    the 20-probe/100-pair re-sweep (tools/pq_probe_sweep.py) is
+    cleanly monotone (0.83 → 0.88 → 0.91 → 0.94 at sf0.1), confirming
+    code width, not the trainer, was the binding constraint and the
+    apparent regressions were single-pair noise.  Cost: codebooks stay
+    broadcast-sized (M·k·D/M floats), training assignment is n·k dots
+    per subspace, code width grows log2(k) bits."""
     import math
 
     if n <= ANN_BASE_N:
@@ -805,6 +810,7 @@ def sim_pq_adc_topk(
     certify: bool = True,
     shortlist: int | None = None,
     codewords: int | None = None,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
 ) -> DataFrame:
     """PQ + asymmetric distance computation (ADC), used the way
     production ANN uses it: the 16-bit-code scan ranks a SHORTLIST
@@ -827,18 +833,21 @@ def sim_pq_adc_topk(
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
+    if codewords is None or shortlist is None:
+        # counted only when a size is derived from it (an explicit
+        # sweep call passing both must not pay a corpus scan)
+        n = emb.count()
     if codewords is None:
-        # NOT pq_codewords(n) yet: the measured k-sweep at sf0.1 was
-        # non-monotonic (k=32/64 LOWERED recall with this trainer), so
-        # the fixed base codebook stays the default until a trainer
-        # change makes the adaptive sizing pay off — see RECALL.md.
-        codewords = PQ_K
+        # corpus-adaptive k (round-7 flip): the original 3-probe
+        # k-sweep was non-monotonic, but that was 15-pair metric noise
+        # — the 20-probe/100-pair re-sweep (tools/pq_probe_sweep.py)
+        # is cleanly monotone (k=16→0.83, 32→0.88, 64→0.91, 128→0.94
+        # at sf0.1), so constant-cell-occupancy sizing is the default.
+        codewords = pq_codewords(n)
     if shortlist is None:
-        # corpus-adaptive C — counted only when actually needed (an
-        # explicit shortlist= sweep call must not pay a corpus scan)
-        shortlist = pq_shortlist(emb.count())
+        shortlist = pq_shortlist(n)  # corpus-adaptive C
     books, codes = pq_train_encode(spark, emb, codewords)
-    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
+    queries = emb.where(F.col("vec_id").isin(*probe_ids))
 
     qsub = None
     for m in range(PQ_M):
@@ -899,7 +908,7 @@ def sim_pq_adc_topk(
     ).where(F.col("rk") <= TOP_K)
     if not certify:
         return topk.orderBy("qid", "rk")
-    return with_recall(topk, emb, TOP_K, "l2").orderBy("qid", "rk")
+    return with_recall(topk, emb, TOP_K, "l2", probe_ids).orderBy("qid", "rk")
 
 
 # --------------------------------------------- MMR diversified top-k
