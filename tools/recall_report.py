@@ -18,6 +18,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+MANUAL_MARK = "<!-- MANUAL SECTIONS BELOW: preserved across regeneration -->"
+
 METHODS = [
     # name, parameter summary (kept in sync with similarity.py constants)
     (
@@ -29,8 +31,9 @@ METHODS = [
     ("sim_ivf_kmeans_topk", "IVF, N_CELLS=8, N_PROBE=2, 3 k-means iters"),
     (
         "sim_pq_adc_topk",
-        "PQ-ADC, M=4 subspaces x 16 codewords, adaptive pq_shortlist(n)"
-        " (128 at n<=500, +64/doubling, cap 1024) + exact re-rank",
+        "PQ-ADC, M=4 subspaces, adaptive pq_codewords(n) (16 at n<=500,"
+        " x2/doubling, cap 256) and pq_shortlist(n) (128 at n<=500,"
+        " +192/doubling, cap 1024) + exact re-rank",
     ),
 ]
 
@@ -119,9 +122,20 @@ def main() -> None:
         )
         print(f"sweep bands={bands}: {hit}/{denom}")
     lines.append("")
-    with open(os.path.join(REPO, "RECALL.md"), "w") as fh:
-        fh.write("\n".join(lines))
-    print(f"wrote {os.path.join(REPO, 'RECALL.md')}")
+    # preserve hand-recorded sweep sections (PQ codebook/shortlist
+    # sweeps, int8 recall, ...) below the marker — regeneration must
+    # not destroy evidence the auto section doesn't produce
+    path = os.path.join(REPO, "RECALL.md")
+    manual = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if MANUAL_MARK in prev:
+            manual = prev[prev.index(MANUAL_MARK):]
+    if not manual:
+        manual = MANUAL_MARK + "\n"
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n" + manual)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
