@@ -460,75 +460,114 @@ def sim_ann_lsh(
     return with_recall(topk, emb, TOP_K, "cosine")
 
 
-N_CELLS = 8  # IVF cell count (sized for the test corpus)
-N_PROBE = 2  # cells searched per query
+N_CELLS = 8  # base IVF cell count (corpus <= ANN_BASE_N vectors)
+N_PROBE = 2  # base cells searched per query
+IVF_MAX_CELLS = 65536  # cells ~ sqrt(n) plateau (IVF-standard)
 
 
 def ivf_assign(
     spark: SparkSession, emb: DataFrame, centroids: DataFrame, n: int = 1
 ) -> DataFrame:
-    """(vec_id, cell, rank) — nearest ``n`` centroid cells per vector.
+    """(vid, cell, rank) — nearest ``n`` centroid cells per vector.
 
-    Relational argmin: explode both sides on position, exact decimal dot
-    per (vector, centroid), row_number over cosine.  The K-way expansion
-    is fine for dataframe-sized K; a 65k-cell production index swaps this
-    for one Arrow-batched pandas UDF doing a matrix multiply per batch —
-    the surrounding plan (broadcast centroids, groupBy cell) is identical.
+    Codegen argmin: each (vector, centroid) cosine is one zip_with
+    DECIMAL fold on an n·K broadcast-joined row — no positional explode
+    (the previous plan pushed n·K·dim rows through a groupBy exchange)
+    and, for the n=1 assignment pass that dominates k-means training, a
+    ``max_by`` hash aggregation instead of a row_number sort window
+    (same (cos desc, cell asc) tie-break, encoded as max of the
+    (cos, -cell) struct).  K stays broadcast-sized (≤ {IVF_MAX_CELLS});
+    a production index swaps the per-row fold for an Arrow-batched
+    matrix multiply per batch — the surrounding plan is identical.
+    Dots are exact DECIMAL folds, so assignments are bit-identical to
+    the old exploded formulation.
     """
-    d = _exploded(emb, "vid", "dv")
-    c = _exploded(centroids, "cell", "cv")
-    dots = (
-        d.join(broadcast(c), "pos")
-        .groupBy("vid", "cell")
-        .agg(
-            F.sum((F.col("dv") * F.col("cv")).cast(PDEC)).alias("dot"),
-            F.sum((F.col("dv") * F.col("dv")).cast(PDEC)).alias("nn"),
-            F.sum((F.col("cv") * F.col("cv")).cast(PDEC)).alias("cn"),
-        )
-        .select(
-            "vid",
-            "cell",
-            (
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("nn").cast("double") * F.col("cn").cast("double"))
-            ).alias("cos"),
-        )
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
+        f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
     )
+    e = emb.select(
+        F.col("vec_id").alias("vid"), "embedding", norm.alias("nn")
+    )
+    c = centroids.select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        norm.alias("cn"),
+    )
+    dot = F.expr(
+        f"aggregate(zip_with(embedding, c_emb, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+    )
+    scored = e.join(broadcast(c)).select(
+        "vid",
+        "cell",
+        (
+            dot.cast("double")
+            / F.sqrt(F.col("nn").cast("double") * F.col("cn").cast("double"))
+        ).alias("cos"),
+    )
+    if n == 1:
+        return scored.groupBy("vid").agg(
+            F.expr("max_by(cell, struct(cos, -cell))").alias("cell"),
+            F.lit(1).alias("rank"),
+        )
     w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cell"))
     return (
-        dots.select("vid", "cell", F.row_number().over(w).alias("rank"))
+        scored.select("vid", "cell", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= n)
     )
 
 
-@query("sim_ivf_topk")  # rows-only: approximate; recall asserted in tests
-def sim_ivf_topk(
-    spark: SparkSession, sf_dir: str, certify: bool = True
-) -> DataFrame:
-    """IVF-flat ANN: partition vectors into coarse cells around fixed
-    centroids, search exactly only inside the query's ``N_PROBE`` nearest
-    cells.
+def ivf_n_cells(n: int) -> int:
+    """IVF cell count for an n-vector corpus: {N_CELLS} at the base
+    size, the power of two nearest sqrt(n) beyond it (the standard IVF
+    sizing that balances assignment cost n·cells against per-probe scan
+    cost n/cells), capped at {IVF_MAX_CELLS}.  Same fixed-constant
+    lesson as ``ann_n_bands``/``pq_codewords``: 8 cells sized for the
+    500-vector fixture means every probe scans 1/4 of a 100 TB corpus.
+    Measured on the 20-probe/100-pair metric at sf0.1 (n=2000): the
+    sqrt choice (32 cells, 4 probes) beats both the fixture constant
+    (8,2 → 0.70 recall) and a gentler doubling (16,3 → 0.84) at 0.99
+    recall with a SMALLER scan fraction (12.5% vs 25%/18.75%) — finer
+    partitions improve locality faster than they spread neighbors."""
+    import math
 
-    Centroids here are the lowest-id vectors (deterministic, no k-means
-    RNG); a production index trains them offline — the query-time plan
-    (assign → probe cells → exact top-k within candidates) is the real
-    thing.  Candidates shrink by ~N_CELLS/N_PROBE vs brute force."""
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "embedding")
-    centroids = (
-        emb.orderBy("vec_id").limit(N_CELLS)
-        .select(F.col("vec_id").alias("vec_id_c"), "embedding")
-        .withColumn(
-            "cell",
-            F.row_number().over(Window.orderBy("vec_id_c")) - 1,
-        )
-        .select(F.col("cell").alias("vec_id"), "embedding")
+    if n <= ANN_BASE_N:
+        return N_CELLS
+    return min(
+        IVF_MAX_CELLS,
+        max(N_CELLS, 2 ** int(round(math.log2(math.sqrt(n))))),
     )
+
+
+def ivf_n_probe(cells: int) -> int:
+    """Probes per query: {N_PROBE} at the base cell count, +1 per cell
+    doubling — scan fraction probe/cells falls as cells grow while the
+    absolute probe budget rises (measured sweep in RECALL.md)."""
+    import math
+
+    if cells <= N_CELLS:
+        return N_PROBE
+    return N_PROBE + int(math.ceil(math.log2(cells / N_CELLS)))
+
+
+def _ivf_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    centroids: DataFrame,
+    certify: bool,
+    n_probe: int,
+    probe_ids: tuple[int, ...],
+) -> DataFrame:
+    """Shared IVF query path: assign data to nearest cell, probe the
+    query's ``n_probe`` nearest cells, exact top-k within candidates."""
     assign = ivf_assign(spark, emb, centroids, n=1).select(
         "vid", F.col("cell").alias("data_cell")
     )
-    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
-    qprobe = ivf_assign(spark, queries, centroids, n=N_PROBE).select(
+    queries = emb.where(F.col("vec_id").isin(*probe_ids))
+    qprobe = ivf_assign(spark, queries, centroids, n=n_probe).select(
         F.col("vid").alias("qid"), F.col("cell").alias("data_cell")
     )
     cand_ids = (
@@ -546,7 +585,43 @@ def sim_ivf_topk(
     topk = scored.join(cand_ids, ["qid", "vid"], "left_semi")
     if not certify:
         return topk
-    return with_recall(topk, emb, TOP_K, "cosine")
+    return with_recall(topk, emb, TOP_K, "cosine", probe_ids)
+
+
+@query("sim_ivf_topk")  # rows-only: approximate; recall asserted in tests
+def sim_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    certify: bool = True,
+    cells: int | None = None,
+    n_probe: int | None = None,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
+) -> DataFrame:
+    """IVF-flat ANN: partition vectors into coarse cells around fixed
+    centroids, search exactly only inside the query's nearest cells
+    (corpus-adaptive ``ivf_n_cells(n)`` / ``ivf_n_probe``; overrides
+    for the RECALL.md sweep).
+
+    Centroids here are the lowest-id vectors (deterministic, no k-means
+    RNG); a production index trains them offline — the query-time plan
+    (assign → probe cells → exact top-k within candidates) is the real
+    thing.  Candidates shrink by ~probe/cells vs brute force."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    if cells is None:
+        cells = ivf_n_cells(emb.count())
+    if n_probe is None:
+        n_probe = ivf_n_probe(cells)
+    centroids = (
+        emb.orderBy("vec_id").limit(cells)
+        .select(F.col("vec_id").alias("vec_id_c"), "embedding")
+        .withColumn(
+            "cell",
+            F.row_number().over(Window.orderBy("vec_id_c")) - 1,
+        )
+        .select(F.col("cell").alias("vec_id"), "embedding")
+    )
+    return _ivf_search(spark, emb, centroids, certify, n_probe, probe_ids)
 
 
 def kmeans_centroids(
@@ -600,41 +675,29 @@ def kmeans_centroids(
 
 @query("sim_ivf_kmeans_topk")  # rows-only: approximate; recall in tests
 def sim_ivf_kmeans_topk(
-    spark: SparkSession, sf_dir: str, certify: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    certify: bool = True,
+    cells: int | None = None,
+    n_probe: int | None = None,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
 ) -> DataFrame:
     """IVF-flat ANN over a k-means-trained coarse quantizer: train
     centroids in-engine (kmeans_centroids), assign data to cells, probe
-    the query's N_PROBE nearest cells, exact top-k within candidates.
+    the query's nearest cells (corpus-adaptive sizing as sim_ivf_topk),
+    exact top-k within candidates.
 
     vs sim_ivf_topk's fixed seed centroids: trained cells track the data
     distribution, so probes recover more true neighbors at the same
     probe budget."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    centroids = kmeans_centroids(spark, emb, N_CELLS, iters=3)
-    assign = ivf_assign(spark, emb, centroids, n=1).select(
-        "vid", F.col("cell").alias("data_cell")
-    )
-    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
-    qprobe = ivf_assign(spark, queries, centroids, n=N_PROBE).select(
-        F.col("vid").alias("qid"), F.col("cell").alias("data_cell")
-    )
-    cand_ids = (
-        assign.join(broadcast(qprobe), "data_cell")
-        .where(F.col("vid") != F.col("qid"))
-        .select("qid", "vid")
-        .distinct()
-    )
-    cand_vecs = (
-        cand_ids.select("vid").distinct()
-        .join(emb, cand_ids["vid"] == emb["vec_id"])
-        .select("vec_id", "embedding")
-    )
-    scored = cosine_topk(spark, cand_vecs, queries, TOP_K)
-    topk = scored.join(cand_ids, ["qid", "vid"], "left_semi")
-    if not certify:
-        return topk
-    return with_recall(topk, emb, TOP_K, "cosine")
+    if cells is None:
+        cells = ivf_n_cells(emb.count())
+    if n_probe is None:
+        n_probe = ivf_n_probe(cells)
+    centroids = kmeans_centroids(spark, emb, cells, iters=3)
+    return _ivf_search(spark, emb, centroids, certify, n_probe, probe_ids)
 
 
 # ------------------------------------------------------------ product

@@ -27,8 +27,12 @@ METHODS = [
         "banded hyperplane LSH, adaptive ann_n_bands(n) x 4 planes "
         "(16 bands at n<=500, +8/doubling, cap 64)",
     ),
-    ("sim_ivf_topk", "IVF, N_CELLS=8, N_PROBE=2, seeded centroids"),
-    ("sim_ivf_kmeans_topk", "IVF, N_CELLS=8, N_PROBE=2, 3 k-means iters"),
+    ("sim_ivf_topk",
+     "IVF, adaptive ivf_n_cells(n)~sqrt(n) / ivf_n_probe,"
+     " seeded centroids"),
+    ("sim_ivf_kmeans_topk",
+     "IVF, adaptive ivf_n_cells(n)~sqrt(n) / ivf_n_probe,"
+     " 3 k-means iters"),
     (
         "sim_pq_adc_topk",
         "PQ-ADC, M=4 subspaces, adaptive pq_codewords(n) (16 at n<=500,"
