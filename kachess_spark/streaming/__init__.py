@@ -14,6 +14,9 @@ from kachess_spark.streaming.windows import (
     streaming_dedup_events,
     streaming_interval_join,
     streaming_static_enrich,
+    ingest_dedup_gate_batch,
+    streaming_ingest_dedup_gate,
+    stream_documents,
     session_window_stats,
     sliding_window_avg,
     stream_events,

@@ -1260,3 +1260,186 @@ def streaming_outer_join(
             "secs_to_purchase"
         ),
     )
+
+
+# ------------------------------------- streaming ingestion dedup gate
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` as an unbounded source (same file-stream shape as
+    ``stream_events``; in production the format string points at the
+    ingestion bus and everything downstream is identical)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from a minhash signature frame — the
+    banded LSH index rows (same banding as pipeline/dedup.py)."""
+    from kachess_spark.pipeline.dedup import BAND_SIZE, N_HASHES
+
+    band_structs = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(band_structs).alias("band", "band_key")
+    )
+
+
+def _ingest_gate_oracle() -> str:
+    from kachess_spark.pipeline.dedup import (
+        _CANON_SQL,
+        _oracle_minhash,
+    )
+
+    mh = ", ".join(_oracle_minhash(i) for i in range(6))
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {mh}
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh_2 || '|' || mh_3 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh_4 || '|' || mh_5 AS band_key FROM sigs
+    ),
+    matched AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM matched)
+    ORDER BY d.doc_id
+"""
+
+
+@query("stream_ingest_dedup_gate", _ingest_gate_oracle())
+def ingest_dedup_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ingestion dedup gate: incoming docs
+    (odd doc_ids) are ACCEPTED iff none of their MinHash LSH bands
+    collides with the persisted historical index (even doc_ids) — the
+    admission decision of dedup_incremental_lsh, folded to the
+    accept/drop verdict a streaming ingest pipeline acts on.  Docs too
+    short to shingle (<3 words) cannot match and are accepted.
+
+    Scale shape: signatures for the incoming side only (the historical
+    corpus is never re-shingled — its band index is a stored table);
+    the gate is one band-equality semi-join + an anti-join back to the
+    batch, both hash joins on band keys / doc_id.
+    """
+    from kachess_spark.pipeline.dedup import minhash_signature
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _band_rows(minhash_signature(docs))
+    new_bands = bands.where(F.col("doc_id") % 2 == 1)
+    hist_bands = bands.where(F.col("doc_id") % 2 == 0).select(
+        F.col("band").alias("h_band"), F.col("band_key").alias("h_key")
+    )
+    matched = (
+        new_bands.join(
+            hist_bands,
+            (F.col("band") == F.col("h_band"))
+            & (F.col("band_key") == F.col("h_key")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .join(matched, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def streaming_ingest_dedup_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin: the incoming doc stream is gated per micro-batch
+    with ``foreachBatch`` — signatures computed for THE BATCH ONLY,
+    left-semi probe of the static historical band index, anti-join back,
+    accepted rows appended to the serving sink.  This is the production
+    ingestion-dedup shape: per-batch cost is O(batch) signature compute
+    plus an index probe, the historical corpus is never re-shingled,
+    and the sink only ever receives admitted documents.
+
+    Returns the accepted-documents DataFrame read back from the sink
+    (compare to ``stream_ingest_dedup_gate``).
+    """
+    import os
+    import shutil
+
+    from kachess_spark.operators.sinks import _scratch
+    from kachess_spark.pipeline.dedup import minhash_signature
+
+    out_root = _scratch("ingest_gate")
+    shutil.rmtree(out_root, ignore_errors=True)
+    out_dir = os.path.join(out_root, "accepted")
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist_bands = (
+        _band_rows(minhash_signature(docs.where(F.col("doc_id") % 2 == 0)))
+        .select(F.col("band").alias("h_band"), F.col("band_key").alias("h_key"))
+        .localCheckpoint(eager=True)  # the stored index: built ONCE
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        new_bands = _band_rows(minhash_signature(batch_df))
+        matched = (
+            new_bands.join(
+                hist_bands,
+                (F.col("band") == F.col("h_band"))
+                & (F.col("band_key") == F.col("h_key")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        (
+            batch_df.join(matched, "doc_id", "left_anti")
+            .select("doc_id", "source", "n_chars")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    sdocs = stream_documents(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+    q = (
+        sdocs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", os.path.join(out_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("ingest gate stream did not drain")
+    return spark.read.parquet(out_dir).orderBy("doc_id")

@@ -665,3 +665,18 @@ def test_streaming_upsert_restart_exactly_once(spark, sf_dir, tmp_path):
     want_rows = sorted(map(tuple, want.collect()))
     assert len(got_rows) > 0
     assert got_rows == want_rows
+
+
+def test_streaming_ingest_dedup_gate_matches_batch(spark, sf_dir):
+    """The foreachBatch ingestion gate must admit exactly the docs the
+    batch twin accepts, regardless of micro-batch boundaries."""
+    from kachess_spark.streaming import (
+        ingest_dedup_gate_batch,
+        streaming_ingest_dedup_gate,
+    )
+
+    got = streaming_ingest_dedup_gate(spark, sf_dir).toPandas()
+    want = ingest_dedup_gate_batch(spark, sf_dir).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want), (len(got), len(want))
