@@ -52,6 +52,7 @@ NOTES = {
     "sim_int8_topk": "Quantization is one codegen map; the <=3-row probe side broadcasts (deliberate small-side BNLJ); dots are pure int64 zip_with folds.",
     "emb_int8_quantize": "Zero exchanges before the presentation sort: scale, codes, and saturation counts are per-row lambda folds in one WholeStageCodegen span.",
     "dedup_source_overlap": "All heavy work is the verified-dedup chain; source labels join broadcast; the groupBy key space is #sources^2 at most.",
+    "stream_ingest_dedup_gate": "Batch twin of the foreachBatch admission gate: per-batch signatures only, band-equality semi-join against the stored index, anti-join back — the historical corpus is never re-shingled.",
 }
 
 
