@@ -1428,8 +1428,14 @@ def streaming_ingest_dedup_gate(
         (
             batch_df.join(matched, "doc_id", "left_anti")
             .select("doc_id", "source", "n_chars")
-            .write.mode("append")
-            .parquet(out_dir)
+            # exactly-once under crash-replay: each micro-batch owns a
+            # deterministic subdir and OVERWRITES it, so a replayed
+            # batch (offset log behind the sink at crash time) replaces
+            # its own output instead of double-appending — the same
+            # idempotence contract as the versioned upsert sink, without
+            # needing cross-batch merge state
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
         )
 
     sdocs = stream_documents(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
@@ -1442,4 +1448,10 @@ def streaming_ingest_dedup_gate(
     if not q.awaitTermination(120):
         q.stop()
         raise RuntimeError("ingest gate stream did not drain")
-    return spark.read.parquet(out_dir).orderBy("doc_id")
+    # batch=<id> partition dirs: recursive read, drop the partition col
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(os.path.join(out_dir, "batch=*"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
