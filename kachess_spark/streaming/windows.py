@@ -1380,7 +1380,10 @@ def ingest_dedup_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_ingest_dedup_gate(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    state_root: str | None = None,
 ) -> DataFrame:
     """Streaming twin: the incoming doc stream is gated per micro-batch
     with ``foreachBatch`` — signatures computed for THE BATCH ONLY,
@@ -1391,7 +1394,10 @@ def streaming_ingest_dedup_gate(
     and the sink only ever receives admitted documents.
 
     Returns the accepted-documents DataFrame read back from the sink
-    (compare to ``stream_ingest_dedup_gate``).
+    (compare to ``stream_ingest_dedup_gate``).  ``source`` overrides the
+    default file stream; ``state_root`` resumes an existing sink +
+    checkpoint instead of starting fresh (the restart path — exercised
+    by the exactly-once pytest).
     """
     import os
     import shutil
@@ -1399,8 +1405,10 @@ def streaming_ingest_dedup_gate(
     from kachess_spark.operators.sinks import _scratch
     from kachess_spark.pipeline.dedup import minhash_signature
 
-    out_root = _scratch("ingest_gate")
-    shutil.rmtree(out_root, ignore_errors=True)
+    if state_root is None:
+        state_root = _scratch("ingest_gate")
+        shutil.rmtree(state_root, ignore_errors=True)
+    out_root = state_root
     out_dir = os.path.join(out_root, "accepted")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -1438,7 +1446,11 @@ def streaming_ingest_dedup_gate(
             .parquet(os.path.join(out_dir, f"batch={batch_id}"))
         )
 
-    sdocs = stream_documents(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+    sdocs = (
+        source
+        if source is not None
+        else stream_documents(spark, sf_dir)
+    ).where(F.col("doc_id") % 2 == 1)
     q = (
         sdocs.writeStream.foreachBatch(gate)
         .option("checkpointLocation", os.path.join(out_root, "_chk"))

@@ -680,3 +680,61 @@ def test_streaming_ingest_dedup_gate_matches_batch(spark, sf_dir):
     got = got.sort_values("doc_id").reset_index(drop=True)
     want = want.sort_values("doc_id").reset_index(drop=True)
     assert got.equals(want), (len(got), len(want))
+
+
+def test_streaming_ingest_gate_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Ingestion gate across a mid-stream restart: drain half the
+    incoming docs, resume from the same checkpoint with the second
+    half present, and the admitted set must equal the batch twin
+    exactly — nothing re-admitted (the per-batch overwrite sink makes
+    a replayed micro-batch idempotent), nothing lost."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming.windows import (
+        ingest_dedup_gate_batch,
+        streaming_ingest_dedup_gate,
+    )
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1
+    )
+    half0 = docs.where(F.col("doc_id") % 4 == 1)
+    half1 = docs.where(F.col("doc_id") % 4 == 3)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def file_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    state = str(tmp_path / "gate_state")
+    half0.coalesce(1).write.mode("append").parquet(src)
+    streaming_ingest_dedup_gate(spark, sf_dir, file_stream(), state)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    got = (
+        streaming_ingest_dedup_gate(spark, sf_dir, file_stream(), state)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        ingest_dedup_gate_batch(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want))
+    assert got.doc_id.is_unique
