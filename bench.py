@@ -118,9 +118,21 @@ def _profile_delta(before, after) -> dict[str, float]:
     }
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-minute load averages — recorded in the output line so
+    wall-clock numbers carry their co-tenant context (this host runs an
+    invisible background load regime; see BASELINE.md)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     profile = "--profile" in sys.argv
+    load_start = _loadavg()
 
     from kachess_spark import registry
     from kachess_spark.session import get_spark
@@ -197,6 +209,8 @@ def main() -> None:
             "all": total,
         },
         "sf": sf_dir,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     if profile:
         out["profile"] = per_profile

@@ -1628,7 +1628,11 @@ def _diagonal_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "fp"),
         )
         .repartition(spark.sparkContext.defaultParallelism, "fp")
-        .localCheckpoint(eager=False)
+        # eager: posts has three consumers inside one job (the df-count
+        # groupBy and both sides of the self-join) — a lazy checkpoint
+        # would race them into concurrent recompute of the same blocks
+        # (the funnel-report failure mode, ~3x wall blowup)
+        .localCheckpoint(eager=True)
     )
     keep = (
         posts.groupBy("fp")

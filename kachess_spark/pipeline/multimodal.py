@@ -447,9 +447,10 @@ _PCM_SCHEMA = StructType(
 
 _PCM_RATE = 16_000  # samples/sec
 # Dual-decode verification stride: every Nth row per batch pays the
-# pure-Python reference recompute; the rest inherit the batch's sampled
-# consensus.  1 (the driver/test default) = certify every row; a
-# production deployment raises it to bound the 2x decode cost.
+# pure-Python reference recompute; the rest get kernel_ok = NULL (not
+# certified — never a consensus verdict borrowed from sampled rows).
+# 1 (the driver/test default) = certify every row; a production
+# deployment raises it to bound the 2x decode cost.
 _PCM_VERIFY_STRIDE = 1
 
 
@@ -505,9 +506,11 @@ def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ref_r = round(math.sqrt(ref_sq / n), 4) if n else 0.0
                 ok.append(pk == ref_pk and r == ref_r)
             else:
+                # unsampled rows are NOT certified: emit null rather
+                # than inheriting a batch-consensus verdict, so stride>1
+                # never reports an unverified row as verified (or flags
+                # a clean unsampled row because a sampled sibling failed)
                 ok.append(None)
-        consensus = all(o for o in ok if o is not None)
-        ok = [consensus if o is None else o for o in ok]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -515,7 +518,7 @@ def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "duration_ms": pd.Series(duration, dtype="int64"),
                 "peak_abs": pd.Series(peak, dtype="int32"),
                 "rms": pd.Series(rms, dtype="float64"),
-                "kernel_ok": pd.Series(ok, dtype="bool"),
+                "kernel_ok": pd.Series(ok, dtype="boolean"),
             }
         )
 

@@ -1406,7 +1406,12 @@ def streaming_ingest_dedup_gate(
     from kachess_spark.pipeline.dedup import minhash_signature
 
     if state_root is None:
-        state_root = _scratch("ingest_gate")
+        # unique per invocation: a second default-path call in the same
+        # session must not rmtree a sink an earlier call's returned
+        # (lazy) DataFrame may still be reading
+        import uuid
+
+        state_root = _scratch(f"ingest_gate_{uuid.uuid4().hex[:8]}")
         shutil.rmtree(state_root, ignore_errors=True)
     out_root = state_root
     out_dir = os.path.join(out_root, "accepted")
@@ -1460,7 +1465,16 @@ def streaming_ingest_dedup_gate(
     if not q.awaitTermination(120):
         q.stop()
         raise RuntimeError("ingest gate stream did not drain")
-    # batch=<id> partition dirs: recursive read, drop the partition col
+    # batch=<id> partition dirs: recursive read, drop the partition col.
+    # The gate skips empty micro-batches entirely, so a fully-duplicate
+    # (or empty) stream leaves NO batch dirs — return an empty frame
+    # instead of letting the glob read raise PATH_NOT_FOUND.
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(out_dir, "batch=*")):
+        return spark.createDataFrame(
+            [], "doc_id long, source string, n_chars long"
+        )
     return (
         spark.read.option("basePath", out_dir)
         .parquet(os.path.join(out_dir, "batch=*"))
