@@ -15,6 +15,7 @@ from kachess_spark.streaming.windows import (
     streaming_interval_join,
     streaming_static_enrich,
     ingest_dedup_gate_batch,
+    ingest_gate_growing_batch,
     streaming_ingest_dedup_gate,
     stream_documents,
     session_window_stats,
@@ -42,4 +43,8 @@ __all__ = [
     "streaming_sliding_avg",
     "streaming_session_stats",
     "streaming_user_running_totals",
+    "ingest_dedup_gate_batch",
+    "ingest_gate_growing_batch",
+    "streaming_ingest_dedup_gate",
+    "stream_documents",
 ]

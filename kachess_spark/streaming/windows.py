@@ -1379,25 +1379,171 @@ def ingest_dedup_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic micro-batch assignment for the GROWING gate's batch
+# twin + oracle: incoming (odd) docs arrive in this many batches, batch
+# index = ((doc_id-1)/2) mod N — round-robin, expressible identically
+# in Spark (`div`) and DuckDB (`//`).
+_GATE_N_BATCHES = 4
+
+
+def _ingest_gate_growing_oracle() -> str:
+    """Chained-CTE emulation of the growing gate: hist{k+1} = hist{k}
+    plus the bands of batch k's ADMITTED docs — fixed batch count, so
+    the sequential admission loop unrolls into plain SQL."""
+    from kachess_spark.pipeline.dedup import (
+        _CANON_SQL,
+        _oracle_minhash,
+    )
+
+    mh = ", ".join(_oracle_minhash(i) for i in range(6))
+    nb = _GATE_N_BATCHES
+    parts = [
+        f"""
+    WITH sigs AS (
+      SELECT doc_id, {mh}
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh_2 || '|' || mh_3 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh_4 || '|' || mh_5 AS band_key FROM sigs
+    ),
+    hist0 AS (SELECT band, band_key FROM bands WHERE doc_id % 2 = 0)"""
+    ]
+    for k in range(nb):
+        parts.append(
+            f""",
+    adm{k} AS (
+      SELECT o.doc_id FROM documents o
+      WHERE o.doc_id % 2 = 1 AND ((o.doc_id - 1) // 2) % {nb} = {k}
+        AND NOT EXISTS (
+          SELECT 1 FROM bands nbnd JOIN hist{k} h
+            ON nbnd.band = h.band AND nbnd.band_key = h.band_key
+          WHERE nbnd.doc_id = o.doc_id)
+        AND NOT EXISTS (
+          SELECT 1 FROM bands nbnd JOIN bands pb
+            ON nbnd.band = pb.band AND nbnd.band_key = pb.band_key
+          WHERE nbnd.doc_id = o.doc_id AND pb.doc_id % 2 = 1
+            AND ((pb.doc_id - 1) // 2) % {nb} = {k}
+            AND pb.doc_id < o.doc_id)
+    ),
+    hist{k + 1} AS (
+      SELECT band, band_key FROM hist{k}
+      UNION ALL
+      SELECT b.band, b.band_key FROM bands b JOIN adm{k} a
+        ON b.doc_id = a.doc_id
+    )"""
+        )
+    admitted = " UNION ALL ".join(
+        f"SELECT doc_id FROM adm{k}" for k in range(nb)
+    )
+    parts.append(
+        f"""
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN ({admitted}) a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""
+    )
+    return "".join(parts)
+
+
+@query("stream_ingest_gate_growing", _ingest_gate_growing_oracle())
+def ingest_gate_growing_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the GROWING ingestion gate (round-7 verdict #2):
+    incoming (odd) docs arrive in ``_GATE_N_BATCHES`` deterministic
+    micro-batches; a doc is admitted iff none of its LSH bands collides
+    with the index as of its batch — the historical (even) corpus PLUS
+    every EARLIER-ADMITTED incoming doc — nor with a lower-doc_id doc in
+    the same batch (within-batch keep-first-by-id; a distributed batch
+    has no intra-batch arrival order to sequence greedy admission on).
+    Admitted docs' bands fold into the index; dropped docs' do not.
+
+    Scale shape: the loop is over MICRO-BATCHES (a handful), not rows —
+    per iteration one semi-join probe of the stored index + one
+    within-batch band self-join, exactly the per-batch plan the
+    streaming gate executes.  The stored index only ever grows by
+    admitted docs, so per-batch probe cost tracks the serving corpus,
+    and nothing ever re-shingles history.
+    """
+    from functools import reduce
+
+    from kachess_spark.pipeline.dedup import minhash_signature
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _band_rows(minhash_signature(docs)).localCheckpoint(eager=True)
+    hist = (
+        bands.where(F.col("doc_id") % 2 == 0)
+        .select("band", "band_key")
+        .localCheckpoint(eager=True)
+    )
+    odd = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "b", F.expr(f"((doc_id - 1) div 2) % {_GATE_N_BATCHES}")
+    )
+    parts = []
+    for k in range(_GATE_N_BATCHES):
+        bk = odd.where(F.col("b") == k)
+        bkb = bands.join(bk.select("doc_id"), "doc_id")
+        m_hist = bkb.join(hist, ["band", "band_key"], "left_semi").select(
+            "doc_id"
+        )
+        lhs = bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+        rhs = bkb.select(F.col("doc_id").alias("p_id"), "band", "band_key")
+        m_within = (
+            lhs.join(rhs, ["band", "band_key"])
+            .where(F.col("p_id") < F.col("a_id"))
+            .select(F.col("a_id").alias("doc_id"))
+        )
+        matched = m_hist.unionByName(m_within).distinct()
+        adm = (
+            bk.join(matched, "doc_id", "left_anti")
+            .select("doc_id", "source", "n_chars")
+            # eager: adm feeds BOTH the result union and the next
+            # iteration's index — lazy would race / recompute
+            .localCheckpoint(eager=True)
+        )
+        hist = hist.unionByName(
+            bands.join(adm.select("doc_id"), "doc_id").select(
+                "band", "band_key"
+            )
+        ).localCheckpoint(eager=True)
+        parts.append(adm)
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("doc_id")
+
+
 def streaming_ingest_dedup_gate(
     spark: SparkSession,
     sf_dir: str,
     source: DataFrame | None = None,
     state_root: str | None = None,
+    grow: bool = True,
 ) -> DataFrame:
     """Streaming twin: the incoming doc stream is gated per micro-batch
-    with ``foreachBatch`` — signatures computed for THE BATCH ONLY,
-    left-semi probe of the static historical band index, anti-join back,
-    accepted rows appended to the serving sink.  This is the production
-    ingestion-dedup shape: per-batch cost is O(batch) signature compute
-    plus an index probe, the historical corpus is never re-shingled,
-    and the sink only ever receives admitted documents.
+    with ``foreachBatch`` — signatures computed for THE BATCH ONLY, a
+    left-semi probe of the STORED band index (a parquet table under
+    ``state_root/index``), anti-join back, accepted rows appended to the
+    serving sink.  This is the production ingestion-dedup shape:
+    per-batch cost is O(batch) signature compute plus an index probe,
+    the historical corpus is never re-shingled, and the sink only ever
+    receives admitted documents.
 
-    Returns the accepted-documents DataFrame read back from the sink
-    (compare to ``stream_ingest_dedup_gate``).  ``source`` overrides the
-    default file stream; ``state_root`` resumes an existing sink +
-    checkpoint instead of starting fresh (the restart path — exercised
-    by the exactly-once pytest).
+    With ``grow=True`` (the production default, round-7 verdict #2) each
+    batch also FOLDS ITS ADMITTED DOCS' BANDS back into the stored index
+    (per-batch overwrite subdir — the same crash-replay idempotence
+    contract as the sink), so near-duplicate NEW docs arriving in
+    different micro-batches are caught: the second one probes an index
+    that already contains the first.  Within a batch the policy is
+    keep-first-by-id (lower-doc_id band collision drops the higher).
+    ``grow=False`` keeps the static-index semantics of the
+    ``stream_ingest_dedup_gate`` batch twin (batching-invariant);
+    the growing semantics match ``stream_ingest_gate_growing`` when the
+    micro-batches equal that twin's deterministic buckets.
+
+    Returns the accepted-documents DataFrame read back from the sink.
+    ``source`` overrides the default file stream; ``state_root`` resumes
+    an existing sink + checkpoint + index instead of starting fresh (the
+    restart path — exercised by the exactly-once pytests).
     """
     import os
     import shutil
@@ -1415,32 +1561,64 @@ def streaming_ingest_dedup_gate(
         shutil.rmtree(state_root, ignore_errors=True)
     out_root = state_root
     out_dir = os.path.join(out_root, "accepted")
+    idx_dir = os.path.join(out_root, "index")
     os.makedirs(out_dir, exist_ok=True)
 
     docs = load_table(spark, sf_dir, "documents")
-    hist_bands = (
-        _band_rows(minhash_signature(docs.where(F.col("doc_id") % 2 == 0)))
-        .select(F.col("band").alias("h_band"), F.col("band_key").alias("h_key"))
-        .localCheckpoint(eager=True)  # the stored index: built ONCE
-    )
+    hist_src = _band_rows(
+        minhash_signature(docs.where(F.col("doc_id") % 2 == 0))
+    ).select("band", "band_key")
+    if grow:
+        # the stored index: seeded once with history, grown per batch;
+        # a resume (state_root with an existing index) reuses it as-is
+        hist_dir = os.path.join(idx_dir, "hist")
+        if not os.path.isdir(hist_dir):
+            hist_src.write.mode("overwrite").parquet(hist_dir)
+        hist_bands = None
+    else:
+        hist_bands = hist_src.localCheckpoint(eager=True)  # built ONCE
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         new_bands = _band_rows(minhash_signature(batch_df))
-        matched = (
-            new_bands.join(
-                hist_bands,
-                (F.col("band") == F.col("h_band"))
-                & (F.col("band_key") == F.col("h_key")),
-                "left_semi",
+        if grow:
+            # re-list the stored index: includes every prior batch's
+            # admitted contribution (availableNow batches run serially)
+            new_bands = new_bands.localCheckpoint(eager=True)
+            idx = spark.read.option("recursiveFileLookup", "true").parquet(
+                idx_dir
             )
+        else:
+            idx = hist_bands
+        matched = (
+            new_bands.join(idx, ["band", "band_key"], "left_semi")
             .select("doc_id")
             .distinct()
         )
+        if grow:
+            lhs = new_bands.select(
+                F.col("doc_id").alias("a_id"), "band", "band_key"
+            )
+            rhs = new_bands.select(
+                F.col("doc_id").alias("p_id"), "band", "band_key"
+            )
+            within = (
+                lhs.join(rhs, ["band", "band_key"])
+                .where(F.col("p_id") < F.col("a_id"))
+                .select(F.col("a_id").alias("doc_id"))
+            )
+            matched = matched.unionByName(within).distinct()
+        admitted = batch_df.join(matched, "doc_id", "left_anti").select(
+            "doc_id", "source", "n_chars"
+        )
+        if grow:
+            # eager barrier: breaks the index-read lineage before we
+            # write back UNDER the index dir, and admitted feeds two
+            # writes (sink + index) — lazy would recompute per consumer
+            admitted = admitted.localCheckpoint(eager=True)
         (
-            batch_df.join(matched, "doc_id", "left_anti")
-            .select("doc_id", "source", "n_chars")
+            admitted
             # exactly-once under crash-replay: each micro-batch owns a
             # deterministic subdir and OVERWRITES it, so a replayed
             # batch (offset log behind the sink at crash time) replaces
@@ -1450,6 +1628,16 @@ def streaming_ingest_dedup_gate(
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"batch={batch_id}"))
         )
+        if grow:
+            # fold admitted docs' bands into the stored index — same
+            # per-batch overwrite-dir idempotence as the sink, so a
+            # replayed batch replaces (not duplicates) its contribution
+            (
+                new_bands.join(admitted.select("doc_id"), "doc_id")
+                .select("band", "band_key")
+                .write.mode("overwrite")
+                .parquet(os.path.join(idx_dir, f"batch={batch_id}"))
+            )
 
     sdocs = (
         source

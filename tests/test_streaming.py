@@ -675,7 +675,7 @@ def test_streaming_ingest_dedup_gate_matches_batch(spark, sf_dir):
         streaming_ingest_dedup_gate,
     )
 
-    got = streaming_ingest_dedup_gate(spark, sf_dir).toPandas()
+    got = streaming_ingest_dedup_gate(spark, sf_dir, grow=False).toPandas()
     want = ingest_dedup_gate_batch(spark, sf_dir).toPandas()
     got = got.sort_values("doc_id").reset_index(drop=True)
     want = want.sort_values("doc_id").reset_index(drop=True)
@@ -722,10 +722,12 @@ def test_streaming_ingest_gate_restart_exactly_once(spark, sf_dir, tmp_path):
 
     state = str(tmp_path / "gate_state")
     half0.coalesce(1).write.mode("append").parquet(src)
-    streaming_ingest_dedup_gate(spark, sf_dir, file_stream(), state)
+    streaming_ingest_dedup_gate(spark, sf_dir, file_stream(), state, grow=False)
     half1.coalesce(1).write.mode("append").parquet(src)
     got = (
-        streaming_ingest_dedup_gate(spark, sf_dir, file_stream(), state)
+        streaming_ingest_dedup_gate(
+            spark, sf_dir, file_stream(), state, grow=False
+        )
         .toPandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -738,3 +740,159 @@ def test_streaming_ingest_gate_restart_exactly_once(spark, sf_dir, tmp_path):
     )
     assert got.equals(want), (len(got), len(want))
     assert got.doc_id.is_unique
+
+
+def _bucket_files(spark, sf_dir, src, buckets):
+    """Write one parquet file per gate bucket into ``src`` with strictly
+    increasing mtimes, so maxFilesPerTrigger=1 yields micro-batches equal
+    to the growing twin's deterministic buckets, in order."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming.windows import _GATE_N_BATCHES
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1
+    )
+    os.makedirs(src, exist_ok=True)
+    base = time.time() - 3600
+    for k in buckets:
+        pdf = docs.where(
+            F.expr(f"((doc_id - 1) div 2) % {_GATE_N_BATCHES}") == k
+        ).toPandas()
+        path = os.path.join(src, f"bucket{k}.parquet")
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + k, base + k))
+
+
+def _gate_file_stream(spark, src):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_streaming_ingest_gate_growing_matches_batch(spark, sf_dir, tmp_path):
+    """With micro-batches equal to the twin's deterministic buckets (in
+    order), the growing streaming gate admits exactly the docs the
+    ``stream_ingest_gate_growing`` batch twin admits."""
+    from kachess_spark.streaming.windows import (
+        _GATE_N_BATCHES,
+        ingest_gate_growing_batch,
+        streaming_ingest_dedup_gate,
+    )
+
+    src = str(tmp_path / "docs_src")
+    _bucket_files(spark, sf_dir, src, range(_GATE_N_BATCHES))
+    got = (
+        streaming_ingest_dedup_gate(
+            spark, sf_dir, _gate_file_stream(spark, src),
+            str(tmp_path / "state"), grow=True,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        ingest_gate_growing_batch(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want))
+
+
+def test_streaming_ingest_gate_growing_restart(spark, sf_dir, tmp_path):
+    """Growing gate across a mid-stream restart: drain the first two
+    buckets, resume from the same checkpoint with the rest present —
+    the stored index (hist + per-batch admitted bands) replays
+    idempotently and the final admitted set equals the batch twin."""
+    from kachess_spark.streaming.windows import (
+        _GATE_N_BATCHES,
+        ingest_gate_growing_batch,
+        streaming_ingest_dedup_gate,
+    )
+
+    src = str(tmp_path / "docs_src")
+    state = str(tmp_path / "state")
+    _bucket_files(spark, sf_dir, src, range(2))
+    streaming_ingest_dedup_gate(
+        spark, sf_dir, _gate_file_stream(spark, src), state, grow=True
+    )
+    _bucket_files(spark, sf_dir, src, range(2, _GATE_N_BATCHES))
+    got = (
+        streaming_ingest_dedup_gate(
+            spark, sf_dir, _gate_file_stream(spark, src), state, grow=True
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        ingest_gate_growing_batch(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want))
+    assert got.doc_id.is_unique
+
+
+def test_ingest_gate_growing_catches_new_vs_new(spark, tmp_path):
+    """The round-7 verdict scenario: near-duplicate NEW docs arriving in
+    DIFFERENT micro-batches.  The static gate admits both; the growing
+    gate admits the first and drops the second (its probe hits the
+    index grown with batch 0's admitted bands), and also drops a
+    same-batch later-id duplicate (keep-first-by-id)."""
+    import pandas as pd
+
+    from kachess_spark.streaming.windows import (
+        ingest_dedup_gate_batch,
+        ingest_gate_growing_batch,
+    )
+
+    text_hist = "alpha beta gamma delta epsilon"
+    text_new = "red green blue cyan magenta"
+    rows = [
+        # evens = history
+        (2, text_hist, "en", "web", len(text_hist)),
+        (4, "one two three four five", "en", "web", 23),
+        # odds = incoming; bucket = ((doc_id-1)/2) % 4
+        (1, text_new, "en", "web", len(text_new)),   # bucket 0 — admit
+        (9, text_new, "en", "web", len(text_new)),   # bucket 0 — same-batch dup of 1
+        (3, text_new, "en", "web", len(text_new)),   # bucket 1 — cross-batch dup of 1
+        (5, text_hist, "en", "web", len(text_hist)), # bucket 2 — dup of history
+        (7, "solar lunar tidal orbital vector", "en", "web", 32),  # bucket 3 — admit
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path / "tiny_sf")
+    import os
+
+    os.makedirs(sf)
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"), index=False)
+
+    growing = sorted(
+        r.doc_id for r in ingest_gate_growing_batch(spark, sf).collect()
+    )
+    static = sorted(
+        r.doc_id for r in ingest_dedup_gate_batch(spark, sf).collect()
+    )
+    assert growing == [1, 7]
+    assert static == [1, 3, 7, 9]
