@@ -566,6 +566,26 @@ def _ivf_search(
     assign = ivf_assign(spark, emb, centroids, n=1).select(
         "vid", F.col("cell").alias("data_cell")
     )
+    return _ivf_probe(
+        spark, emb, assign, centroids, certify, n_probe, probe_ids
+    )
+
+
+def _ivf_probe(
+    spark: SparkSession,
+    emb: DataFrame,
+    assign: DataFrame,
+    centroids: DataFrame,
+    certify: bool,
+    n_probe: int,
+    probe_ids: tuple[int, ...],
+) -> DataFrame:
+    """IVF probe tail over a (vid, data_cell) assignment frame — the
+    query-time-only plan: assign the (tiny) query set to its n_probe
+    nearest cells, fetch those cells' inverted lists, exact top-k
+    within the candidates.  The corpus-wide assignment pass is the
+    caller's (in-plan for the self-contained operators, a STORED table
+    for the offline-index probe)."""
     queries = emb.where(F.col("vec_id").isin(*probe_ids))
     qprobe = ivf_assign(spark, queries, centroids, n=n_probe).select(
         F.col("vid").alias("qid"), F.col("cell").alias("data_cell")
@@ -624,29 +644,86 @@ def sim_ivf_topk(
     return _ivf_search(spark, emb, centroids, certify, n_probe, probe_ids)
 
 
+_FFT_SAMPLE_CAP = 4096  # driver-side seeding sample bound (documented)
+
+
+def _sample_fft_centroids(
+    spark: SparkSession, emb: DataFrame, k: int
+) -> DataFrame:
+    """Deterministic k-means++-style seeding on a bounded sample: take
+    the ``_FFT_SAMPLE_CAP`` vectors with the smallest xxhash64(vec_id)
+    (a seeded pseudorandom sample), collect them (bounded — the
+    offline-trainer shape: seeding runs on a sample small enough for
+    one machine), and run farthest-first traversal in cosine distance
+    — the deterministic analogue of k-means++ D²-sampling (each next
+    seed is the sample point FARTHEST from its nearest chosen seed,
+    ties by vec_id).  Returns (vec_id=cell, embedding) seeds.
+    """
+    import numpy as np
+
+    sample = (
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_FFT_SAMPLE_CAP)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in sample])
+    mat = np.array([r["embedding"] for r in sample], dtype="float64")
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    order = np.argsort(ids)  # start at the lowest vec_id (no RNG)
+    chosen = [order[0]]
+    # min cosine-distance to the chosen set, updated incrementally
+    mind = 1.0 - unit @ unit[chosen[0]]
+    for _ in range(min(k, len(ids)) - 1):
+        # farthest point; ties broken by vec_id for determinism
+        far = np.lexsort((ids, -mind))[0]
+        chosen.append(far)
+        mind = np.minimum(mind, 1.0 - unit @ unit[far])
+    rows = [
+        (int(c), [float(x) for x in mat[j]]) for c, j in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
 def kmeans_centroids(
-    spark: SparkSession, emb: DataFrame, k: int, iters: int = 3
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    iters: int = 3,
+    seeding: str = "first",
 ) -> DataFrame:
     """Lloyd's k-means trained inside the engine (IVF coarse quantizer).
 
-    Deterministic throughout: seeding = the k lowest-id vectors (no RNG),
-    per-dimension means via exact DECIMAL sums (combine-order-proof), and
-    ties in assignment broken by cell id (ivf_assign's row_number).
+    Deterministic throughout: seeding = the k lowest-id vectors (no RNG;
+    ``seeding="sample_fft"`` swaps in the deterministic k-means++-style
+    farthest-first sample seeding — see RECALL.md for the measured
+    sweep), per-dimension means via exact DECIMAL sums
+    (combine-order-proof), and ties in assignment broken by cell id
+    (ivf_assign's row_number).
 
     Scale shape per iteration: one broadcast-join assignment pass over
     the data + one (cell, pos) aggregation — both shuffle-light; the
     centroid frame is k rows and localCheckpointed so the loop never
     builds an iters-deep plan.  Returns (vec_id=cell, embedding).
     """
-    cent = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("vec_id"),
-            "embedding",
+    if seeding == "sample_fft":
+        cent = _sample_fft_centroids(spark, emb, k).localCheckpoint(
+            eager=True
         )
-        .localCheckpoint(eager=True)
-    )
+    else:
+        cent = (
+            emb.orderBy("vec_id")
+            .limit(k)
+            .select(
+                (
+                    F.row_number().over(Window.orderBy("vec_id")) - 1
+                ).alias("vec_id"),
+                "embedding",
+            )
+            .localCheckpoint(eager=True)
+        )
     d = _exploded(emb, "vid", "dv").localCheckpoint(eager=False)
     for _ in range(iters):
         assign = ivf_assign(spark, emb, cent, n=1).select("vid", "cell")
@@ -681,6 +758,7 @@ def sim_ivf_kmeans_topk(
     cells: int | None = None,
     n_probe: int | None = None,
     probe_ids: tuple[int, ...] = QUERY_IDS,
+    iters: int = 1,
 ) -> DataFrame:
     """IVF-flat ANN over a k-means-trained coarse quantizer: train
     centroids in-engine (kmeans_centroids), assign data to cells, probe
@@ -689,15 +767,142 @@ def sim_ivf_kmeans_topk(
 
     vs sim_ivf_topk's fixed seed centroids: trained cells track the data
     distribution, so probes recover more true neighbors at the same
-    probe budget."""
+    probe budget.  Default iters=1 per the RECALL.md sweeps (round 8):
+    on this corpus more Lloyd iterations monotonically HURT recall
+    (0.95 at 1 vs 0.91 at 3 on the 100-pair metric) and the
+    k-means++-style seeding alternative measured far worse (0.38-0.56)
+    — converged training only pays off on genuinely clustered
+    embeddings, where callers pass iters=3+."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     if cells is None:
         cells = ivf_n_cells(emb.count())
     if n_probe is None:
         n_probe = ivf_n_probe(cells)
-    centroids = kmeans_centroids(spark, emb, cells, iters=3)
+    centroids = kmeans_centroids(spark, emb, cells, iters=iters)
     return _ivf_search(spark, emb, centroids, certify, n_probe, probe_ids)
+
+
+# ------------------------------------------------ offline IVF index
+# (round-7 verdict #3): the 100-TB deployment shape — train the coarse
+# quantizer and materialize the inverted lists ONCE, then serve every
+# query from the stored tables.  The in-plan operators above keep the
+# self-contained single-call shape for correctness runs; this pair is
+# the train-once / probe-many split their docstrings promise.
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    cells: int | None = None,
+    n_probe: int | None = None,
+    iters: int = 1,
+    seeding: str = "first",
+) -> str:
+    """Train-once IVF index build: k-means centroids + the corpus-wide
+    cell assignment (the inverted lists), written as parquet tables
+    under ``index_dir`` (centroids/, assignments/, meta/).  Idempotent:
+    training is fully deterministic, so an existing index for the same
+    parameters is reused as-is (the default dir is keyed on them).
+
+    This is where the n·cells assignment cost lives at production
+    scale — paid once per corpus version, amortized over every query
+    ``sim_ivf_stored_topk`` serves.
+    """
+    import hashlib
+    import os
+
+    from kachess_spark.operators.sinks import _scratch
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    if cells is None:
+        cells = ivf_n_cells(n)
+    if n_probe is None:
+        n_probe = ivf_n_probe(cells)
+    if index_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{cells}|{n_probe}|{iters}|{seeding}"
+            .encode()
+        ).hexdigest()[:12]
+        index_dir = _scratch(f"ivf_index_{key}")
+    meta_dir = os.path.join(index_dir, "meta")
+    if os.path.isdir(meta_dir):
+        return index_dir  # deterministic build → safe reuse
+    centroids = kmeans_centroids(spark, emb, cells, iters=iters,
+                                 seeding=seeding)
+    assign = ivf_assign(spark, emb, centroids, n=1).select(
+        "vid", F.col("cell").alias("data_cell")
+    )
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    # at cluster scale this write is partitioned/bucketed BY data_cell
+    # so a probe's cells prune to their own files; at fixture sizes the
+    # plain table keeps the probe's scan honest without tiny-file spam
+    assign.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+    spark.createDataFrame(
+        [(int(n), int(cells), int(n_probe))],
+        "n_vectors long, cells int, n_probe int",
+    ).write.mode("overwrite").parquet(meta_dir)
+    return index_dir
+
+
+@query("ann_index_build")  # rows-only: iterative k-means training has
+# no SQL twin; content pinned by the stored-probe recall + plan pytests
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once leg of the offline ANN index: build (or reuse)
+    the stored IVF index for this corpus and report the inverted-list
+    profile — one row per cell with its list size, the number a
+    capacity planner reads (skewed cells = skewed probe fan-out).
+    """
+    import os
+
+    index_dir = build_ivf_index(spark, sf_dir)
+    assign = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    return (
+        assign.groupBy(F.col("data_cell").alias("cell"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+@query("sim_ivf_stored_topk")  # rows-only: approximate; recall in
+# RECALL.md, no-training-scan plan pinned in tests/test_plans.py
+def sim_ivf_stored_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    certify: bool = True,
+    index_dir: str | None = None,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
+) -> DataFrame:
+    """Probe-only IVF ANN over the STORED index: centroids and inverted
+    lists are READ from ``build_ivf_index``'s tables — the returned
+    plan contains no k-means training and no corpus-wide assignment
+    pass, only (tiny query set → n_probe cells) assignment, an
+    inverted-list fetch, and the exact top-k within candidates.
+    Identical results to ``sim_ivf_kmeans_topk`` (same trained
+    centroids, same probe path) at a fraction of its per-query cost —
+    the train-once/probe-many split a production deployment runs.
+    """
+    import os
+
+    if index_dir is None:
+        index_dir = build_ivf_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assign = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    n_probe = int(
+        spark.read.parquet(os.path.join(index_dir, "meta")).head()["n_probe"]
+    )
+    return _ivf_probe(
+        spark, emb, assign, centroids, certify, n_probe, probe_ids
+    )
 
 
 # ------------------------------------------------------------ product

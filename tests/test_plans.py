@@ -453,6 +453,38 @@ def test_ann_certify_flag_paths(spark, sf_dir):
     assert rows and all(0.0 <= r["recall"] <= 1.0 for r in rows)
 
 
+def test_stored_ivf_probe_has_no_training_scan(spark, sf_dir):
+    """sim_ivf_stored_topk (round-7 verdict #3): the probe-side plan
+    must serve from the STORED index — no k-means training and no
+    corpus-wide assignment pass in the returned plan.  The corpus
+    assignment compiles to a max_by hash aggregate (ivf_assign n=1);
+    only the tiny query-side assignment (row_number window over
+    n_probe) is allowed at probe time.  Results must be bit-identical
+    to the self-contained kmeans operator (same trained centroids,
+    same probe path)."""
+    from kachess_spark.pipeline.similarity import (
+        sim_ivf_kmeans_topk,
+        sim_ivf_stored_topk,
+    )
+
+    df = sim_ivf_stored_topk(spark, sf_dir, certify=False)
+    df.count()
+    plan = _plan(df)
+    assert "max_by" not in plan  # no corpus-wide assignment at probe time
+    assert "ivf_index" in plan  # serves from the stored tables
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+    got = {(r["qid"], r["vid"]) for r in df.select("qid", "vid").collect()}
+    want = {
+        (r["qid"], r["vid"])
+        for r in sim_ivf_kmeans_topk(spark, sf_dir, certify=False)
+        .select("qid", "vid")
+        .collect()
+    }
+    assert got == want
+
+
 def test_png_roundtrip_arrow_batched(spark, sf_dir):
     """mm_png_roundtrip: both kernels must run as Arrow-batched
     mapInPandas (MapInPandas nodes), not row-at-a-time Python UDFs."""
