@@ -1850,6 +1850,115 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUT_SPANS_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_CANON_SQL}, ' ') AS words
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, t.i - 1 AS pos,
+             words[t.i] || ' ' || words[t.i+1] || ' ' || words[t.i+2] AS sh
+      FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+      WHERE len(words) >= 3
+    ),
+    keep AS (
+      SELECT sh FROM (
+        SELECT sh, count(DISTINCT doc_id) AS c FROM p GROUP BY sh
+      ) WHERE c BETWEEN 2 AND {SUBRUN_DF_CAP}
+    ),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM p a JOIN p b USING (sh) JOIN keep USING (sh)
+      WHERE a.doc_id < b.doc_id
+    ),
+    r AS (
+      SELECT da, db, pb, pa - pb AS delta,
+             pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+                                     ORDER BY pb) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT db AS doc_id, MIN(pb) AS s, MIN(pb) + count(*) + 1 AS e
+      FROM r GROUP BY da, db, delta, grp
+      HAVING count(*) >= {SUBRUN_MIN}
+    ),
+    doc_spans AS (
+      SELECT doc_id, list(list_value(s, e)) AS sp
+      FROM (SELECT DISTINCT doc_id, s, e FROM runs) GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT d.doc_id,
+             d.words,
+             list_filter(
+               d.words,
+               (x, i) -> len(list_filter(
+                 coalesce(ds.sp, CAST([] AS BIGINT[][])),
+                 sp -> i - 1 >= sp[1] AND i - 1 <= sp[2])) = 0
+             ) AS cleaned
+      FROM w d LEFT JOIN doc_spans ds ON d.doc_id = ds.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(cleaned) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(cleaned, ' '), '') AS cleaned_text
+    FROM cut
+    ORDER BY doc_id
+"""
+
+
+@query("dedup_cut_spans", _CUT_SPANS_ORACLE)
+def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of exact-substring dedup (round-7 verdict
+    #4): emit the CLEANED corpus — every document's canonical word
+    sequence with its duplicated spans (``dedup_substring_spans``,
+    keep-first policy: spans mark passages repeating an earlier doc)
+    removed.  Docs without spans pass through verbatim; a cut doc keeps
+    its unique prose with the verbatim-duplicate passages excised, the
+    transformation a training-data pipeline applies before tokenizing.
+
+    Scale shape: the span pipeline is dedup_substring_spans unchanged
+    (one df-capped postings exchange); the cut itself is one broadcast-
+    able join (span docs only) + a per-row JVM lambda filter over the
+    word array — no new shuffle, no Python.
+    """
+    t = Tables(spark, sf_dir)
+    spans = (
+        dedup_substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.array("span_start", "span_end")).alias("sp")
+        )
+    )
+    docs = t.documents.select(
+        "doc_id", F.expr(_WORDS_EXPR).alias("words")
+    )
+    return (
+        docs.join(F.broadcast(spans), "doc_id", "left")
+        .withColumn(
+            "sp",
+            F.coalesce(
+                F.col("sp"), F.expr("CAST(array() AS array<array<bigint>>)")
+            ),
+        )
+        .withColumn(
+            "cleaned",
+            # Spark filter index i is 0-based (DuckDB's is 1-based —
+            # the oracle shifts); a word survives iff no span covers it
+            F.expr(
+                "filter(words, (x, i) -> size(filter(sp,"
+                " s -> i >= s[0] AND i <= s[1])) = 0)"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_words"),
+            F.size("cleaned").cast("long").alias("n_kept"),
+            F.array_join("cleaned", " ").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _KEEP_LONGEST_ORACLE = (
     _CC_CTES
     + """

@@ -714,6 +714,52 @@ def test_substring_spans_merge_semantics(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_cut_spans_breaks_substring_pairs(spark, sf_dir, tmp_path):
+    """dedup_cut_spans (round-7 verdict #4): after excising the
+    duplicated spans, re-running exact-substring detection on the
+    CLEANED corpus finds no duplicate pair — the cut actually removes
+    the shared passages (keep-first: doc_a keeps its text, doc_b's
+    copy of the passage is gone, so no pa/pb diagonal of length >=
+    SUBRUN_MIN survives).  Also pins conservation: kept words never
+    exceed originals, docs without spans pass through verbatim."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kachess_spark.pipeline.dedup import (
+        dedup_cut_spans,
+        dedup_substring_run,
+        dedup_substring_spans,
+    )
+
+    before = dedup_substring_run(spark, sf_dir)
+    assert before.count() > 0, "fixture must contain substring dups"
+    cut = dedup_cut_spans(spark, sf_dir).toPandas()
+    assert (cut.n_kept <= cut.n_words).all()
+    span_docs = {
+        r["doc_id"]
+        for r in dedup_substring_spans(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    untouched = cut[~cut.doc_id.isin(span_docs)]
+    assert (untouched.n_kept == untouched.n_words).all()
+    assert (cut[cut.doc_id.isin(span_docs)].n_kept
+            < cut[cut.doc_id.isin(span_docs)].n_words).all()
+
+    # rebuild a documents table from the cleaned text and re-detect
+    clean_sf = str(tmp_path / "clean_sf")
+    os.makedirs(clean_sf)
+    out = cut.rename(columns={"cleaned_text": "text"})[["doc_id", "text"]]
+    out["lang"] = "en"
+    out["source"] = "cut"
+    out["n_chars"] = out.text.str.len().astype("int64")
+    out.to_parquet(os.path.join(clean_sf, "documents.parquet"), index=False)
+    after = dedup_substring_run(spark, clean_sf)
+    assert after.count() == 0, after.limit(5).collect()
+
+
 def test_keep_longest_one_survivor_per_component(spark, sf_dir):
     """dedup_keep_longest: exactly one keep=1 per component, and it is
     a maximal-length member."""
