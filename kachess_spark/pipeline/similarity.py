@@ -1115,6 +1115,25 @@ def sim_pq_adc_topk(
     if shortlist is None:
         shortlist = pq_shortlist(n)  # corpus-adaptive C
     books, codes = pq_train_encode(spark, emb, codewords)
+    return _pq_adc_probe(
+        spark, emb, books, codes, certify, shortlist, probe_ids
+    )
+
+
+def _pq_adc_probe(
+    spark: SparkSession,
+    emb: DataFrame,
+    books: DataFrame,
+    codes: DataFrame,
+    certify: bool,
+    shortlist: int,
+    probe_ids: tuple[int, ...],
+) -> DataFrame:
+    """ADC probe tail over trained codebooks + encoded corpus — the
+    query-time-only plan (distance-table build, code-scan shortlist,
+    exact re-rank).  Training/encoding are the caller's: in-session
+    checkpoints for the self-contained operator, STORED parquet tables
+    for the offline-index probe."""
     queries = emb.where(F.col("vec_id").isin(*probe_ids))
 
     qsub = None
@@ -1177,6 +1196,104 @@ def sim_pq_adc_topk(
     if not certify:
         return topk.orderBy("qid", "rk")
     return with_recall(topk, emb, TOP_K, "l2", probe_ids).orderBy("qid", "rk")
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    codewords: int | None = None,
+    shortlist: int | None = None,
+    iters: int = 2,
+) -> str:
+    """Train-once PQ index build: per-subspace codebooks + the encoded
+    corpus (the 16-bit codes), written as parquet tables under
+    ``index_dir`` (books/, codes/, meta/) — the compression leg's
+    offline twin of ``build_ivf_index``.  Idempotent: training is
+    deterministic, so an existing index for the same parameters is
+    reused.  The n·k training dots and the corpus encoding pass both
+    live here, paid once per corpus version."""
+    import hashlib
+    import os
+
+    from kachess_spark.operators.sinks import _scratch
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    if codewords is None:
+        codewords = pq_codewords(n)
+    if shortlist is None:
+        shortlist = pq_shortlist(n)
+    if index_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{codewords}|{shortlist}|{iters}"
+            .encode()
+        ).hexdigest()[:12]
+        index_dir = _scratch(f"pq_index_{key}")
+    meta_dir = os.path.join(index_dir, "meta")
+    if os.path.isdir(meta_dir):
+        return index_dir
+    books, codes = pq_train_encode(spark, emb, codewords, iters=iters)
+    books.write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    spark.createDataFrame(
+        [(int(n), int(codewords), int(shortlist))],
+        "n_vectors long, codewords int, shortlist int",
+    ).write.mode("overwrite").parquet(meta_dir)
+    return index_dir
+
+
+@query("ann_pq_index_build")  # rows-only: iterative k-means training
+# has no SQL twin; content pinned by the stored-probe identity pytest
+def ann_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once leg of the offline PQ index: build (or reuse)
+    the stored codebooks + encoded corpus and report the code
+    occupancy profile — rows per (subspace, code), the histogram a
+    capacity planner reads (empty codes = wasted codebook entries,
+    overfull codes = quantization hot spots)."""
+    import os
+
+    index_dir = build_pq_index(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    return (
+        codes.groupBy("m", "code")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("m", "code")
+    )
+
+
+@query("sim_pq_stored_topk")  # rows-only: approximate; recall in
+# RECALL.md, stored-serving plan pinned in tests/test_plans.py
+def sim_pq_stored_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    certify: bool = True,
+    index_dir: str | None = None,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
+) -> DataFrame:
+    """Probe-only PQ-ADC over the STORED index: codebooks and the
+    encoded corpus are READ from ``build_pq_index``'s tables — no
+    k-means training, no corpus encoding pass, and no session-local
+    checkpoint in the returned plan; per query it scans 2-byte codes
+    plus ``shortlist`` full vectors.  Results are bit-identical to
+    ``sim_pq_adc_topk`` (same codebooks, same probe path)."""
+    import os
+
+    if index_dir is None:
+        index_dir = build_pq_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    books = spark.read.parquet(os.path.join(index_dir, "books"))
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    shortlist = int(
+        spark.read.parquet(os.path.join(index_dir, "meta")).head()[
+            "shortlist"
+        ]
+    )
+    return _pq_adc_probe(
+        spark, emb, books, codes, certify, shortlist, probe_ids
+    )
 
 
 # --------------------------------------------- MMR diversified top-k

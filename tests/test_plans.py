@@ -485,6 +485,34 @@ def test_stored_ivf_probe_has_no_training_scan(spark, sf_dir):
     assert got == want
 
 
+def test_stored_pq_probe_serves_from_index(spark, sf_dir):
+    """sim_pq_stored_topk: the probe plan reads codebooks + codes from
+    the STORED index tables — no in-session training checkpoints
+    (ExistingRDD scans) anywhere in the plan — and results are
+    bit-identical to the self-contained sim_pq_adc_topk."""
+    from kachess_spark.pipeline.similarity import (
+        sim_pq_adc_topk,
+        sim_pq_stored_topk,
+    )
+
+    df = sim_pq_stored_topk(spark, sf_dir, certify=False)
+    df.count()
+    plan = _plan(df)
+    assert "pq_index" in plan  # serves from the stored tables
+    assert "ExistingRDD" not in plan  # no session-local checkpoint scans
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+    got = {
+        (r["qid"], r["vid"], r["rk"]) for r in df.collect()
+    }
+    want = {
+        (r["qid"], r["vid"], r["rk"])
+        for r in sim_pq_adc_topk(spark, sf_dir, certify=False).collect()
+    }
+    assert got == want
+
+
 def test_png_roundtrip_arrow_batched(spark, sf_dir):
     """mm_png_roundtrip: both kernels must run as Arrow-batched
     mapInPandas (MapInPandas nodes), not row-at-a-time Python UDFs."""

@@ -42,6 +42,9 @@ METHODS = [
         " x2/doubling, cap 256) and pq_shortlist(n) (128 at n<=500,"
         " +192/doubling, cap 1024) + exact re-rank",
     ),
+    ("sim_pq_stored_topk",
+     "probe-only over the STORED PQ index (build_pq_index:"
+     " same codebooks + encoded corpus)"),
 ]
 
 
