@@ -59,6 +59,15 @@ BREADTH = [
     "dedup_substring_spans",
     "dedup_keep_longest",
     "sim_int8_topk",
+    # round 8: offline-index ANN serving paths (the one-time
+    # build_ivf_index/build_pq_index runs happen untimed in main() —
+    # production builds indexes offline, per corpus version; their
+    # train-once costs are recorded as scale probes in BASELINE.md),
+    # the growing ingest gate, and the span-cut corpus cleaner
+    "sim_ivf_stored_topk",
+    "sim_pq_stored_topk",
+    "stream_ingest_gate_growing",
+    "dedup_cut_spans",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
@@ -154,6 +163,19 @@ def main() -> None:
         "SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
     )
     have_warm = os.path.isdir(warm_dir)
+
+    # offline index prep (untimed): the stored-index ANN probes serve
+    # from indexes a production deployment builds once per corpus
+    # version; build costs are benchmarked separately as scale probes
+    # (BASELINE.md round-8 sections)
+    from kachess_spark.pipeline.similarity import (
+        build_ivf_index,
+        build_pq_index,
+    )
+
+    for d in ([warm_dir] if have_warm else []) + [sf_dir]:
+        build_ivf_index(spark, d)
+        build_pq_index(spark, d)
 
     import gc
 
