@@ -66,6 +66,7 @@ BREADTH = [
     # the growing ingest gate, and the span-cut corpus cleaner
     "sim_ivf_stored_topk",
     "sim_pq_stored_topk",
+    "sim_ivfpq_stored_topk",
     "stream_ingest_gate_growing",
     "dedup_cut_spans",
 ]

@@ -1128,12 +1128,15 @@ def _pq_adc_probe(
     certify: bool,
     shortlist: int,
     probe_ids: tuple[int, ...],
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """ADC probe tail over trained codebooks + encoded corpus — the
     query-time-only plan (distance-table build, code-scan shortlist,
     exact re-rank).  Training/encoding are the caller's: in-session
     checkpoints for the self-contained operator, STORED parquet tables
-    for the offline-index probe."""
+    for the offline-index probe.  ``cand`` (qid, vid) restricts the
+    code scan to a per-query candidate set (the IVF-pruned IVFPQ
+    composition); None scans every code (flat PQ)."""
     queries = emb.where(F.col("vec_id").isin(*probe_ids))
 
     qsub = None
@@ -1162,8 +1165,17 @@ def _pq_adc_probe(
         )
     )
     wa = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vid"))
+    if cand is not None:
+        # IVFPQ: scan only the probed cells' members — codes join the
+        # per-query candidate pairs, so ADC input is (scan fraction ×
+        # corpus) codes, not the corpus
+        scanned = cand.join(codes, "vid").join(
+            broadcast(dtable), ["qid", "m", "code"]
+        )
+    else:
+        scanned = codes.join(broadcast(dtable), ["m", "code"])
     shortlist = (
-        codes.join(broadcast(dtable), ["m", "code"])
+        scanned
         .groupBy("qid", "vid")
         .agg(F.sum("d2").alias("adc_dist"))
         .where(F.col("qid") != F.col("vid"))
@@ -1293,6 +1305,58 @@ def sim_pq_stored_topk(
     )
     return _pq_adc_probe(
         spark, emb, books, codes, certify, shortlist, probe_ids
+    )
+
+
+@query("sim_ivfpq_stored_topk")  # rows-only: approximate; recall in
+# RECALL.md, candidate-containment + plan pinned in tests
+def sim_ivfpq_stored_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    certify: bool = True,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
+) -> DataFrame:
+    """IVF+PQ composed over the STORED indexes — the production ANN
+    shape (FAISS IVFPQ without residual encoding): the coarse
+    quantizer prunes WHERE to look (the query's n_probe cells' inverted
+    lists), PQ-ADC ranks WHAT remains from 2-byte codes, and the
+    shortlist is re-ranked exactly.  Per query the scan touches
+    (probe/cells × corpus) codes plus ``shortlist`` full vectors —
+    both knobs corpus-adaptive — instead of corpus floats.
+
+    Serves entirely from ``build_ivf_index`` + ``build_pq_index``
+    tables; no training, encoding, or corpus-wide assignment in the
+    plan.  Residual encoding (codes on x − centroid) is the quality
+    refinement production systems add; it changes the codebook
+    training input, not this serving plan."""
+    import os
+
+    ivf_dir = build_ivf_index(spark, sf_dir)
+    pq_dir = build_pq_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    centroids = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
+    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments"))
+    n_probe = int(
+        spark.read.parquet(os.path.join(ivf_dir, "meta")).head()["n_probe"]
+    )
+    books = spark.read.parquet(os.path.join(pq_dir, "books"))
+    codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
+    shortlist = int(
+        spark.read.parquet(os.path.join(pq_dir, "meta")).head()["shortlist"]
+    )
+    queries = emb.where(F.col("vec_id").isin(*probe_ids))
+    qprobe = ivf_assign(spark, queries, centroids, n=n_probe).select(
+        F.col("vid").alias("qid"), F.col("cell").alias("data_cell")
+    )
+    cand = (
+        assign.join(broadcast(qprobe), "data_cell")
+        .where(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    return _pq_adc_probe(
+        spark, emb, books, codes, certify, shortlist, probe_ids, cand=cand
     )
 
 

@@ -513,6 +513,62 @@ def test_stored_pq_probe_serves_from_index(spark, sf_dir):
     assert got == want
 
 
+def test_ivfpq_stored_probe_composition(spark, sf_dir):
+    """sim_ivfpq_stored_topk: serves from BOTH stored indexes (no
+    training / corpus assignment / session checkpoints in the plan),
+    and every returned neighbor is contained in the IVF candidate set
+    (a member of one of its query's probed cells) — the pruning
+    actually gates the ADC scan."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        QUERY_IDS,
+        build_ivf_index,
+        ivf_assign,
+        sim_ivfpq_stored_topk,
+    )
+
+    df = sim_ivfpq_stored_topk(spark, sf_dir, certify=False)
+    df.count()
+    plan = _plan(df)
+    assert "ivf_index" in plan and "pq_index" in plan
+    assert "max_by" not in plan  # no corpus-wide assignment
+    assert "ExistingRDD" not in plan  # no session-local checkpoints
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+    ivf_dir = build_ivf_index(spark, sf_dir)
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    centroids = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
+    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments"))
+    n_probe = int(
+        spark.read.parquet(os.path.join(ivf_dir, "meta")).head()["n_probe"]
+    )
+    qprobe = ivf_assign(
+        spark, emb.where(F.col("vec_id").isin(*QUERY_IDS)), centroids,
+        n=n_probe,
+    ).select(F.col("vid").alias("qid"), F.col("cell").alias("data_cell"))
+    cand = {
+        (r["qid"], r["vid"])
+        for r in assign.join(broadcast(qprobe), "data_cell")
+        .select("qid", "vid")
+        .collect()
+    }
+    got = {(r["qid"], r["vid"]) for r in df.select("qid", "vid").collect()}
+    assert got <= cand, got - cand
+
+    cert = sim_ivfpq_stored_topk(spark, sf_dir)
+    hits = sum(
+        r["recall"] * 5 for r in cert.select("qid", "recall").distinct()
+        .collect()
+    )
+    assert hits >= 10, hits  # >= 10/15 true neighbors at sf0.001
+
+
 def test_png_roundtrip_arrow_batched(spark, sf_dir):
     """mm_png_roundtrip: both kernels must run as Arrow-batched
     mapInPandas (MapInPandas nodes), not row-at-a-time Python UDFs."""

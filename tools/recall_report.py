@@ -45,6 +45,9 @@ METHODS = [
     ("sim_pq_stored_topk",
      "probe-only over the STORED PQ index (build_pq_index:"
      " same codebooks + encoded corpus)"),
+    ("sim_ivfpq_stored_topk",
+     "IVF+PQ composition over both stored indexes: probed-cell"
+     " inverted lists -> ADC over those codes only -> exact re-rank"),
 ]
 
 
