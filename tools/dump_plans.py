@@ -53,6 +53,9 @@ NOTES = {
     "emb_int8_quantize": "Zero exchanges before the presentation sort: scale, codes, and saturation counts are per-row lambda folds in one WholeStageCodegen span.",
     "dedup_source_overlap": "All heavy work is the verified-dedup chain; source labels join broadcast; the groupBy key space is #sources^2 at most.",
     "stream_ingest_dedup_gate": "Batch twin of the foreachBatch admission gate: per-batch signatures only, band-equality semi-join against the stored index, anti-join back — the historical corpus is never re-shingled.",
+    "sim_ivf_stored_topk": "Probe-only IVF: centroids + inverted lists read from the stored index (no max_by corpus assignment anywhere); only the tiny query set assigns at probe time.",
+    "sim_ivfpq_stored_topk": "IVF+PQ composition: probed-cell candidate pairs gate the code scan (ADC input = scan fraction x corpus), distance table broadcast, exact re-rank on the shortlist.",
+    "dedup_cut_spans": "Span pipeline unchanged (one df-capped postings exchange); the cut is a broadcast span-array join + a per-row lambda filter — no new exchange, no Python.",
 }
 
 
