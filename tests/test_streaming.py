@@ -853,6 +853,39 @@ def test_streaming_ingest_gate_growing_restart(spark, sf_dir, tmp_path):
     assert got.doc_id.is_unique
 
 
+def test_ingest_gate_empty_and_all_duplicate_streams(spark, sf_dir, tmp_path):
+    """Round-7 advice fixes, locked: (a) a stream whose every incoming
+    doc is a duplicate of history writes NO batch dirs — the read-back
+    must return an empty frame, not raise PATH_NOT_FOUND; (b) two
+    default-state_root calls in one session must not clobber each
+    other (unique scratch per invocation)."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.streaming.windows import streaming_ingest_dedup_gate
+
+    # (a) incoming = the EVEN docs themselves -> every band collides
+    # with the stored historical index -> nothing admitted, no batch=*
+    src = str(tmp_path / "dup_src")
+    load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 2 == 0) & (F.size(F.split("text", " ")) >= 3)
+    ).coalesce(1).write.parquet(src)
+    got = streaming_ingest_dedup_gate(
+        spark, sf_dir, _gate_file_stream(spark, src),
+        str(tmp_path / "state_a"), grow=True,
+    )
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "source", "n_chars"]
+
+    # (b) two default-path invocations: the first call's returned
+    # (lazy) frame must still be readable after the second call runs
+    r1 = streaming_ingest_dedup_gate(spark, sf_dir, grow=False)
+    n1 = r1.count()
+    r2 = streaming_ingest_dedup_gate(spark, sf_dir, grow=False)
+    assert r2.count() == n1
+    assert r1.count() == n1  # would fail if call 2 rmtree'd call 1's sink
+
+
 def test_ingest_gate_growing_catches_new_vs_new(spark, tmp_path):
     """The round-7 verdict scenario: near-duplicate NEW docs arriving in
     DIFFERENT micro-batches.  The static gate admits both; the growing
