@@ -839,12 +839,14 @@ def build_ivf_index(
     centroids.write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
-    # at cluster scale this write is partitioned/bucketed BY data_cell
-    # so a probe's cells prune to their own files; at fixture sizes the
-    # plain table keeps the probe's scan honest without tiny-file spam
-    assign.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "assignments")
-    )
+    # the inverted lists are PARTITIONED BY cell: a probe's broadcast
+    # of its n_probe cells dynamically prunes the scan to those cells'
+    # files (DPP — asserted in the plan test), which at 100 TB means
+    # reading probe/cells of the index, not all of it.  repartition
+    # first so each cell writes one file, not one per input task
+    assign.repartition("data_cell").write.partitionBy(
+        "data_cell"
+    ).mode("overwrite").parquet(os.path.join(index_dir, "assignments"))
     spark.createDataFrame(
         [(int(n), int(cells), int(n_probe))],
         "n_vectors long, cells int, n_probe int",

@@ -472,6 +472,10 @@ def test_stored_ivf_probe_has_no_training_scan(spark, sf_dir):
     plan = _plan(df)
     assert "max_by" not in plan  # no corpus-wide assignment at probe time
     assert "ivf_index" in plan  # serves from the stored tables
+    # the inverted lists are partitioned BY cell and the probe's
+    # broadcast of its n_probe cells dynamically prunes the scan —
+    # at 100 TB the index read is probe/cells of the index, not all
+    assert "dynamicpruning" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
 
