@@ -433,3 +433,119 @@ def test_distributed_closure_terminates_on_cycles(spark, edges):
         assert got == _bfs_closure(edges)
     finally:
         C.SMALL_GRAPH_EDGES = old
+
+
+# ------------------------------------------------- substring-span cut
+
+
+_CUT_VOCAB = [
+    "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+    "iota", "kappa",
+]
+
+
+@st.composite
+def _cut_corpora(draw):
+    """Random corpora with planted shared passages long enough to
+    exceed SUBRUN_MIN shingles (>= 10 words), plus random filler."""
+    n_phr = draw(st.integers(min_value=1, max_value=2))
+    phrases = [
+        [
+            draw(st.sampled_from(_CUT_VOCAB))
+            for _ in range(draw(st.integers(min_value=10, max_value=14)))
+        ]
+        for _ in range(n_phr)
+    ]
+    docs = []
+    for _ in range(draw(st.integers(min_value=2, max_value=5))):
+        words: list[str] = []
+        for _ in range(draw(st.integers(min_value=1, max_value=3))):
+            if draw(st.booleans()):
+                words += phrases[
+                    draw(st.integers(min_value=0, max_value=n_phr - 1))
+                ]
+            else:
+                words += [
+                    draw(st.sampled_from(_CUT_VOCAB))
+                    for _ in range(draw(st.integers(min_value=0, max_value=6)))
+                ]
+        docs.append(" ".join(words))
+    return docs
+
+
+def _ref_cut(texts: dict[int, str]):
+    """Independent pure-Python model of the exact-substring cut:
+    positional 3-gram postings, df-cap, per-(pair, diagonal) runs of
+    length >= SUBRUN_MIN marking the HIGHER doc's positions, union of
+    covered positions excised (keep-first)."""
+    from collections import defaultdict
+
+    from kachess_spark.pipeline.dedup import SUBRUN_DF_CAP, SUBRUN_MIN
+
+    canon = {d: t.lower().split(" ") for d, t in texts.items()}
+    posts: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for d, ws in canon.items():
+        if len(ws) < 3:
+            continue
+        for i in range(len(ws) - 2):
+            posts[" ".join(ws[i : i + 3])].append((d, i))
+    keep = {
+        sh
+        for sh, v in posts.items()
+        if 2 <= len({d for d, _ in v}) <= SUBRUN_DF_CAP
+    }
+    diag: dict[tuple[int, int, int], set[int]] = defaultdict(set)
+    for sh in keep:
+        v = posts[sh]
+        for da, pa in v:
+            for db, pb in v:
+                if da < db:
+                    diag[(da, db, pa - pb)].add(pb)
+    covered: dict[int, set[int]] = defaultdict(set)
+    for (da, db, _), pbs in diag.items():
+        run: list[int] = []
+        for p in sorted(pbs) + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= SUBRUN_MIN:
+                    covered[db].update(range(run[0], run[0] + len(run) + 2))
+                run = []
+            if p is not None:
+                run.append(p)
+    out = {}
+    for d, ws in canon.items():
+        cleaned = [w for i, w in enumerate(ws) if i not in covered[d]]
+        out[d] = (len(ws), len(cleaned), " ".join(cleaned))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_cut_corpora())
+def test_cut_spans_matches_reference(spark, tmp_path_factory, docs):
+    """dedup_cut_spans on random planted-passage corpora matches an
+    independent pure-Python model of the whole pipeline (postings,
+    df-cap, diagonal runs, island merge via position union, cut)."""
+    import pandas as pd
+
+    from kachess_spark.pipeline.dedup import dedup_cut_spans
+
+    texts = {i + 1: t for i, t in enumerate(docs)}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts.keys()),
+            "text": list(texts.values()),
+            "lang": "en",
+            "source": "hyp",
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    sf = tmp_path_factory.mktemp("cut_hyp")
+    pdf.to_parquet(str(sf / "documents.parquet"), index=False)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_kept"], r["cleaned_text"])
+        for r in dedup_cut_spans(spark, str(sf)).collect()
+    }
+    assert got == _ref_cut(texts)
