@@ -67,6 +67,7 @@ BREADTH = [
     "sim_ivf_stored_topk",
     "sim_pq_stored_topk",
     "sim_ivfpq_stored_topk",
+    "sim_ivfpq_residual_topk",
     "stream_ingest_gate_growing",
     "dedup_cut_spans",
 ]
@@ -171,12 +172,14 @@ def main() -> None:
     # (BASELINE.md round-8 sections)
     from kachess_spark.pipeline.similarity import (
         build_ivf_index,
+        build_ivfpq_index,
         build_pq_index,
     )
 
     for d in ([warm_dir] if have_warm else []) + [sf_dir]:
         build_ivf_index(spark, d)
         build_pq_index(spark, d)
+        build_ivfpq_index(spark, d)
 
     import gc
 

@@ -1185,8 +1185,18 @@ def _pq_adc_probe(
         .where(F.col("ark") <= shortlist)
         .select("qid", "vid")
     )
+    return _exact_rerank(emb, queries, shortlist, certify, probe_ids)
 
-    # exact L2 re-rank of shortlist candidates only
+
+def _exact_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    certify: bool,
+    probe_ids: tuple[int, ...],
+) -> DataFrame:
+    """Exact L2 re-rank of a (qid, vid) shortlist to the final top-k —
+    the full-precision tail every ADC variant shares."""
     d = _exploded(emb, "vid", "dv")
     q = _exploded(queries, "qid", "qv")
     exact = (
@@ -1360,6 +1370,184 @@ def sim_ivfpq_stored_topk(
     return _pq_adc_probe(
         spark, emb, books, codes, certify, shortlist, probe_ids, cand=cand
     )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    codewords: int | None = None,
+    shortlist: int | None = None,
+    iters: int = 2,
+) -> str:
+    """Train-once RESIDUAL IVFPQ index: the PQ codebooks are trained on
+    residuals x − centroid(cell(x)) — the FAISS IVFPQ refinement — so
+    codes spend their bits on within-cell structure instead of re-
+    encoding the coarse position.  Reuses ``build_ivf_index``'s stored
+    centroids/assignments for the coarse layer; writes books/codes/meta
+    under ``index_dir``.  Deterministic, idempotent, reused if present.
+    """
+    import hashlib
+    import os
+
+    from kachess_spark.operators.sinks import _scratch
+
+    ivf_dir = build_ivf_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    if codewords is None:
+        codewords = pq_codewords(n)
+    if shortlist is None:
+        shortlist = pq_shortlist(n)
+    if index_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|res|{codewords}|{shortlist}|{iters}"
+            .encode()
+        ).hexdigest()[:12]
+        index_dir = _scratch(f"ivfpq_index_{key}")
+    meta_dir = os.path.join(index_dir, "meta")
+    if os.path.isdir(meta_dir):
+        return index_dir
+    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments"))
+    cent = spark.read.parquet(os.path.join(ivf_dir, "centroids")).select(
+        F.col("vec_id").alias("data_cell"), F.col("embedding").alias("c_emb")
+    )
+    res = (
+        emb.join(assign, emb["vec_id"] == assign["vid"])
+        .join(broadcast(cent), "data_cell")
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(embedding, c_emb, (x, y) ->"
+                " CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            ).alias("embedding"),
+        )
+    )
+    books, codes = pq_train_encode(spark, res, codewords, iters=iters)
+    books.write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    spark.createDataFrame(
+        [(int(n), int(codewords), int(shortlist))],
+        "n_vectors long, codewords int, shortlist int",
+    ).write.mode("overwrite").parquet(meta_dir)
+    return index_dir
+
+
+@query("ann_ivfpq_index_build")  # rows-only: iterative training, no
+# SQL twin; content pinned by the residual-probe plan/recall pytests
+def ann_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once leg of the residual IVFPQ index: build (or reuse)
+    the residual-trained codebooks + codes and report code occupancy
+    per subspace (same capacity-planning histogram as the flat PQ
+    build, but over residual space)."""
+    import os
+
+    index_dir = build_ivfpq_index(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    return (
+        codes.groupBy("m", "code")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("m", "code")
+    )
+
+
+@query("sim_ivfpq_residual_topk")  # rows-only: approximate; recall in
+# RECALL.md (A/B vs the non-residual composition), plan pinned in tests
+def sim_ivfpq_residual_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    certify: bool = True,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
+) -> DataFrame:
+    """RESIDUAL IVFPQ serving (the full FAISS IVFPQ shape): the coarse
+    quantizer prunes to the query's n_probe cells; within each probed
+    cell the query's RESIDUAL q − centroid(cell) builds that cell's ADC
+    distance table against residual-trained codebooks; candidates score
+    against the table of THEIR OWN cell (their codes encode x −
+    centroid(cell(x)) — the same origin, so the asymmetric distance is
+    ||q − x||² up to quantization); exact re-rank on the shortlist.
+
+    vs ``sim_ivfpq_stored_topk`` (non-residual): same pruning and scan
+    shape, but the distance table is per (query, cell) instead of per
+    query — #queries × n_probe × M × K entries, still broadcast-sized.
+    RECALL.md records the measured A/B on this corpus.
+    """
+    import os
+
+    ivf_dir = build_ivf_index(spark, sf_dir)
+    pq_dir = build_ivfpq_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    centroids = spark.read.parquet(os.path.join(ivf_dir, "centroids"))
+    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments"))
+    n_probe = int(
+        spark.read.parquet(os.path.join(ivf_dir, "meta")).head()["n_probe"]
+    )
+    books = spark.read.parquet(os.path.join(pq_dir, "books"))
+    codes = spark.read.parquet(os.path.join(pq_dir, "codes"))
+    shortlist_n = int(
+        spark.read.parquet(os.path.join(pq_dir, "meta")).head()["shortlist"]
+    )
+    queries = emb.where(F.col("vec_id").isin(*probe_ids))
+    qprobe = ivf_assign(spark, queries, centroids, n=n_probe).select(
+        F.col("vid").alias("qid"), F.col("cell").alias("data_cell")
+    )
+    cent = centroids.select(
+        F.col("vec_id").alias("data_cell"), F.col("embedding").alias("c_emb")
+    )
+    qres = (
+        queries.join(broadcast(qprobe), queries["vec_id"] == qprobe["qid"])
+        .join(broadcast(cent), "data_cell")
+        .select(
+            "qid",
+            "data_cell",
+            F.expr(
+                "zip_with(embedding, c_emb, (x, y) ->"
+                " CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            ).alias("q_res"),
+        )
+    )
+    qsub = None
+    for m in range(PQ_M):
+        part = qres.select(
+            "qid",
+            "data_cell",
+            F.lit(m).alias("m"),
+            F.posexplode(
+                F.slice("q_res", m * PQ_DIMS + 1, PQ_DIMS)
+            ).alias("pos", "qv"),
+        )
+        qsub = part if qsub is None else qsub.unionByName(part)
+    bsub = books.select(
+        "m", "code", F.posexplode("embedding").alias("pos", "cv")
+    )
+    dtable = (
+        qsub.join(bsub, ["m", "pos"])
+        .groupBy("qid", "data_cell", "m", "code")
+        .agg(
+            F.sum(
+                ((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")))
+                .cast(PDEC)
+            ).alias("d2")
+        )
+    )
+    cand = assign.join(broadcast(qprobe), "data_cell").where(
+        F.col("vid") != F.col("qid")
+    )
+    wa = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist").asc(), F.col("vid")
+    )
+    short = (
+        cand.join(codes, "vid")
+        .join(broadcast(dtable), ["qid", "data_cell", "m", "code"])
+        .groupBy("qid", "vid")
+        .agg(F.sum("d2").alias("adc_dist"))
+        .select("qid", "vid", F.row_number().over(wa).alias("ark"))
+        .where(F.col("ark") <= shortlist_n)
+        .select("qid", "vid")
+    )
+    return _exact_rerank(emb, queries, short, certify, probe_ids)
 
 
 # --------------------------------------------- MMR diversified top-k

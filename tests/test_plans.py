@@ -573,6 +573,31 @@ def test_ivfpq_stored_probe_composition(spark, sf_dir):
     assert hits >= 10, hits  # >= 10/15 true neighbors at sf0.001
 
 
+def test_ivfpq_residual_probe_plan(spark, sf_dir):
+    """sim_ivfpq_residual_topk: serves from the stored coarse layer +
+    residual-trained PQ tables (no training / corpus assignment /
+    session checkpoints in the plan) and agrees with the non-residual
+    composition's recall contract (>= 10/15 true neighbors at
+    sf0.001)."""
+    from kachess_spark.pipeline.similarity import sim_ivfpq_residual_topk
+
+    df = sim_ivfpq_residual_topk(spark, sf_dir, certify=False)
+    df.count()
+    plan = _plan(df)
+    assert "ivfpq_index" in plan and "ivf_index" in plan
+    assert "max_by" not in plan
+    assert "ExistingRDD" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+    cert = sim_ivfpq_residual_topk(spark, sf_dir)
+    hits = sum(
+        r["recall"] * 5
+        for r in cert.select("qid", "recall").distinct().collect()
+    )
+    assert hits >= 10, hits
+
+
 def test_png_roundtrip_arrow_batched(spark, sf_dir):
     """mm_png_roundtrip: both kernels must run as Arrow-batched
     mapInPandas (MapInPandas nodes), not row-at-a-time Python UDFs."""

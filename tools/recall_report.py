@@ -48,6 +48,9 @@ METHODS = [
     ("sim_ivfpq_stored_topk",
      "IVF+PQ composition over both stored indexes: probed-cell"
      " inverted lists -> ADC over those codes only -> exact re-rank"),
+    ("sim_ivfpq_residual_topk",
+     "RESIDUAL IVFPQ (FAISS shape): codebooks trained on"
+     " x - centroid(cell), per-(query, cell) distance tables"),
 ]
 
 
