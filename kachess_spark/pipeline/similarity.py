@@ -799,6 +799,7 @@ def build_ivf_index(
     n_probe: int | None = None,
     iters: int = 1,
     seeding: str = "first",
+    emb: DataFrame | None = None,
 ) -> str:
     """Train-once IVF index build: k-means centroids + the corpus-wide
     cell assignment (the inverted lists), written as parquet tables
@@ -815,8 +816,9 @@ def build_ivf_index(
 
     from kachess_spark.operators.sinks import _scratch
 
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "embedding")
+    if emb is None:
+        t = Tables(spark, sf_dir)
+        emb = t.embeddings.select("vec_id", "embedding")
     n = emb.count()
     if cells is None:
         cells = ivf_n_cells(n)
@@ -852,6 +854,90 @@ def build_ivf_index(
         "n_vectors long, cells int, n_probe int",
     ).write.mode("overwrite").parquet(meta_dir)
     return index_dir
+
+
+def ivf_index_insert(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> None:
+    """Incremental maintenance of a stored IVF index: assign NEW
+    vectors against the FROZEN centroids and APPEND them to the
+    inverted lists — no retraining, existing entries untouched, probes
+    unchanged (the appended files land in the same cell partition
+    dirs, so DPP keeps pruning).  This is the serving-index lifecycle
+    between rebuilds: inserts accumulate centroid drift until a
+    scheduled ``build_ivf_index`` re-train, as in any IVF deployment.
+    At-most-once per batch: the caller owns insert-batch dedup (a
+    production sink tags files per batch id, as the streaming gate
+    does)."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assign = ivf_assign(spark, new_vectors, cent, n=1).select(
+        "vid", F.col("cell").alias("data_cell")
+    )
+    assign.repartition("data_cell").write.partitionBy("data_cell").mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "assignments"))
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).head()
+    spark.createDataFrame(
+        [
+            (
+                int(meta["n_vectors"]) + new_vectors.count(),
+                int(meta["cells"]),
+                int(meta["n_probe"]),
+            )
+        ],
+        "n_vectors long, cells int, n_probe int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+
+
+@query("ann_index_insert")  # rows-only: assignment against trained
+# centroids has no SQL twin; equivalence to a from-scratch assignment
+# is pinned in tests/test_plans.py::test_ivf_index_insert_equivalence
+def ann_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance demo: build the IVF index on the 90%
+    base corpus (vec_id % 10 != 0), insert the 10% delta against the
+    FROZEN centroids, and report per-cell inverted-list growth —
+    (cell, n_base, n_total, n_inserted), the numbers an index
+    operator watches between re-trains (drifting inserts concentrate
+    in few cells → time to rebuild)."""
+    import os
+    import uuid
+
+    from kachess_spark.operators.sinks import _scratch
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    idx = _scratch(f"ivf_insdemo_{uuid.uuid4().hex[:8]}")
+    build_ivf_index(spark, sf_dir, index_dir=idx, emb=base)
+    before = (
+        spark.read.parquet(os.path.join(idx, "assignments"))
+        .groupBy(F.col("data_cell").alias("cell"))
+        .agg(F.count("*").alias("n_base"))
+        # materialize BEFORE the append — a lazy read would re-list
+        # the directory after the insert and count the delta twice
+        .localCheckpoint(eager=True)
+    )
+    ivf_index_insert(spark, idx, delta)
+    after = (
+        spark.read.parquet(os.path.join(idx, "assignments"))
+        .groupBy(F.col("data_cell").alias("cell"))
+        .agg(F.count("*").alias("n_total"))
+    )
+    return (
+        after.join(before, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            "n_total",
+            (F.col("n_total") - F.coalesce("n_base", F.lit(0))).alias(
+                "n_inserted"
+            ),
+        )
+        .orderBy("cell")
+    )
 
 
 @query("ann_index_build")  # rows-only: iterative k-means training has

@@ -598,6 +598,53 @@ def test_ivfpq_residual_probe_plan(spark, sf_dir):
     assert hits >= 10, hits
 
 
+def test_ivf_index_insert_equivalence(spark, sf_dir, tmp_path):
+    """ivf_index_insert: a base-built index with the delta inserted
+    against the FROZEN centroids must hold exactly the assignments a
+    from-scratch pass over the FULL corpus produces with the same
+    centroids — maintenance changes storage, never semantics.  The
+    stored-probe path over the maintained index must also return
+    delta vectors when they are true neighbors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_assign,
+        ivf_index_insert,
+        sim_ivf_stored_topk,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, sf_dir, index_dir=idx, emb=base)
+    ivf_index_insert(spark, idx, delta)
+
+    stored = {
+        (r["vid"], r["data_cell"])
+        for r in spark.read.parquet(os.path.join(idx, "assignments"))
+        .select("vid", "data_cell")
+        .collect()
+    }
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    scratch = {
+        (r["vid"], r["cell"])
+        for r in ivf_assign(spark, emb, cent, n=1)
+        .select("vid", "cell")
+        .collect()
+    }
+    assert stored == scratch
+    assert len(stored) == emb.count()
+
+    got = sim_ivf_stored_topk(spark, sf_dir, certify=False, index_dir=idx)
+    vids = {r["vid"] for r in got.select("vid").collect()}
+    assert vids, "probe over the maintained index returned nothing"
+
+
 def test_png_roundtrip_arrow_batched(spark, sf_dir):
     """mm_png_roundtrip: both kernels must run as Arrow-batched
     mapInPandas (MapInPandas nodes), not row-at-a-time Python UDFs."""
