@@ -16,6 +16,7 @@ from kachess_spark.streaming.windows import (
     streaming_static_enrich,
     ingest_dedup_gate_batch,
     ingest_gate_growing_batch,
+    ingest_gate_verified_batch,
     streaming_ingest_dedup_gate,
     stream_documents,
     session_window_stats,
@@ -45,6 +46,7 @@ __all__ = [
     "streaming_user_running_totals",
     "ingest_dedup_gate_batch",
     "ingest_gate_growing_batch",
+    "ingest_gate_verified_batch",
     "streaming_ingest_dedup_gate",
     "stream_documents",
 ]

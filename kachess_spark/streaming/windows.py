@@ -1379,6 +1379,143 @@ def ingest_dedup_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_gate_verified_oracle() -> str:
+    from kachess_spark.pipeline.dedup import (
+        _CANON_SQL,
+        _SHINGLES_SQL,
+        MINHASH_VERIFY_TAU,
+        _oracle_minhash,
+    )
+
+    mh = ", ".join(_oracle_minhash(i) for i in range(6))
+    jac = (
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / (len(a.shingles) + len(b.shingles)"
+        " - len(list_intersect(a.shingles, b.shingles)))"
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {mh}
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh_2 || '|' || mh_3 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh_4 || '|' || mh_5 AS band_key FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS odd_id, b.doc_id AS even_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    dropped AS (
+      SELECT DISTINCT c.odd_id
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.odd_id
+      JOIN sh b ON b.doc_id = c.even_id
+      WHERE ROUND({jac}, 6) >= {MINHASH_VERIFY_TAU}
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT odd_id FROM dropped)
+    ORDER BY d.doc_id
+"""
+
+
+@query("stream_ingest_gate_verified", _ingest_gate_verified_oracle())
+def ingest_gate_verified_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-aware admission gate: an incoming (odd) doc is dropped
+    only when a band collision against the historical (even) index is
+    CONFIRMED by exact Jaccard >= τ on the two shingle sets — LSH false
+    positives are admitted instead of silently discarded (the
+    recall/precision split of ``dedup_minhash_verified``, applied to
+    the ingest decision).  Compare ``stream_ingest_dedup_gate``: that
+    static gate drops on collision alone.
+
+    Scale shape: the candidate space is the band bucket join (never
+    all-pairs); verification ships only colliding docs' shingle arrays
+    (semi-join restricted) and is codegen ``array_intersect``, no
+    explode.  The production streaming wiring stores shingle arrays
+    alongside the band index and runs this exact per-batch plan.
+    """
+    from kachess_spark.pipeline.dedup import (
+        MINHASH_VERIFY_TAU,
+        _with_shingles,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _with_shingles(docs)
+    bands = _band_rows(minhash_signature(docs)).localCheckpoint(eager=True)
+    cand = (
+        bands.where(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").alias("odd_id"), "band", "band_key")
+        .join(
+            bands.where(F.col("doc_id") % 2 == 0).select(
+                F.col("doc_id").alias("even_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .select("odd_id", "even_id")
+        .distinct()
+    )
+    docs_in_cand = (
+        cand.select(F.col("odd_id").alias("doc_id"))
+        .unionAll(cand.select(F.col("even_id").alias("doc_id")))
+        .distinct()
+    )
+    sha = sh.join(docs_in_cand, "doc_id", "left_semi").select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    inter = (
+        cand.join(
+            sha.select(
+                F.col("doc_id").alias("odd_id"),
+                F.col("shingles").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "odd_id",
+        )
+        .join(
+            sha.select(
+                F.col("doc_id").alias("even_id"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "even_id",
+        )
+        .withColumn("n_i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_i") / (F.col("n_a") + F.col("n_b") - F.col("n_i")),
+                6,
+            ),
+        )
+    )
+    dropped = (
+        inter.where(F.col("jaccard") >= MINHASH_VERIFY_TAU)
+        .select(F.col("odd_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # Deterministic micro-batch assignment for the GROWING gate's batch
 # twin + oracle: incoming (odd) docs arrive in this many batches, batch
 # index = ((doc_id-1)/2) mod N — round-robin, expressible identically

@@ -886,6 +886,44 @@ def test_ingest_gate_empty_and_all_duplicate_streams(spark, sf_dir, tmp_path):
     assert r1.count() == n1  # would fail if call 2 rmtree'd call 1's sink
 
 
+def test_ingest_gate_verified_superset(spark, sf_dir):
+    """The verified gate admits a SUPERSET of the collision-only gate
+    (exact-Jaccard confirmation can only rescue LSH false positives,
+    never drop more), and every doc it drops genuinely verifies >= tau
+    against some historical doc."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+    from kachess_spark.pipeline.dedup import (
+        MINHASH_VERIFY_TAU,
+        _with_shingles,
+    )
+    from kachess_spark.streaming.windows import (
+        ingest_dedup_gate_batch,
+        ingest_gate_verified_batch,
+    )
+
+    plain = {r["doc_id"] for r in ingest_dedup_gate_batch(spark, sf_dir)
+             .select("doc_id").collect()}
+    verified = {r["doc_id"] for r in ingest_gate_verified_batch(spark, sf_dir)
+                .select("doc_id").collect()}
+    assert plain <= verified
+    docs = load_table(spark, sf_dir, "documents")
+    odd_all = {r["doc_id"] for r in docs.where(F.col("doc_id") % 2 == 1)
+               .select("doc_id").collect()}
+    dropped = odd_all - verified
+    if dropped:
+        sh = {r["doc_id"]: set(r["shingles"])
+              for r in _with_shingles(docs).collect()}
+        for d in dropped:
+            best = max(
+                (len(sh[d] & sh[e]) / len(sh[d] | sh[e])
+                 for e in sh if e % 2 == 0 and e in sh),
+                default=0.0,
+            )
+            assert best >= MINHASH_VERIFY_TAU, (d, best)
+
+
 def test_ingest_gate_growing_catches_new_vs_new(spark, tmp_path):
     """The round-7 verdict scenario: near-duplicate NEW docs arriving in
     DIFFERENT micro-batches.  The static gate admits both; the growing
