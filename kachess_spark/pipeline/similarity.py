@@ -1315,6 +1315,7 @@ def build_pq_index(
     codewords: int | None = None,
     shortlist: int | None = None,
     iters: int = 2,
+    emb: DataFrame | None = None,
 ) -> str:
     """Train-once PQ index build: per-subspace codebooks + the encoded
     corpus (the 16-bit codes), written as parquet tables under
@@ -1328,8 +1329,9 @@ def build_pq_index(
 
     from kachess_spark.operators.sinks import _scratch
 
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "embedding")
+    if emb is None:
+        t = Tables(spark, sf_dir)
+        emb = t.embeddings.select("vec_id", "embedding")
     n = emb.count()
     if codewords is None:
         codewords = pq_codewords(n)
@@ -1352,6 +1354,47 @@ def build_pq_index(
         "n_vectors long, codewords int, shortlist int",
     ).write.mode("overwrite").parquet(meta_dir)
     return index_dir
+
+
+def pq_index_insert(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> None:
+    """Incremental maintenance of a stored PQ index: encode NEW vectors
+    with the FROZEN codebooks (one nearest-codeword assignment per
+    subspace) and append their codes — no retraining, probes unchanged.
+    The PQ twin of ``ivf_index_insert``: quantization drift accumulates
+    until a scheduled ``build_pq_index`` re-train.  At-most-once per
+    batch (caller owns insert-batch dedup)."""
+    import os
+    from functools import reduce
+
+    books = spark.read.parquet(os.path.join(index_dir, "books"))
+    parts = []
+    for m in range(PQ_M):
+        sub = new_vectors.select(
+            "vec_id",
+            F.slice("embedding", m * PQ_DIMS + 1, PQ_DIMS).alias("embedding"),
+        )
+        cent = books.where(F.col("m") == m).select(
+            F.col("code").alias("vec_id"), "embedding"
+        )
+        parts.append(
+            _assign_l2(sub, cent).select("vid", F.lit(m).alias("m"), "code")
+        )
+    reduce(DataFrame.unionByName, parts).write.mode("append").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).head()
+    spark.createDataFrame(
+        [
+            (
+                int(meta["n_vectors"]) + new_vectors.count(),
+                int(meta["codewords"]),
+                int(meta["shortlist"]),
+            )
+        ],
+        "n_vectors long, codewords int, shortlist int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
 
 
 @query("ann_pq_index_build")  # rows-only: iterative k-means training

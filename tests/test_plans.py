@@ -645,6 +645,58 @@ def test_ivf_index_insert_equivalence(spark, sf_dir, tmp_path):
     assert vids, "probe over the maintained index returned nothing"
 
 
+def test_pq_index_insert_equivalence(spark, sf_dir, tmp_path):
+    """pq_index_insert: a base-built PQ index with the delta encoded
+    against the FROZEN codebooks must hold exactly the codes a
+    from-scratch encoding of the FULL corpus produces with the same
+    books — maintenance changes storage, never semantics — and the
+    stored ADC probe serves from the maintained index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        PQ_DIMS,
+        PQ_M,
+        _assign_l2,
+        build_pq_index,
+        pq_index_insert,
+        sim_pq_stored_topk,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "pq_idx")
+    build_pq_index(spark, sf_dir, index_dir=idx, emb=base)
+    pq_index_insert(spark, idx, delta)
+
+    stored = {
+        (r["vid"], r["m"], r["code"])
+        for r in spark.read.parquet(os.path.join(idx, "codes")).collect()
+    }
+    books = spark.read.parquet(os.path.join(idx, "books"))
+    scratch = set()
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", m * PQ_DIMS + 1, PQ_DIMS).alias("embedding"),
+        )
+        cent = books.where(F.col("m") == m).select(
+            F.col("code").alias("vec_id"), "embedding"
+        )
+        scratch |= {
+            (r["vid"], m, r["code"])
+            for r in _assign_l2(sub, cent).collect()
+        }
+    assert stored == scratch
+    assert len(stored) == emb.count() * PQ_M
+
+    got = sim_pq_stored_topk(spark, sf_dir, certify=False, index_dir=idx)
+    assert got.count() > 0
+
+
 def test_png_roundtrip_arrow_batched(spark, sf_dir):
     """mm_png_roundtrip: both kernels must run as Arrow-batched
     mapInPandas (MapInPandas nodes), not row-at-a-time Python UDFs."""
