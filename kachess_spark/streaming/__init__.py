@@ -17,6 +17,7 @@ from kachess_spark.streaming.windows import (
     ingest_dedup_gate_batch,
     ingest_gate_growing_batch,
     ingest_gate_verified_batch,
+    ingest_gate_growing_verified_batch,
     streaming_ingest_dedup_gate,
     stream_documents,
     session_window_stats,
@@ -47,6 +48,7 @@ __all__ = [
     "ingest_dedup_gate_batch",
     "ingest_gate_growing_batch",
     "ingest_gate_verified_batch",
+    "ingest_gate_growing_verified_batch",
     "streaming_ingest_dedup_gate",
     "stream_documents",
 ]

@@ -1649,6 +1649,207 @@ def ingest_gate_growing_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("doc_id")
 
 
+def _ingest_gate_gv_oracle() -> str:
+    """Growing + verified: hist{k+1} = hist{k} plus batch k's admitted
+    docs' bands (WITH doc ids, so later batches can verify against the
+    admitting doc's shingles); a doc is dropped only on a band
+    collision CONFIRMED by exact Jaccard >= τ."""
+    from kachess_spark.pipeline.dedup import (
+        _CANON_SQL,
+        _SHINGLES_SQL,
+        MINHASH_VERIFY_TAU,
+        _oracle_minhash,
+    )
+
+    mh = ", ".join(_oracle_minhash(i) for i in range(6))
+    nb = _GATE_N_BATCHES
+    jac = (
+        "CAST(len(list_intersect(sa.shingles, sp.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sp.shingles)"
+        " - len(list_intersect(sa.shingles, sp.shingles)))"
+    )
+    parts = [
+        f"""
+    WITH sigs AS (
+      SELECT doc_id, {mh}
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh_2 || '|' || mh_3 AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh_4 || '|' || mh_5 AS band_key FROM sigs
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents
+      WHERE len(string_split({_CANON_SQL}, ' ')) >= 3
+    ),
+    hist0 AS (
+      SELECT doc_id, band, band_key FROM bands WHERE doc_id % 2 = 0
+    )"""
+    ]
+    for k in range(nb):
+        parts.append(
+            f""",
+    adm{k} AS (
+      SELECT o.doc_id FROM documents o
+      WHERE o.doc_id % 2 = 1 AND ((o.doc_id - 1) // 2) % {nb} = {k}
+        AND NOT EXISTS (
+          SELECT 1 FROM bands nbnd
+          JOIN hist{k} h
+            ON nbnd.band = h.band AND nbnd.band_key = h.band_key
+          JOIN sh sa ON sa.doc_id = o.doc_id
+          JOIN sh sp ON sp.doc_id = h.doc_id
+          WHERE nbnd.doc_id = o.doc_id AND ROUND({jac}, 6)
+            >= {MINHASH_VERIFY_TAU})
+        AND NOT EXISTS (
+          SELECT 1 FROM bands nbnd
+          JOIN bands pb
+            ON nbnd.band = pb.band AND nbnd.band_key = pb.band_key
+          JOIN sh sa ON sa.doc_id = o.doc_id
+          JOIN sh sp ON sp.doc_id = pb.doc_id
+          WHERE nbnd.doc_id = o.doc_id AND pb.doc_id % 2 = 1
+            AND ((pb.doc_id - 1) // 2) % {nb} = {k}
+            AND pb.doc_id < o.doc_id
+            AND ROUND({jac}, 6) >= {MINHASH_VERIFY_TAU})
+    ),
+    hist{k + 1} AS (
+      SELECT doc_id, band, band_key FROM hist{k}
+      UNION ALL
+      SELECT b.doc_id, b.band, b.band_key FROM bands b JOIN adm{k} a
+        ON b.doc_id = a.doc_id
+    )"""
+        )
+    admitted = " UNION ALL ".join(
+        f"SELECT doc_id FROM adm{k}" for k in range(nb)
+    )
+    parts.append(
+        f"""
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN ({admitted}) a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""
+    )
+    return "".join(parts)
+
+
+@query("stream_ingest_gate_growing_verified", _ingest_gate_gv_oracle())
+def ingest_gate_growing_verified_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL production admission gate: the index grows with each
+    batch's admitted docs (``stream_ingest_gate_growing``) AND every
+    band collision is confirmed by exact Jaccard >= τ before dropping
+    (``stream_ingest_gate_verified``) — LSH false positives are
+    admitted, true near-duplicates are caught across micro-batches,
+    and only ADMITTED docs' bands (with their doc ids, so later
+    batches can verify against the admitting doc's shingles) fold into
+    the index.  Within-batch policy: keep-first-by-id over VERIFIED
+    collisions.
+
+    Scale shape: per batch one band semi-join against the stored
+    index, one within-batch band self-join, and codegen
+    ``array_intersect`` verification shipped only for colliding pairs;
+    the index stores (doc_id, band, band_key) rows plus the shingle
+    arrays of admitted docs — exactly what the production foreachBatch
+    sink materializes per batch.
+    """
+    from functools import reduce
+
+    from kachess_spark.pipeline.dedup import (
+        MINHASH_VERIFY_TAU,
+        _with_shingles,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        _with_shingles(docs)
+        .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+        .localCheckpoint(eager=True)
+    )
+    bands = _band_rows(minhash_signature(docs)).localCheckpoint(eager=True)
+    odd = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "b", F.expr(f"((doc_id - 1) div 2) % {_GATE_N_BATCHES}")
+    )
+    hist = bands.where(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+
+    def verified_drops(cand: DataFrame) -> DataFrame:
+        """(a_id) for candidate pairs whose exact Jaccard >= τ."""
+        return (
+            cand.join(
+                sh.select(
+                    F.col("doc_id").alias("a_id"),
+                    F.col("shingles").alias("sh_a"),
+                    F.col("n_sh").alias("n_a"),
+                ),
+                "a_id",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("p_id"),
+                    F.col("shingles").alias("sh_b"),
+                    F.col("n_sh").alias("n_b"),
+                ),
+                "p_id",
+            )
+            .withColumn("n_i", F.size(F.array_intersect("sh_a", "sh_b")))
+            .where(
+                F.round(
+                    F.col("n_i")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_i")),
+                    6,
+                )
+                >= MINHASH_VERIFY_TAU
+            )
+            .select(F.col("a_id").alias("doc_id"))
+            .distinct()
+        )
+
+    parts = []
+    for k in range(_GATE_N_BATCHES):
+        bk = odd.where(F.col("b") == k)
+        bkb = bands.join(bk.select("doc_id"), "doc_id")
+        cand_h = (
+            bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+            .join(
+                hist.select(
+                    F.col("doc_id").alias("p_id"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .select("a_id", "p_id")
+            .distinct()
+        )
+        cand_w = (
+            bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+            .join(
+                bkb.select(
+                    F.col("doc_id").alias("p_id"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .where(F.col("p_id") < F.col("a_id"))
+            .select("a_id", "p_id")
+            .distinct()
+        )
+        dropped = verified_drops(cand_h.unionByName(cand_w).distinct())
+        adm = (
+            bk.join(dropped, "doc_id", "left_anti")
+            .select("doc_id", "source", "n_chars")
+            .localCheckpoint(eager=True)
+        )
+        hist = hist.unionByName(
+            bands.join(adm.select("doc_id"), "doc_id").select(
+                "doc_id", "band", "band_key"
+            )
+        ).localCheckpoint(eager=True)
+        parts.append(adm)
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("doc_id")
+
+
 def streaming_ingest_dedup_gate(
     spark: SparkSession,
     sf_dir: str,

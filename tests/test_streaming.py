@@ -924,6 +924,30 @@ def test_ingest_gate_verified_superset(spark, sf_dir):
             assert best >= MINHASH_VERIFY_TAU, (d, best)
 
 
+def test_ingest_gate_lattice(spark, sf_dir):
+    """The four admission gates form a lattice: verification can only
+    RESCUE docs (admit more) and index growth can only DROP more, so
+    growing <= growing_verified <= verified and growing <= static <=
+    verified, as admitted-sets."""
+    from kachess_spark.streaming.windows import (
+        ingest_dedup_gate_batch,
+        ingest_gate_growing_batch,
+        ingest_gate_growing_verified_batch,
+        ingest_gate_verified_batch,
+    )
+
+    def ids(fn):
+        return {r["doc_id"] for r in fn(spark, sf_dir).select("doc_id")
+                .collect()}
+
+    static = ids(ingest_dedup_gate_batch)
+    verified = ids(ingest_gate_verified_batch)
+    growing = ids(ingest_gate_growing_batch)
+    gv = ids(ingest_gate_growing_verified_batch)
+    assert growing <= gv <= verified
+    assert growing <= static <= verified
+
+
 def test_ingest_gate_growing_catches_new_vs_new(spark, tmp_path):
     """The round-7 verdict scenario: near-duplicate NEW docs arriving in
     DIFFERENT micro-batches.  The static gate admits both; the growing
