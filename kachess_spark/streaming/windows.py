@@ -1916,17 +1916,41 @@ def streaming_ingest_dedup_gate(
     else:
         hist_bands = hist_src.localCheckpoint(eager=True)  # built ONCE
 
+    def _index_dirs_before(batch_id: int) -> list:
+        """Stored-index parquet dirs visible to ``batch_id``: the hist
+        seed plus batch=k contributions with k < batch_id ONLY.  A
+        replayed micro-batch (index batch dir written, offsets-commit
+        not — foreachBatch is at-least-once) must NOT read its own
+        prior contribution: every doc it previously admitted would
+        collide with its own bands, be dropped, and the overwrite would
+        empty the sink + index dirs — silent data loss.  Listing dirs
+        explicitly (not recursiveFileLookup) also keeps partial files
+        under a crashed write's _temporary/ out of the scan."""
+        dirs = []
+        hist_dir = os.path.join(idx_dir, "hist")
+        if os.path.isdir(hist_dir):
+            dirs.append(hist_dir)
+        for name in os.listdir(idx_dir):
+            if not name.startswith("batch="):
+                continue
+            try:
+                k = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if k < batch_id and os.path.isdir(os.path.join(idx_dir, name)):
+                dirs.append(os.path.join(idx_dir, name))
+        return dirs
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         new_bands = _band_rows(minhash_signature(batch_df))
         if grow:
-            # re-list the stored index: includes every prior batch's
-            # admitted contribution (availableNow batches run serially)
+            # the stored index AS OF this batch: every EARLIER batch's
+            # admitted contribution (availableNow batches run serially),
+            # but never batch_id's own — crash-replay safe
             new_bands = new_bands.localCheckpoint(eager=True)
-            idx = spark.read.option("recursiveFileLookup", "true").parquet(
-                idx_dir
-            )
+            idx = spark.read.parquet(*_index_dirs_before(batch_id))
         else:
             idx = hist_bands
         matched = (

@@ -853,6 +853,73 @@ def test_streaming_ingest_gate_growing_restart(spark, sf_dir, tmp_path):
     assert got.doc_id.is_unique
 
 
+def test_streaming_ingest_gate_growing_same_batch_replay(
+    spark, sf_dir, tmp_path
+):
+    """Crash-REPLAY of a batch whose sink+index dirs already exist
+    (round-8 advice, high): foreachBatch is at-least-once — a crash
+    after the batch's output dirs are written but before the offsets
+    commit replays the SAME batch id on restart.  The replayed batch
+    must not read its own prior index contribution (it would collide
+    with its own bands, drop everything it previously admitted, and
+    overwrite the dirs with the emptied set).  Simulated by deleting
+    the last commit file from the checkpoint and re-running."""
+    import glob
+    import os
+
+    from kachess_spark.streaming.windows import (
+        _GATE_N_BATCHES,
+        ingest_gate_growing_batch,
+        streaming_ingest_dedup_gate,
+    )
+
+    src = str(tmp_path / "docs_src")
+    state = str(tmp_path / "state")
+    _bucket_files(spark, sf_dir, src, range(_GATE_N_BATCHES))
+    first = (
+        streaming_ingest_dedup_gate(
+            spark, sf_dir, _gate_file_stream(spark, src), state, grow=True
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the last batch's sink + index dirs exist; roll its commit back
+    commits = sorted(
+        glob.glob(os.path.join(state, "_chk", "commits", "*")),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    commits = [p for p in commits if os.path.basename(p).isdigit()]
+    assert commits, "expected committed micro-batches"
+    replay_id = int(os.path.basename(commits[-1]))
+    os.remove(commits[-1])
+    # local-FS checksum shadow of the commit file: the checkpoint
+    # manager writes commits via rename, which fails if the stale
+    # .N.crc survives the commit file's deletion
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{replay_id}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert os.path.isdir(os.path.join(state, "index", f"batch={replay_id}"))
+    got = (
+        streaming_ingest_dedup_gate(
+            spark, sf_dir, _gate_file_stream(spark, src), state, grow=True
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        ingest_gate_growing_batch(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want), len(first))
+    assert got.equals(first)
+
+
 def test_ingest_gate_empty_and_all_duplicate_streams(spark, sf_dir, tmp_path):
     """Round-7 advice fixes, locked: (a) a stream whose every incoming
     doc is a duplicate of history writes NO batch dirs — the read-back
