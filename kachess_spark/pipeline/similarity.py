@@ -672,13 +672,19 @@ def _sample_fft_centroids(
     unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     order = np.argsort(ids)  # start at the lowest vec_id (no RNG)
     chosen = [order[0]]
-    # min cosine-distance to the chosen set, updated incrementally
+    # min cosine-distance to the chosen set, updated incrementally;
+    # chosen indices are masked to -inf so a pick can never repeat —
+    # with duplicate vectors (or k near the sample's distinct-direction
+    # count) every remaining min-distance is ~0 and the id tie-break
+    # would otherwise re-select an already-chosen point (round-8 advice)
     mind = 1.0 - unit @ unit[chosen[0]]
+    mind[chosen[0]] = -np.inf
     for _ in range(min(k, len(ids)) - 1):
         # farthest point; ties broken by vec_id for determinism
         far = np.lexsort((ids, -mind))[0]
         chosen.append(far)
         mind = np.minimum(mind, 1.0 - unit @ unit[far])
+        mind[far] = -np.inf
     rows = [
         (int(c), [float(x) for x in mat[j]]) for c, j in enumerate(chosen)
     ]
@@ -791,6 +797,32 @@ def sim_ivf_kmeans_topk(
 # the train-once / probe-many split their docstrings promise.
 
 
+def _reuse_or_clear_index(
+    spark: SparkSession, index_dir: str, want: dict
+) -> bool:
+    """True if ``index_dir`` holds an index built with exactly the
+    requested parameters (reuse it); otherwise clear the dir for a
+    rebuild.  Reuse used to key on meta-dir EXISTENCE alone, so a later
+    call with an explicit ``index_dir`` and different cells/n_probe/
+    iters/seeding silently served the stale index with the old
+    parameters (round-8 advice, medium).  ``n_built`` (corpus size at
+    build time) is compared too — same params over a different corpus
+    snapshot is also a stale index; post-build inserts update
+    ``n_vectors`` but never ``n_built``, so legitimate incremental
+    growth does not trigger a rebuild."""
+    import os
+    import shutil
+
+    meta_dir = os.path.join(index_dir, "meta")
+    if not os.path.isdir(meta_dir):
+        return False
+    meta = spark.read.parquet(meta_dir).head().asDict()
+    if all(meta.get(k) == v for k, v in want.items()):
+        return True
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return False
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -830,9 +862,19 @@ def build_ivf_index(
             .encode()
         ).hexdigest()[:12]
         index_dir = _scratch(f"ivf_index_{key}")
+    if _reuse_or_clear_index(
+        spark,
+        index_dir,
+        {
+            "n_built": int(n),
+            "cells": int(cells),
+            "n_probe": int(n_probe),
+            "iters": int(iters),
+            "seeding": seeding,
+        },
+    ):
+        return index_dir  # deterministic build + same params → reuse
     meta_dir = os.path.join(index_dir, "meta")
-    if os.path.isdir(meta_dir):
-        return index_dir  # deterministic build → safe reuse
     centroids = kmeans_centroids(spark, emb, cells, iters=iters,
                                  seeding=seeding)
     assign = ivf_assign(spark, emb, centroids, n=1).select(
@@ -850,8 +892,9 @@ def build_ivf_index(
         "data_cell"
     ).mode("overwrite").parquet(os.path.join(index_dir, "assignments"))
     spark.createDataFrame(
-        [(int(n), int(cells), int(n_probe))],
-        "n_vectors long, cells int, n_probe int",
+        [(int(n), int(cells), int(n_probe), int(iters), seeding, int(n))],
+        "n_vectors long, cells int, n_probe int, iters int,"
+        " seeding string, n_built long",
     ).write.mode("overwrite").parquet(meta_dir)
     return index_dir
 
@@ -879,15 +922,26 @@ def ivf_index_insert(
         "append"
     ).parquet(os.path.join(index_dir, "assignments"))
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).head()
+    # n_vectors recounted from the stored table, not read-head-then-
+    # incremented (round-8 advice, low): a crash between the append and
+    # this overwrite leaves the count recoverable on the next insert,
+    # and the count can never drift from the lists it describes
+    n_now = spark.read.parquet(
+        os.path.join(index_dir, "assignments")
+    ).count()
     spark.createDataFrame(
         [
             (
-                int(meta["n_vectors"]) + new_vectors.count(),
+                int(n_now),
                 int(meta["cells"]),
                 int(meta["n_probe"]),
+                int(meta["iters"]),
+                meta["seeding"],
+                int(meta["n_built"]),
             )
         ],
-        "n_vectors long, cells int, n_probe int",
+        "n_vectors long, cells int, n_probe int, iters int,"
+        " seeding string, n_built long",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
 
 
@@ -1343,15 +1397,25 @@ def build_pq_index(
             .encode()
         ).hexdigest()[:12]
         index_dir = _scratch(f"pq_index_{key}")
-    meta_dir = os.path.join(index_dir, "meta")
-    if os.path.isdir(meta_dir):
+    if _reuse_or_clear_index(
+        spark,
+        index_dir,
+        {
+            "n_built": int(n),
+            "codewords": int(codewords),
+            "shortlist": int(shortlist),
+            "iters": int(iters),
+        },
+    ):
         return index_dir
+    meta_dir = os.path.join(index_dir, "meta")
     books, codes = pq_train_encode(spark, emb, codewords, iters=iters)
     books.write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
     codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
     spark.createDataFrame(
-        [(int(n), int(codewords), int(shortlist))],
-        "n_vectors long, codewords int, shortlist int",
+        [(int(n), int(codewords), int(shortlist), int(iters), int(n))],
+        "n_vectors long, codewords int, shortlist int, iters int,"
+        " n_built long",
     ).write.mode("overwrite").parquet(meta_dir)
     return index_dir
 
@@ -1385,15 +1449,23 @@ def pq_index_insert(
         os.path.join(index_dir, "codes")
     )
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).head()
+    # recount from the codes table (M rows per vector) — same crash-
+    # safe recount as ivf_index_insert (round-8 advice, low)
+    n_now = (
+        spark.read.parquet(os.path.join(index_dir, "codes")).count() // PQ_M
+    )
     spark.createDataFrame(
         [
             (
-                int(meta["n_vectors"]) + new_vectors.count(),
+                int(n_now),
                 int(meta["codewords"]),
                 int(meta["shortlist"]),
+                int(meta["iters"]),
+                int(meta["n_built"]),
             )
         ],
-        "n_vectors long, codewords int, shortlist int",
+        "n_vectors long, codewords int, shortlist int, iters int,"
+        " n_built long",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
 
 
@@ -1535,9 +1607,18 @@ def build_ivfpq_index(
             .encode()
         ).hexdigest()[:12]
         index_dir = _scratch(f"ivfpq_index_{key}")
-    meta_dir = os.path.join(index_dir, "meta")
-    if os.path.isdir(meta_dir):
+    if _reuse_or_clear_index(
+        spark,
+        index_dir,
+        {
+            "n_built": int(n),
+            "codewords": int(codewords),
+            "shortlist": int(shortlist),
+            "iters": int(iters),
+        },
+    ):
         return index_dir
+    meta_dir = os.path.join(index_dir, "meta")
     assign = spark.read.parquet(os.path.join(ivf_dir, "assignments"))
     cent = spark.read.parquet(os.path.join(ivf_dir, "centroids")).select(
         F.col("vec_id").alias("data_cell"), F.col("embedding").alias("c_emb")
@@ -1557,8 +1638,9 @@ def build_ivfpq_index(
     books.write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
     codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
     spark.createDataFrame(
-        [(int(n), int(codewords), int(shortlist))],
-        "n_vectors long, codewords int, shortlist int",
+        [(int(n), int(codewords), int(shortlist), int(iters), int(n))],
+        "n_vectors long, codewords int, shortlist int, iters int,"
+        " n_built long",
     ).write.mode("overwrite").parquet(meta_dir)
     return index_dir
 

@@ -697,6 +697,78 @@ def test_pq_index_insert_equivalence(spark, sf_dir, tmp_path):
     assert got.count() > 0
 
 
+def test_stored_index_param_mismatch_rebuilds(spark, sf_dir, tmp_path):
+    """Round-8 advice (medium): with an explicit index_dir, a build
+    call whose parameters differ from the stored index's must REBUILD,
+    not silently serve the stale index — and the serving path must then
+    use the NEW n_probe/centroids.  Matching parameters still reuse
+    (no retrain: meta mtime unchanged)."""
+    import os
+
+    from kachess_spark.pipeline.similarity import (
+        build_ivf_index,
+        build_pq_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, sf_dir, index_dir=idx, cells=4, n_probe=2)
+    meta = spark.read.parquet(os.path.join(idx, "meta")).head()
+    assert (meta["cells"], meta["n_probe"]) == (4, 2)
+    n_cent = spark.read.parquet(os.path.join(idx, "centroids")).count()
+    assert n_cent == 4
+    mtime = os.path.getmtime(os.path.join(idx, "meta"))
+
+    # same params → reuse, no rewrite
+    build_ivf_index(spark, sf_dir, index_dir=idx, cells=4, n_probe=2)
+    assert os.path.getmtime(os.path.join(idx, "meta")) == mtime
+
+    # different cells → rebuilt with the new quantizer
+    build_ivf_index(spark, sf_dir, index_dir=idx, cells=8, n_probe=3)
+    meta = spark.read.parquet(os.path.join(idx, "meta")).head()
+    assert (meta["cells"], meta["n_probe"]) == (8, 3)
+    assert spark.read.parquet(os.path.join(idx, "centroids")).count() == 8
+
+    # PQ twin: shortlist change must not serve the old index
+    pidx = str(tmp_path / "pq_idx")
+    build_pq_index(spark, sf_dir, index_dir=pidx, shortlist=64)
+    build_pq_index(spark, sf_dir, index_dir=pidx, shortlist=128)
+    meta = spark.read.parquet(os.path.join(pidx, "meta")).head()
+    assert meta["shortlist"] == 128
+
+
+def test_index_insert_meta_recount(spark, sf_dir, tmp_path):
+    """Round-8 advice (low): after an insert, meta.n_vectors is
+    recounted from the stored table (crash between append and meta
+    overwrite can understate a cached count, and the recount can never
+    drift), while n_built keeps the build-time corpus size so the
+    param-match reuse check ignores legitimate incremental growth."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_index_insert,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, sf_dir, index_dir=idx, emb=base)
+    n_base = base.count()
+    ivf_index_insert(spark, idx, delta)
+    meta = spark.read.parquet(os.path.join(idx, "meta")).head()
+    assert meta["n_vectors"] == emb.count()
+    assert meta["n_built"] == n_base
+    # a re-build call over the same base corpus + params still reuses
+    # the grown index (insert must not trigger a rebuild)
+    mtime = os.path.getmtime(os.path.join(idx, "meta"))
+    build_ivf_index(spark, sf_dir, index_dir=idx, emb=base)
+    assert os.path.getmtime(os.path.join(idx, "meta")) == mtime
+
+
 def test_png_roundtrip_arrow_batched(spark, sf_dir):
     """mm_png_roundtrip: both kernels must run as Arrow-batched
     mapInPandas (MapInPandas nodes), not row-at-a-time Python UDFs."""
