@@ -797,6 +797,133 @@ def sim_ivf_kmeans_topk(
 # the train-once / probe-many split their docstrings promise.
 
 
+# --- DuckDB twins of the deterministic training pipeline (round-8
+# verdict #1).  The index builders' outputs are integer assignment
+# counts, and every training step is deterministic (first-k seeding, no
+# RNG, exact DECIMAL sums for the combine-order-sensitive parts), so
+# the full k-means chain is SQL-expressible.  Cross-engine float noise
+# exists only in the centroid means and the cosine division (~1e-13,
+# from decimal→double conversion); it can change an output only by
+# flipping an argmin whose top-2 gap is below that — measure-zero on
+# real data.  The oracle mirrors ivf_assign/kmeans_centroids
+# (similarity.py:468,690) step for step.
+
+_HE_ROUND = (
+    "(CAST(FLOOR({x} + 0.5) AS BIGINT)"
+    " - CASE WHEN {x} - FLOOR({x}) = 0.5"
+    " AND CAST(FLOOR({x}) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)"
+)
+
+
+def _sql_ivf_cells(n: str) -> str:
+    """``ivf_n_cells(n)`` in DuckDB SQL.  Python's round() is
+    half-to-even — emulated exactly; the only .5 fractions arise at
+    n = 2**odd, where log2 is libm-exact in both engines."""
+    x = f"LOG2(SQRT({n}))"
+    he = _HE_ROUND.format(x=x)
+    return (
+        f"CASE WHEN {n} <= {ANN_BASE_N} THEN {N_CELLS}"
+        f" ELSE LEAST({IVF_MAX_CELLS}, GREATEST({N_CELLS},"
+        f" CAST(POWER(2, {he}) AS BIGINT))) END"
+    )
+
+
+def _sql_ivf_assign(d: str, norms: str, cent: str, out: str) -> str:
+    """One cosine-argmax assignment pass: (vid, cell) of each vector in
+    exploded ``{d}`` to its nearest centroid in ``{cent}`` (cell, pos,
+    cv) — ivf_assign's exact-DECIMAL dot, cast-to-double cosine, and
+    (cos DESC, cell) tie-break."""
+    return f"""{out}_cn AS (
+      SELECT cell, SUM(CAST(cv * cv AS DECIMAL(28,14))) AS cn
+      FROM {cent} GROUP BY cell
+    ),
+    {out} AS (
+      SELECT vid, cell FROM (
+        SELECT t.vid, t.cell,
+               CAST(t.dot AS DOUBLE)
+                 / SQRT(CAST(n.nn AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cos
+        FROM (
+          SELECT d.vid, c.cell,
+                 SUM(CAST(d.dv * c.cv AS DECIMAL(28,14))) AS dot
+          FROM {d} d JOIN {cent} c USING (pos)
+          GROUP BY d.vid, c.cell
+        ) t JOIN {norms} n USING (vid) JOIN {out}_cn c USING (cell)
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vid
+                                 ORDER BY cos DESC, cell) = 1
+    )"""
+
+
+def _sql_ivf_chain(where: str, p: str) -> str:
+    """CTE chain replicating ``build_ivf_index``'s training (k-means
+    iters=1, first-k-by-id seeding, corpus-adaptive cells) plus the
+    final corpus assignment, over embeddings rows WHERE ``where``.
+    Defines {p}d, {p}norms, {p}cent1 (trained centroids) and {p}asg1
+    (vid, cell) — the stored inverted lists."""
+    cells = _sql_ivf_cells(f"(SELECT n FROM {p}par0)")
+    return f"""{p}d AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings WHERE {where}
+    ),
+    {p}norms AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM {p}d GROUP BY vid
+    ),
+    {p}par0 AS (SELECT COUNT(*) AS n FROM embeddings WHERE {where}),
+    {p}seeds AS (
+      SELECT vec_id AS vid, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM embeddings WHERE {where}
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+        <= (SELECT {cells} FROM {p}par0)
+    ),
+    {p}cent0 AS (
+      SELECT s.cell, d.pos, d.dv AS cv
+      FROM {p}seeds s JOIN {p}d d ON d.vid = s.vid
+    ),
+    {_sql_ivf_assign(p + "d", p + "norms", p + "cent0", p + "asg0")},
+    {p}cent1 AS (
+      SELECT a.cell, d.pos,
+             CAST(SUM(CAST(d.dv AS DECIMAL(28,14))) AS DOUBLE)
+               / COUNT(*) AS cv
+      FROM {p}d d JOIN {p}asg0 a USING (vid) GROUP BY a.cell, d.pos
+    ),
+    {_sql_ivf_assign(p + "d", p + "norms", p + "cent1", p + "asg1")}"""
+
+
+def _ann_index_build_oracle() -> str:
+    return f"""
+    WITH {_sql_ivf_chain("TRUE", "i_")}
+    SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_vectors
+    FROM i_asg1 GROUP BY cell ORDER BY cell"""
+
+
+def _ann_index_insert_oracle() -> str:
+    """Train on the 90% base corpus, then assign the FULL corpus to the
+    frozen base centroids — base rows reproduce the stored lists, delta
+    rows reproduce the insert's appended assignments."""
+    return f"""
+    WITH {_sql_ivf_chain("vec_id % 10 <> 0", "b_")},
+    f_d AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    f_norms AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM f_d GROUP BY vid
+    ),
+    {_sql_ivf_assign("f_d", "f_norms", "b_cent1", "f_asg")}
+    SELECT CAST(t.cell AS INTEGER) AS cell,
+           COALESCE(b.n_base, 0) AS n_base,
+           t.n_total,
+           t.n_total - COALESCE(b.n_base, 0) AS n_inserted
+    FROM (SELECT cell, COUNT(*) AS n_total FROM f_asg GROUP BY cell) t
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_base FROM f_asg
+               WHERE vid % 10 <> 0 GROUP BY cell) b USING (cell)
+    ORDER BY cell"""
+
+
 def _reuse_or_clear_index(
     spark: SparkSession, index_dir: str, want: dict
 ) -> bool:
@@ -945,9 +1072,11 @@ def ivf_index_insert(
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
 
 
-@query("ann_index_insert")  # rows-only: assignment against trained
-# centroids has no SQL twin; equivalence to a from-scratch assignment
-# is pinned in tests/test_plans.py::test_ivf_index_insert_equivalence
+@query("ann_index_insert", _ann_index_insert_oracle())
+# oracle (round-8 verdict #1): the full deterministic training chain is
+# SQL-expressible — DuckDB retrains on the base corpus and assigns the
+# full corpus to the frozen centroids; equivalence to a from-scratch
+# assignment also pinned in test_plans.py::test_ivf_index_insert_equivalence
 def ann_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-maintenance demo: build the IVF index on the 90%
     base corpus (vec_id % 10 != 0), insert the 10% delta against the
@@ -994,8 +1123,10 @@ def ann_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_index_build")  # rows-only: iterative k-means training has
-# no SQL twin; content pinned by the stored-probe recall + plan pytests
+@query("ann_index_build", _ann_index_build_oracle())
+# oracle (round-8 verdict #1): iters=1 first-k-seeded k-means is
+# deterministic and SQL-expressible — DuckDB replays the training and
+# the corpus assignment; plan/recall pins remain in tests/test_plans.py
 def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The train-once leg of the offline ANN index: build (or reuse)
     the stored IVF index for this corpus and report the inverted-list
@@ -1112,6 +1243,116 @@ def pq_codewords(n: int) -> int:
         PQ_K_MAX,
         PQ_K * 2 ** int(math.ceil(math.log2(n / ANN_BASE_N))),
     )
+
+
+# --- DuckDB twins of the PQ training chain (round-8 verdict #1): the
+# 2-iter per-subspace L2 k-means + final encode, same determinism
+# argument as the IVF oracle above (integer code outputs; argmin-robust
+# to the ~1e-13 cross-engine mean noise; d2 sums exact DECIMAL).
+
+
+def _sql_pq_codewords(n: str) -> str:
+    """``pq_codewords(n)`` in DuckDB SQL — the ceil(log2) boundary is
+    libm-exact at the only reachable ties (n = {ANN_BASE_N}·2**j)."""
+    return (
+        f"CASE WHEN {n} <= {ANN_BASE_N} THEN {PQ_K}"
+        f" ELSE LEAST({PQ_K_MAX}, {PQ_K} * CAST(POWER(2,"
+        f" CEIL(LOG2(CAST({n} AS DOUBLE) / {ANN_BASE_N}))) AS BIGINT)) END"
+    )
+
+
+def _sql_pq_l2_assign(pd: str, cent: str, out: str) -> str:
+    """One squared-L2 argmin pass — _assign_l2's exact-DECIMAL distance
+    sum and (d2 ASC, code) tie-break."""
+    return f"""{out} AS (
+      SELECT vid, code FROM (
+        SELECT p.vid, c.code,
+               SUM(CAST((p.dv - c.cv) * (p.dv - c.cv)
+                        AS DECIMAL(28,14))) AS d2
+        FROM {pd} p JOIN {cent} c USING (pos)
+        GROUP BY p.vid, c.code
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vid
+                                 ORDER BY d2 ASC, code) = 1
+    )"""
+
+
+def _sql_pq_chain(d: str, n_cte: str, p: str) -> str:
+    """Per-subspace 2-iter L2 k-means + final encode over the exploded
+    source CTE ``d`` (vid, pos, dv; any consistent pos base): defines
+    {p}codes (m, vid, code) — pq_train_encode's stored code table."""
+    k = _sql_pq_codewords(f"(SELECT n FROM {n_cte})")
+    parts = [
+        f"""{p}seeds AS (
+      SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS code
+      FROM (SELECT DISTINCT vid FROM {d})
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vid) <= (SELECT {k} FROM {n_cte})
+    )"""
+    ]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_DIMS, (m + 1) * PQ_DIMS
+        mean = (
+            f"CAST(SUM(CAST(p.dv AS DECIMAL(28,14))) AS DOUBLE)"
+            f" / COUNT(*) AS cv"
+        )
+        parts.append(f""",
+    {p}d{m} AS (
+      SELECT vid, pos - {lo} AS pos, dv FROM {d}
+      WHERE pos > {lo} AND pos <= {hi}
+    ),
+    {p}c{m}_0 AS (
+      SELECT s.code, p.pos, p.dv AS cv
+      FROM {p}seeds s JOIN {p}d{m} p ON p.vid = s.vid
+    ),
+    {_sql_pq_l2_assign(f"{p}d{m}", f"{p}c{m}_0", f"{p}a{m}_0")},
+    {p}c{m}_1 AS (
+      SELECT a.code, p.pos, {mean}
+      FROM {p}d{m} p JOIN {p}a{m}_0 a USING (vid) GROUP BY a.code, p.pos
+    ),
+    {_sql_pq_l2_assign(f"{p}d{m}", f"{p}c{m}_1", f"{p}a{m}_1")},
+    {p}c{m}_2 AS (
+      SELECT a.code, p.pos, {mean}
+      FROM {p}d{m} p JOIN {p}a{m}_1 a USING (vid) GROUP BY a.code, p.pos
+    ),
+    {_sql_pq_l2_assign(f"{p}d{m}", f"{p}c{m}_2", f"{p}enc{m}")}""")
+    union = " UNION ALL ".join(
+        f"SELECT {m} AS m, vid, code FROM {p}enc{m}" for m in range(PQ_M)
+    )
+    parts.append(f",\n    {p}codes AS ({union})")
+    return "".join(parts)
+
+
+def _ann_pq_index_build_oracle() -> str:
+    return f"""
+    WITH pq_src AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    pq_n AS (SELECT COUNT(*) AS n FROM embeddings),
+    {_sql_pq_chain("pq_src", "pq_n", "q_")}
+    SELECT CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
+           COUNT(*) AS n_vectors
+    FROM q_codes GROUP BY m, code ORDER BY m, code"""
+
+
+def _ann_ivfpq_index_build_oracle() -> str:
+    """Residual IVFPQ: replay the IVF training, subtract each vector's
+    assigned (trained) centroid, then replay the PQ chain over the
+    residual vectors."""
+    return f"""
+    WITH {_sql_ivf_chain("TRUE", "i_")},
+    r_src AS (
+      SELECT d.vid, d.pos, d.dv - c.cv AS dv
+      FROM i_d d
+      JOIN i_asg1 a USING (vid)
+      JOIN i_cent1 c ON c.cell = a.cell AND c.pos = d.pos
+    ),
+    r_n AS (SELECT COUNT(*) AS n FROM embeddings),
+    {_sql_pq_chain("r_src", "r_n", "r_")}
+    SELECT CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
+           COUNT(*) AS n_vectors
+    FROM r_codes GROUP BY m, code ORDER BY m, code"""
 
 
 def _assign_l2(sub: DataFrame, cent: DataFrame) -> DataFrame:
@@ -1469,8 +1710,10 @@ def pq_index_insert(
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
 
 
-@query("ann_pq_index_build")  # rows-only: iterative k-means training
-# has no SQL twin; content pinned by the stored-probe identity pytest
+@query("ann_pq_index_build", _ann_pq_index_build_oracle())
+# oracle (round-8 verdict #1): the 2-iter per-subspace L2 k-means is
+# deterministic and SQL-expressible — DuckDB replays training + encode;
+# the stored-probe identity pytest remains
 def ann_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The train-once leg of the offline PQ index: build (or reuse)
     the stored codebooks + encoded corpus and report the code
@@ -1645,8 +1888,10 @@ def build_ivfpq_index(
     return index_dir
 
 
-@query("ann_ivfpq_index_build")  # rows-only: iterative training, no
-# SQL twin; content pinned by the residual-probe plan/recall pytests
+@query("ann_ivfpq_index_build", _ann_ivfpq_index_build_oracle())
+# oracle (round-8 verdict #1): IVF training + residual subtraction +
+# PQ training are all deterministic — DuckDB replays the full chain;
+# residual-probe plan/recall pytests remain
 def ann_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-once leg of the residual IVFPQ index: build (or reuse)
     the residual-trained codebooks + codes and report code occupancy
