@@ -131,10 +131,29 @@ def lineage_table_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lineage_extract_edges")  # driver-side parse → rows-only check
+# Round-9 (r8 verdict #5): the driver-side parse reports are
+# DETERMINISTIC DataFrames (frozen corpus, frozen seed), so their exact
+# content is registered as literal VALUES oracles — DuckDB cannot parse
+# the scripts, but it can hold the expected edge set.  ITEM_EDGES is
+# already pinned to live extraction by
+# tests/test_lineage_queries.py::test_frozen_edges_match_live_extraction,
+# so the oracle below is the same fixture the goldens trust.
+
+_EXTRACT_EDGES_ORACLE = (
+    "SELECT CAST(p AS BIGINT) AS parent_select_item_id,"
+    " CAST(c AS BIGINT) AS child_select_item_id, ctx AS usage_context"
+    " FROM (VALUES "
+    + ", ".join(f"({a}, {b}, '{x}')" for a, b, x in ITEM_EDGES)
+    + ") AS t(p, c, ctx) ORDER BY 1, 2, 3"
+)
+
+
+@query("lineage_extract_edges", _EXTRACT_EDGES_ORACLE)
 def lineage_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live end-to-end extraction: Catalyst-parse the corpus and emit its
-    select_item_rel edges (SqlMetaDataExtractor semantics, SURVEY.md §4)."""
+    select_item_rel edges (SqlMetaDataExtractor semantics, SURVEY.md §4).
+    Oracle: the frozen ITEM_EDGES fixture as literal VALUES — content
+    hash-certified, not just row counts."""
     from kachess_spark.lineage.extractor import LineageSession
     from kachess_spark.lineage.metastore import fixture_metastore
 
@@ -146,11 +165,78 @@ def lineage_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lineage_provenance_report")  # driver-side parse → rows-only check
+# Frozen provenance edges of _CORPUS at seed 1000 (44 rows):
+# (src_schema, src_table, src_column, dst_dataset_type, dst_dataset,
+#  dst_column, usage_context).
+PROVENANCE_ROWS: list[tuple[str, ...]] = [
+    ("adhoc", "tab40", "col400l", "SUBQUERY", "1020", "col400l", "SELECT"),
+    ("adhoc", "tab40", "col401s", "SUBQUERY", "1020", "tab40_str", "SELECT"),
+    ("adhoc", "tab40", "col403i", "SUBQUERY", "1020", "col403i", "SELECT"),
+    ("dw", "tab10", "col100l", "SUBQUERY", "1034",
+     "a.col100l = b.col300l", "JOIN"),
+    ("dw", "tab10", "col100l", "SUBQUERY", "1034",
+     "a.col100l = k.col200l", "JOIN"),
+    ("dw", "tab10", "col100l", "SUBQUERY", "1034", "col101s", "JOIN"),
+    ("dw", "tab10", "col100l", "SUBQUERY", "1034", "max_int", "JOIN"),
+    ("dw", "tab10", "col100l", "SUBQUERY", "1034", "tab40_str", "JOIN"),
+    ("dw", "tab10", "col100l", "SUBQUERY", "1034", "yn_flag", "JOIN"),
+    ("dw", "tab10", "col101s", "SUBQUERY", "1034",
+     "a.col101s IS NOT NULL", "WHERE"),
+    ("dw", "tab10", "col101s", "SUBQUERY", "1034", "col101s", "WHERE"),
+    ("dw", "tab10", "col101s", "SUBQUERY", "1034", "col101s", "SELECT"),
+    ("dw", "tab10", "col101s", "SUBQUERY", "1034", "max_int", "WHERE"),
+    ("dw", "tab10", "col101s", "SUBQUERY", "1034", "tab40_str", "WHERE"),
+    ("dw", "tab10", "col101s", "SUBQUERY", "1034", "yn_flag", "WHERE"),
+    ("dw", "tab10", "col102b", "SUBQUERY", "1034", "yn_flag", "SELECT"),
+    ("dw", "tab10", "col103i", "SUBQUERY", "1034", "max_int", "SELECT"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024",
+     "c.col200l = d.col400l", "JOIN"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024", "col200l", "SELECT"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024", "col200l", "JOIN"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024", "col201s", "JOIN"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024", "col202b", "JOIN"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024", "col203i", "JOIN"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024", "col400l", "JOIN"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024", "col403i", "JOIN"),
+    ("dw", "tab20", "col200l", "SUBQUERY", "1024", "tab40_str", "JOIN"),
+    ("dw", "tab20", "col201s", "SUBQUERY", "1024", "col201s", "SELECT"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024", "col200l", "WHERE"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024", "col201s", "WHERE"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024", "col202b", "WHERE"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024", "col202b", "SELECT"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024",
+     "col202b AND col403i = 100", "WHERE"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024", "col203i", "WHERE"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024", "col400l", "WHERE"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024", "col403i", "WHERE"),
+    ("dw", "tab20", "col202b", "SUBQUERY", "1024", "tab40_str", "WHERE"),
+    ("dw", "tab20", "col203i", "SUBQUERY", "1024", "col203i", "SELECT"),
+    ("stage", "tab30", "col300l", "SUBQUERY", "1034",
+     "a.col100l = b.col300l", "JOIN"),
+    ("stage", "tab30", "col300l", "SUBQUERY", "1034", "col101s", "JOIN"),
+    ("stage", "tab30", "col300l", "SUBQUERY", "1034", "max_int", "JOIN"),
+    ("stage", "tab30", "col300l", "SUBQUERY", "1034", "tab40_str", "JOIN"),
+    ("stage", "tab30", "col300l", "SUBQUERY", "1034", "yn_flag", "JOIN"),
+    ("stage", "tab30", "col303i", "SUBQUERY", "1034", "max_int", "SELECT"),
+]
+
+_PROVENANCE_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        "(" + ", ".join(f"'{v}'" for v in r) + ")" for r in PROVENANCE_ROWS
+    )
+    + ") AS t(src_schema, src_table, src_column, dst_dataset_type,"
+    " dst_dataset, dst_column, usage_context) ORDER BY 1, 2, 3, 5, 6, 7"
+)
+
+
+@query("lineage_provenance_report", _PROVENANCE_ORACLE)
 def lineage_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat (physical source column → derived column) report over the
     corpus — the consumption query analysts run against the lineage
-    store (validate_0010's discovery pattern as a library call)."""
+    store (validate_0010's discovery pattern as a library call).
+    Oracle: the frozen PROVENANCE_ROWS golden as literal VALUES (the
+    extraction is deterministic at seed 1000)."""
     from kachess_spark.lineage.export import provenance_report
     from kachess_spark.lineage.extractor import LineageSession
     from kachess_spark.lineage.metastore import fixture_metastore
@@ -309,10 +395,30 @@ def lineage_sqoop_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqoop_root_provenance(edges, sq).orderBy("db_schema", "db_table")
 
 
-@query("lineage_dashboard_columns")  # driver-side parse → rows-only check
+_DASHBOARD_COLUMNS_ORACLE = (
+    "SELECT CAST(i AS BIGINT) AS dboard_id, s AS src_db_schema,"
+    " t AS src_db_table, c AS src_db_column FROM (VALUES "
+    + ", ".join(
+        f"(1, '{s}', '{t}', '{c}')"
+        for s, t, c in [
+            ("adhoc", "tab40", "col400l"), ("adhoc", "tab40", "col401s"),
+            ("adhoc", "tab40", "col403i"), ("dw", "tab10", "col100l"),
+            ("dw", "tab10", "col101s"), ("dw", "tab10", "col102b"),
+            ("dw", "tab10", "col103i"), ("dw", "tab20", "col200l"),
+            ("dw", "tab20", "col202b"), ("stage", "tab30", "col300l"),
+            ("stage", "tab30", "col303i"),
+        ]
+    )
+    + ") AS t(i, s, t, c) ORDER BY 1, 2, 3, 4"
+)
+
+
+@query("lineage_dashboard_columns", _DASHBOARD_COLUMNS_ORACLE)
 def lineage_dashboard_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ts_dboard_lineage summary: physical columns the dashboard's
-    top-level SELECT transitively uses (db_setup_ddl.sql:126-135)."""
+    top-level SELECT transitively uses (db_setup_ddl.sql:126-135).
+    Oracle: the same golden edge set test_dashboard_columns_golden pins,
+    as literal VALUES."""
     from kachess_spark.lineage.export import dashboard_column_lineage
     from kachess_spark.lineage.extractor import LineageSession
     from kachess_spark.lineage.metastore import fixture_metastore
@@ -411,7 +517,24 @@ WHERE a.col101s IS NOT NULL
 """
 
 
-@query("lineage_script_diff")  # driver-side parse → rows-only check
+_SCRIPT_DIFF_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{s}', '{o}', '{ch}')"
+        for s, o, ch in [
+            ("stage.tab30.col300l", "shipment_key", "added"),
+            ("adhoc.tab40.col401s", "tab40_str", "kept"),
+            ("dw.tab10.col101s", "col101s", "kept"),
+            ("dw.tab10.col103i", "max_int", "kept"),
+            ("stage.tab30.col303i", "max_int", "kept"),
+            ("dw.tab10.col102b", "yn_flag", "removed"),
+        ]
+    )
+    + ") AS t(source_column, output_column, change) ORDER BY 3, 1, 2"
+)
+
+
+@query("lineage_script_diff", _SCRIPT_DIFF_ORACLE)
 def lineage_script_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impact diff between two versions of a script: extract both,
     compare the (source physical column → output column name) edge sets,
@@ -421,8 +544,8 @@ def lineage_script_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v2 drops the yn_flag output and the col202b filter dependency and
     adds a shipment_key output — the diff must surface exactly those.
-    Driver-side parse (no SQL oracle); the edge-shape assertions live in
-    tests/test_lineage_queries.py.
+    Oracle: the frozen diff as literal VALUES (deterministic at seed
+    1000); edge-shape assertions also in tests/test_lineage_queries.py.
     """
     from kachess_spark.lineage.extractor import LineageSession
     from kachess_spark.lineage.metastore import fixture_metastore
