@@ -5,12 +5,16 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec}, "sf": <dir>}
 
-``--profile`` additionally reads the JVM AppStatusStore (the store
-behind the Spark UI/REST API — works with the UI disabled) and attaches
-per-query stage metrics {input_mb, shuffle_read_mb, shuffle_write_mb,
-tasks}: the numbers that decide whether a plan survives a 100× scale-up
-— a shuffle that is 10× the input is the bottleneck to fix, whatever
-the local wall-clock says.  Output stays one JSON line.
+Every run (round-8 verdict #4) also reads the JVM AppStatusStore (the
+store behind the Spark UI/REST API — works with the UI disabled) and
+attaches per-query stage metrics {input_mb, shuffle_read_mb,
+shuffle_write_mb, tasks}: the numbers that decide whether a plan
+survives a 100× scale-up — a shuffle that is 10× the input is the
+bottleneck to fix, whatever the local wall-clock says — and that
+adjudicate wall-clock swings automatically (same bytes + same tasks +
+slower wall = host noise, not a plan change).  Snapshots are taken
+OUTSIDE the timed windows, so timings are unaffected.  ``--no-profile``
+disables the snapshots.  Output stays one JSON line.
 """
 
 from __future__ import annotations
@@ -142,7 +146,7 @@ def _loadavg() -> list[float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    profile = "--profile" in sys.argv
+    profile = "--no-profile" not in sys.argv
     load_start = _loadavg()
 
     from kachess_spark import registry
