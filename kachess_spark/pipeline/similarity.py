@@ -797,6 +797,18 @@ def sim_ivf_kmeans_topk(
 # the train-once / probe-many split their docstrings promise.
 
 
+# Default Lloyd iterations for the STORED index build — the measured
+# recall winner on this corpus (round-9, verdict #2): RECALL.md's
+# wide-probe sweep has seeded/iters=0 at 0.99 recall@5 (sf0.1, 32
+# cells / 4 probes) vs 0.95 for iters=1 and 0.91 for iters=3, and the
+# main-table stored rows move 13/15 → 15/15 at sf0.1.  The synthetic
+# embeddings are unclustered, so Lloyd convergence only sharpens
+# Voronoi boundaries through dense neighborhoods (see the RECALL.md
+# iteration + seeding sweeps); on a real clustered corpus pass
+# iters>=1 — the trainer is one keyword away.
+IVF_BUILD_ITERS = 0
+
+
 # --- DuckDB twins of the deterministic training pipeline (round-8
 # verdict #1).  The index builders' outputs are integer assignment
 # counts, and every training step is deterministic (first-k seeding, no
@@ -854,14 +866,17 @@ def _sql_ivf_assign(d: str, norms: str, cent: str, out: str) -> str:
     )"""
 
 
-def _sql_ivf_chain(where: str, p: str) -> str:
-    """CTE chain replicating ``build_ivf_index``'s training (k-means
-    iters=1, first-k-by-id seeding, corpus-adaptive cells) plus the
-    final corpus assignment, over embeddings rows WHERE ``where``.
-    Defines {p}d, {p}norms, {p}cent1 (trained centroids) and {p}asg1
-    (vid, cell) — the stored inverted lists."""
+def _sql_ivf_chain(where: str, p: str, iters: int | None = None) -> str:
+    """CTE chain replicating ``build_ivf_index``'s training (``iters``
+    Lloyd rounds — default the operator's ``IVF_BUILD_ITERS`` —
+    first-k-by-id seeding, corpus-adaptive cells) plus the final corpus
+    assignment, over embeddings rows WHERE ``where``.  Defines {p}d,
+    {p}norms, {p}centF (trained centroids) and {p}asgF (vid, cell) —
+    the stored inverted lists."""
+    if iters is None:
+        iters = IVF_BUILD_ITERS
     cells = _sql_ivf_cells(f"(SELECT n FROM {p}par0)")
-    return f"""{p}d AS (
+    parts = [f"""{p}d AS (
       SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS dv
       FROM embeddings WHERE {where}
@@ -880,22 +895,27 @@ def _sql_ivf_chain(where: str, p: str) -> str:
     {p}cent0 AS (
       SELECT s.cell, d.pos, d.dv AS cv
       FROM {p}seeds s JOIN {p}d d ON d.vid = s.vid
-    ),
-    {_sql_ivf_assign(p + "d", p + "norms", p + "cent0", p + "asg0")},
-    {p}cent1 AS (
+    )"""]
+    for i in range(iters):
+        parts.append(f""",
+    {_sql_ivf_assign(p + "d", p + "norms", f"{p}cent{i}", f"{p}asg{i}")},
+    {p}cent{i + 1} AS (
       SELECT a.cell, d.pos,
              CAST(SUM(CAST(d.dv AS DECIMAL(28,14))) AS DOUBLE)
                / COUNT(*) AS cv
-      FROM {p}d d JOIN {p}asg0 a USING (vid) GROUP BY a.cell, d.pos
-    ),
-    {_sql_ivf_assign(p + "d", p + "norms", p + "cent1", p + "asg1")}"""
+      FROM {p}d d JOIN {p}asg{i} a USING (vid) GROUP BY a.cell, d.pos
+    )""")
+    parts.append(f""",
+    {p}centF AS (SELECT * FROM {p}cent{iters}),
+    {_sql_ivf_assign(p + "d", p + "norms", p + "centF", p + "asgF")}""")
+    return "".join(parts)
 
 
 def _ann_index_build_oracle() -> str:
     return f"""
     WITH {_sql_ivf_chain("TRUE", "i_")}
     SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_vectors
-    FROM i_asg1 GROUP BY cell ORDER BY cell"""
+    FROM i_asgF GROUP BY cell ORDER BY cell"""
 
 
 def _ann_index_insert_oracle() -> str:
@@ -913,7 +933,7 @@ def _ann_index_insert_oracle() -> str:
       SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
       FROM f_d GROUP BY vid
     ),
-    {_sql_ivf_assign("f_d", "f_norms", "b_cent1", "f_asg")}
+    {_sql_ivf_assign("f_d", "f_norms", "b_centF", "f_asg")}
     SELECT CAST(t.cell AS INTEGER) AS cell,
            COALESCE(b.n_base, 0) AS n_base,
            t.n_total,
@@ -956,7 +976,7 @@ def build_ivf_index(
     index_dir: str | None = None,
     cells: int | None = None,
     n_probe: int | None = None,
-    iters: int = 1,
+    iters: int = IVF_BUILD_ITERS,
     seeding: str = "first",
     emb: DataFrame | None = None,
 ) -> str:
@@ -965,6 +985,10 @@ def build_ivf_index(
     under ``index_dir`` (centroids/, assignments/, meta/).  Idempotent:
     training is fully deterministic, so an existing index for the same
     parameters is reused as-is (the default dir is keyed on them).
+
+    Default ``iters=IVF_BUILD_ITERS`` (0: seeded centroids, no Lloyd
+    rounds) — the recall-winning configuration on this corpus per
+    RECALL.md's sweeps; pass ``iters>=1`` for clustered embeddings.
 
     This is where the n·cells assignment cost lives at production
     scale — paid once per corpus version, amortized over every query
@@ -1124,9 +1148,10 @@ def ann_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ann_index_build", _ann_index_build_oracle())
-# oracle (round-8 verdict #1): iters=1 first-k-seeded k-means is
-# deterministic and SQL-expressible — DuckDB replays the training and
-# the corpus assignment; plan/recall pins remain in tests/test_plans.py
+# oracle (round-8 verdict #1): the first-k-seeded training chain
+# (IVF_BUILD_ITERS Lloyd rounds) is deterministic and SQL-expressible —
+# DuckDB replays the training and the corpus assignment; plan/recall
+# pins remain in tests/test_plans.py
 def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The train-once leg of the offline ANN index: build (or reuse)
     the stored IVF index for this corpus and report the inverted-list
@@ -1158,9 +1183,11 @@ def sim_ivf_stored_topk(
     plan contains no k-means training and no corpus-wide assignment
     pass, only (tiny query set → n_probe cells) assignment, an
     inverted-list fetch, and the exact top-k within candidates.
-    Identical results to ``sim_ivf_kmeans_topk`` (same trained
-    centroids, same probe path) at a fraction of its per-query cost —
-    the train-once/probe-many split a production deployment runs.
+    Identical results to the self-contained operator built with the
+    same training configuration (``sim_ivf_topk`` at the default
+    ``IVF_BUILD_ITERS=0``; ``sim_ivf_kmeans_topk`` for an
+    ``iters>=1`` build) at a fraction of its per-query cost — the
+    train-once/probe-many split a production deployment runs.
     """
     import os
 
@@ -1345,8 +1372,8 @@ def _ann_ivfpq_index_build_oracle() -> str:
     r_src AS (
       SELECT d.vid, d.pos, d.dv - c.cv AS dv
       FROM i_d d
-      JOIN i_asg1 a USING (vid)
-      JOIN i_cent1 c ON c.cell = a.cell AND c.pos = d.pos
+      JOIN i_asgF a USING (vid)
+      JOIN i_centF c ON c.cell = a.cell AND c.pos = d.pos
     ),
     r_n AS (SELECT COUNT(*) AS n FROM embeddings),
     {_sql_pq_chain("r_src", "r_n", "r_")}

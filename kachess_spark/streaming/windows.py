@@ -1603,28 +1603,34 @@ def ingest_gate_growing_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming gate executes.  The stored index only ever grows by
     admitted docs, so per-batch probe cost tracks the serving corpus,
     and nothing ever re-shingles history.
-    """
-    from functools import reduce
 
+    Latency shape (round-9 verdict #3): ONE checkpoint barrier per
+    batch — the index carries admitted docs' ids, so the admitted set
+    is derived from the FINAL index in a single closing job instead of
+    checkpointing each batch's admissions separately (which doubled
+    the fixed per-batch job cost).  Shingle-less docs (<3 words) never
+    enter the band index; they are re-derived as odd docs with no band
+    rows (always admitted — nothing to collide on).
+    """
     from kachess_spark.pipeline.dedup import minhash_signature
 
     docs = load_table(spark, sf_dir, "documents")
     bands = _band_rows(minhash_signature(docs)).localCheckpoint(eager=True)
     hist = (
         bands.where(F.col("doc_id") % 2 == 0)
-        .select("band", "band_key")
+        .select("doc_id", "band", "band_key")
         .localCheckpoint(eager=True)
     )
     odd = docs.where(F.col("doc_id") % 2 == 1).withColumn(
         "b", F.expr(f"((doc_id - 1) div 2) % {_GATE_N_BATCHES}")
     )
-    parts = []
     for k in range(_GATE_N_BATCHES):
-        bk = odd.where(F.col("b") == k)
-        bkb = bands.join(bk.select("doc_id"), "doc_id")
-        m_hist = bkb.join(hist, ["band", "band_key"], "left_semi").select(
-            "doc_id"
-        )
+        bk_ids = odd.where(F.col("b") == k).select("doc_id")
+        bkb = bands.join(bk_ids, "doc_id")
+        m_hist = bkb.join(
+            hist.select("band", "band_key"), ["band", "band_key"],
+            "left_semi",
+        ).select("doc_id")
         lhs = bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
         rhs = bkb.select(F.col("doc_id").alias("p_id"), "band", "band_key")
         m_within = (
@@ -1633,20 +1639,29 @@ def ingest_gate_growing_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a_id").alias("doc_id"))
         )
         matched = m_hist.unionByName(m_within).distinct()
-        adm = (
-            bk.join(matched, "doc_id", "left_anti")
-            .select("doc_id", "source", "n_chars")
-            # eager: adm feeds BOTH the result union and the next
-            # iteration's index — lazy would race / recompute
-            .localCheckpoint(eager=True)
-        )
+        adm_ids = bk_ids.join(matched, "doc_id", "left_anti")
+        # the ONLY per-batch barrier: the grown index (admitted ids ride
+        # along in its doc_id column, so no separate adm checkpoint)
         hist = hist.unionByName(
-            bands.join(adm.select("doc_id"), "doc_id").select(
-                "band", "band_key"
+            bands.join(adm_ids, "doc_id").select(
+                "doc_id", "band", "band_key"
             )
         ).localCheckpoint(eager=True)
-        parts.append(adm)
-    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("doc_id")
+    admitted_ids = (
+        hist.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .distinct()
+        .unionByName(
+            odd.select("doc_id").join(
+                bands.select("doc_id"), "doc_id", "left_anti"
+            )
+        )
+    )
+    return (
+        docs.join(admitted_ids, "doc_id", "left_semi")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 def _ingest_gate_gv_oracle() -> str:
@@ -1756,8 +1771,6 @@ def ingest_gate_growing_verified_batch(
     arrays of admitted docs — exactly what the production foreachBatch
     sink materializes per batch.
     """
-    from functools import reduce
-
     from kachess_spark.pipeline.dedup import (
         MINHASH_VERIFY_TAU,
         _with_shingles,
@@ -1808,10 +1821,9 @@ def ingest_gate_growing_verified_batch(
             .distinct()
         )
 
-    parts = []
     for k in range(_GATE_N_BATCHES):
-        bk = odd.where(F.col("b") == k)
-        bkb = bands.join(bk.select("doc_id"), "doc_id")
+        bk_ids = odd.where(F.col("b") == k).select("doc_id")
+        bkb = bands.join(bk_ids, "doc_id")
         cand_h = (
             bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
             .join(
@@ -1836,18 +1848,30 @@ def ingest_gate_growing_verified_batch(
             .distinct()
         )
         dropped = verified_drops(cand_h.unionByName(cand_w).distinct())
-        adm = (
-            bk.join(dropped, "doc_id", "left_anti")
-            .select("doc_id", "source", "n_chars")
-            .localCheckpoint(eager=True)
-        )
+        adm_ids = bk_ids.join(dropped, "doc_id", "left_anti")
+        # ONE barrier per batch (round-9 verdict #3): admitted ids ride
+        # along in the grown index's doc_id column — same fold as the
+        # unverified growing gate
         hist = hist.unionByName(
-            bands.join(adm.select("doc_id"), "doc_id").select(
+            bands.join(adm_ids, "doc_id").select(
                 "doc_id", "band", "band_key"
             )
         ).localCheckpoint(eager=True)
-        parts.append(adm)
-    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("doc_id")
+    admitted_ids = (
+        hist.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .distinct()
+        .unionByName(
+            odd.select("doc_id").join(
+                bands.select("doc_id"), "doc_id", "left_anti"
+            )
+        )
+    )
+    return (
+        docs.join(admitted_ids, "doc_id", "left_semi")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 def streaming_ingest_dedup_gate(

@@ -460,10 +460,11 @@ def test_stored_ivf_probe_has_no_training_scan(spark, sf_dir):
     assignment compiles to a max_by hash aggregate (ivf_assign n=1);
     only the tiny query-side assignment (row_number window over
     n_probe) is allowed at probe time.  Results must be bit-identical
-    to the self-contained kmeans operator (same trained centroids,
-    same probe path)."""
+    to the self-contained operator at the same training configuration
+    — sim_ivf_topk since the round-9 IVF_BUILD_ITERS=0 default (the
+    RECALL.md recall winner: seeded centroids, no Lloyd rounds)."""
     from kachess_spark.pipeline.similarity import (
-        sim_ivf_kmeans_topk,
+        sim_ivf_topk,
         sim_ivf_stored_topk,
     )
 
@@ -482,7 +483,7 @@ def test_stored_ivf_probe_has_no_training_scan(spark, sf_dir):
     got = {(r["qid"], r["vid"]) for r in df.select("qid", "vid").collect()}
     want = {
         (r["qid"], r["vid"])
-        for r in sim_ivf_kmeans_topk(spark, sf_dir, certify=False)
+        for r in sim_ivf_topk(spark, sf_dir, certify=False)
         .select("qid", "vid")
         .collect()
     }

@@ -34,8 +34,9 @@ METHODS = [
      "IVF, adaptive ivf_n_cells(n)~sqrt(n) / ivf_n_probe,"
      " 1 k-means iter (see seeding/iteration sweeps below)"),
     ("sim_ivf_stored_topk",
-     "probe-only over the STORED IVF index (build_ivf_index:"
-     " same trained centroids + materialized inverted lists)"),
+     "probe-only over the STORED IVF index (build_ivf_index, default"
+     " IVF_BUILD_ITERS=0: seeded centroids — the measured recall"
+     " winner — + materialized inverted lists)"),
     (
         "sim_pq_adc_topk",
         "PQ-ADC, M=4 subspaces, adaptive pq_codewords(n) (16 at n<=500,"
