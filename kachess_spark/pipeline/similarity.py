@@ -1304,10 +1304,17 @@ def _sql_pq_l2_assign(pd: str, cent: str, out: str) -> str:
     )"""
 
 
-def _sql_pq_chain(d: str, n_cte: str, p: str) -> str:
+def _sql_pq_chain(
+    d: str, n_cte: str, p: str, enc_src: str | None = None
+) -> str:
     """Per-subspace 2-iter L2 k-means + final encode over the exploded
     source CTE ``d`` (vid, pos, dv; any consistent pos base): defines
-    {p}codes (m, vid, code) — pq_train_encode's stored code table."""
+    {p}codes (m, vid, code) — pq_train_encode's stored code table.
+
+    ``enc_src`` (an exploded CTE the caller defined BEFORE this chain)
+    swaps the final encode's input: train on ``d``, encode ``enc_src``
+    with the frozen codebooks — the ``pq_index_insert`` maintenance
+    shape (base-trained books, full-corpus codes)."""
     k = _sql_pq_codewords(f"(SELECT n FROM {n_cte})")
     parts = [
         f"""{p}seeds AS (
@@ -1322,6 +1329,15 @@ def _sql_pq_chain(d: str, n_cte: str, p: str) -> str:
             f"CAST(SUM(CAST(p.dv AS DECIMAL(28,14))) AS DOUBLE)"
             f" / COUNT(*) AS cv"
         )
+        enc_in = f"{p}d{m}"
+        enc_cte = ""
+        if enc_src is not None:
+            enc_in = f"{p}e{m}"
+            enc_cte = f""",
+    {p}e{m} AS (
+      SELECT vid, pos - {lo} AS pos, dv FROM {enc_src}
+      WHERE pos > {lo} AND pos <= {hi}
+    )"""
         parts.append(f""",
     {p}d{m} AS (
       SELECT vid, pos - {lo} AS pos, dv FROM {d}
@@ -1340,8 +1356,8 @@ def _sql_pq_chain(d: str, n_cte: str, p: str) -> str:
     {p}c{m}_2 AS (
       SELECT a.code, p.pos, {mean}
       FROM {p}d{m} p JOIN {p}a{m}_1 a USING (vid) GROUP BY a.code, p.pos
-    ),
-    {_sql_pq_l2_assign(f"{p}d{m}", f"{p}c{m}_2", f"{p}enc{m}")}""")
+    ){enc_cte},
+    {_sql_pq_l2_assign(enc_in, f"{p}c{m}_2", f"{p}enc{m}")}""")
     union = " UNION ALL ".join(
         f"SELECT {m} AS m, vid, code FROM {p}enc{m}" for m in range(PQ_M)
     )
@@ -1361,6 +1377,85 @@ def _ann_pq_index_build_oracle() -> str:
     SELECT CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
            COUNT(*) AS n_vectors
     FROM q_codes GROUP BY m, code ORDER BY m, code"""
+
+
+def _ann_pq_index_insert_oracle() -> str:
+    """Train the codebooks on the 90% base corpus, then encode the FULL
+    corpus with the frozen books — base rows reproduce the stored
+    codes, delta rows reproduce the insert's appended codes (the PQ
+    twin of _ann_index_insert_oracle)."""
+    return f"""
+    WITH pf_src AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    pb_src AS (SELECT * FROM pf_src WHERE vid % 10 <> 0),
+    pb_n AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 10 <> 0),
+    {_sql_pq_chain("pb_src", "pb_n", "pi_", enc_src="pf_src")}
+    SELECT CAST(t.m AS INTEGER) AS m, CAST(t.code AS INTEGER) AS code,
+           COALESCE(b.n_base, 0) AS n_base,
+           t.n_total,
+           t.n_total - COALESCE(b.n_base, 0) AS n_inserted
+    FROM (SELECT m, code, COUNT(*) AS n_total FROM pi_codes
+          GROUP BY m, code) t
+    LEFT JOIN (SELECT m, code, COUNT(*) AS n_base FROM pi_codes
+               WHERE vid % 10 <> 0 GROUP BY m, code) b
+      ON t.m = b.m AND t.code = b.code
+    ORDER BY m, code"""
+
+
+@query("ann_pq_index_insert", _ann_pq_index_insert_oracle())
+# oracle (round-9, verdict #7): frozen-codebook encoding is one
+# deterministic L2 argmin per subspace — DuckDB trains on the base
+# corpus and encodes the full corpus with the resulting books; byte
+# equivalence to a from-scratch encode also pinned in
+# test_plans.py::test_pq_index_insert_equivalence
+def ann_pq_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ maintenance demo (the ``pq_index_insert`` lifecycle): build
+    the PQ index on the 90% base corpus (vec_id % 10 != 0), encode the
+    10% delta against the FROZEN codebooks, and report per-(subspace,
+    code) occupancy growth — (m, code, n_base, n_total, n_inserted),
+    the histogram an index operator watches for quantization drift
+    between re-trains (inserts piling into few codes → the books no
+    longer fit the data → rebuild)."""
+    import os
+    import uuid
+
+    from kachess_spark.operators.sinks import _scratch
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    idx = _scratch(f"pq_insdemo_{uuid.uuid4().hex[:8]}")
+    build_pq_index(spark, sf_dir, index_dir=idx, emb=base)
+    before = (
+        spark.read.parquet(os.path.join(idx, "codes"))
+        .groupBy("m", "code")
+        .agg(F.count("*").alias("n_base"))
+        # materialize BEFORE the append (lazy would re-list the dir)
+        .localCheckpoint(eager=True)
+    )
+    pq_index_insert(spark, idx, delta)
+    after = (
+        spark.read.parquet(os.path.join(idx, "codes"))
+        .groupBy("m", "code")
+        .agg(F.count("*").alias("n_total"))
+    )
+    return (
+        after.join(before, ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            "n_total",
+            (F.col("n_total") - F.coalesce("n_base", F.lit(0))).alias(
+                "n_inserted"
+            ),
+        )
+        .orderBy("m", "code")
+    )
 
 
 def _ann_ivfpq_index_build_oracle() -> str:

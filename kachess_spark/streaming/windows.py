@@ -281,6 +281,66 @@ def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_user_running_totals_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    ``streaming_user_running_totals`` — the Spark 4.x arbitrary-state
+    API (value state via a StatefulProcessor handle) computing the same
+    per-user running totals.
+
+    ENVIRONMENT-GATED: the TWS Python worker protocol needs
+    ``google.protobuf``, which this container lacks; the per-round
+    probe (tests/test_streaming.py::test_transform_with_state_probe)
+    skips with that record until the environment gains it, then runs
+    this twin against the batch totals.  ``applyInPandasWithState``
+    covers the stateful semantics either way."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which "
+            "this environment does not provide"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            total_events, total_value = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                total_events += len(pdf)
+                total_value += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((total_events, total_value))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_events": [total_events],
+                    "total_value": [total_value],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir)
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first event per (user_id, event_type)
     within the watermark horizon survives (dropDuplicatesWithinWatermark
