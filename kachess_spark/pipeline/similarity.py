@@ -2128,6 +2128,394 @@ def sim_ivfpq_residual_topk(
     return _exact_rerank(emb, queries, short, certify, probe_ids)
 
 
+# ------------------------------------- ANN serving oracles (round 9)
+# The eight ANN rankers were rows-only because their RECALL is
+# approximate — but their OUTPUTS are deterministic: training is the
+# already-oracle'd chain (first-k seeding, exact DECIMAL sums), probing
+# is argmax/rank over those values, and every emitted score (cosine,
+# l2_dist, recall) is an exact-decimal-derived double rounded the same
+# way sim_cosine_topk's long-green oracle rounds.  So the full serving
+# plans get DuckDB twins too, and the driver hash-certifies the entire
+# ANN surface; RECALL.md keeps the quality story.  Attached post-hoc
+# via registry.add_oracle (the SQL helpers live below the operators).
+
+_SQL_QIDS = f"({', '.join(str(q) for q in QUERY_IDS)})"
+
+
+def _sql_ivf_probe_block(p: str) -> str:
+    """Query-side IVF probe over a trained chain (prefix ``p``):
+    {p}k (adaptive cells + n_probe), {p}qcos, {p}qprobe (the query's
+    n_probe nearest cells — ivf_assign n=n_probe), {p}cand (the gated
+    candidate pairs, with the member's cell as data_cell)."""
+    cells = _sql_ivf_cells("n")
+    np_ = (
+        f"CASE WHEN cells <= {N_CELLS} THEN {N_PROBE}"
+        f" ELSE {N_PROBE} + CAST(CEIL(LOG2(CAST(cells AS DOUBLE)"
+        f" / {N_CELLS})) AS BIGINT) END"
+    )
+    return f""",
+    {p}k AS (SELECT cells, {np_} AS np
+             FROM (SELECT {cells} AS cells FROM {p}par0)),
+    {p}qcos AS (
+      SELECT t.vid AS qid, t.cell,
+             CAST(t.dot AS DOUBLE)
+               / SQRT(CAST(n.nn AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cos
+      FROM (SELECT d.vid, c.cell,
+                   SUM(CAST(d.dv * c.cv AS DECIMAL(28,14))) AS dot
+            FROM {p}d d JOIN {p}centF c USING (pos)
+            WHERE d.vid IN {_SQL_QIDS} GROUP BY d.vid, c.cell) t
+      JOIN {p}norms n ON n.vid = t.vid
+      JOIN {p}asgF_cn c ON c.cell = t.cell
+    ),
+    {p}qprobe AS (
+      SELECT qid, cell FROM {p}qcos
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cell)
+        <= (SELECT np FROM {p}k)
+    ),
+    {p}cand AS (
+      SELECT DISTINCT pr.qid, a.vid, pr.cell AS data_cell
+      FROM {p}asgF a JOIN {p}qprobe pr ON a.cell = pr.cell
+      WHERE a.vid <> pr.qid
+    )"""
+
+
+def _sql_recall_tail(src: str, kept: str, score_col: str, metric: str,
+                     p: str) -> str:
+    """Exact top-{TOP_K} ground truth (the with_recall twin: cosine
+    rounded to 6 / exact-decimal L2, tie vid) + per-query hit rate +
+    the final SELECT mirroring with_recall's left join + fill(0)."""
+    if metric == "cosine":
+        blocks = f"""
+    {p}xnorms AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM {src} GROUP BY vid
+    ),
+    {p}ex AS (
+      SELECT t.qid, t.vid,
+             ROUND(CAST(t.dot AS DOUBLE)
+                   / SQRT(CAST(n1.nn AS DOUBLE) * CAST(n2.nn AS DOUBLE)),
+                   6) AS score
+      FROM (SELECT q.vid AS qid, d.vid,
+                   SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+            FROM {src} d JOIN {src} q
+              ON q.pos = d.pos AND q.vid IN {_SQL_QIDS}
+            WHERE d.vid <> q.vid GROUP BY q.vid, d.vid) t
+      JOIN {p}xnorms n1 ON n1.vid = t.vid
+      JOIN {p}xnorms n2 ON n2.vid = t.qid
+    )"""
+        ord_ = "score DESC, vid"
+    else:
+        blocks = f"""
+    {p}ex AS (
+      SELECT q.vid AS qid, d.vid,
+             SUM(CAST((q.dv - d.dv) * (q.dv - d.dv)
+                      AS DECIMAL(28,14))) AS score
+      FROM {src} d JOIN {src} q
+        ON q.pos = d.pos AND q.vid IN {_SQL_QIDS}
+      WHERE d.vid <> q.vid GROUP BY q.vid, d.vid
+    )"""
+        ord_ = "score ASC, vid"
+    return f""",{blocks},
+    {p}etop AS (
+      SELECT qid, vid FROM {p}ex
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {ord_})
+        <= {TOP_K}
+    ),
+    {p}hits AS (
+      SELECT k.qid, COUNT(*) / {float(TOP_K)} AS recall
+      FROM {kept} k JOIN {p}etop e ON e.qid = k.qid AND e.vid = k.vid
+      GROUP BY k.qid
+    )
+    SELECT k.qid, k.vid, k.{score_col}, k.rk,
+           COALESCE(h.recall, 0.0) AS recall
+    FROM {kept} k LEFT JOIN {p}hits h ON h.qid = k.qid"""
+
+
+def _sim_ivf_serving_oracle(iters: int) -> str:
+    """sim_ivf_topk (iters=0) / sim_ivf_stored_topk (IVF_BUILD_ITERS) /
+    sim_ivf_kmeans_topk (iters=1): chain → probe → candidates → the
+    cosine_topk rank-over-candidate-UNION, then the semi-join back to
+    the query's OWN candidates (cosine_topk ranks all candidate vecs
+    per query before _ivf_probe filters — replayed exactly)."""
+    return f"""
+    WITH {_sql_ivf_chain("TRUE", "i_", iters)}
+    {_sql_ivf_probe_block("i_")},
+    i_cvec AS (SELECT DISTINCT vid FROM i_cand),
+    i_sdots AS (
+      SELECT q.vid AS qid, d.vid,
+             SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+      FROM i_d d JOIN i_cvec cv ON cv.vid = d.vid
+      JOIN i_d q ON q.pos = d.pos AND q.vid IN {_SQL_QIDS}
+      GROUP BY q.vid, d.vid
+    ),
+    i_stopk AS (
+      SELECT qid, vid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vid) AS rk
+      FROM (
+        SELECT s.qid, s.vid,
+               ROUND(CAST(s.dot AS DOUBLE)
+                     / SQRT(CAST(n1.nn AS DOUBLE)
+                            * CAST(n2.nn AS DOUBLE)), 6) AS cosine
+        FROM i_sdots s
+        JOIN i_norms n1 ON n1.vid = s.vid
+        JOIN i_norms n2 ON n2.vid = s.qid
+        WHERE s.qid <> s.vid)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, vid) <= {TOP_K}
+    ),
+    i_kept AS (
+      SELECT t.qid, t.vid, t.cosine, t.rk
+      FROM i_stopk t JOIN i_cand c ON c.qid = t.qid AND c.vid = t.vid
+    ){_sql_recall_tail("i_d", "i_kept", "cosine", "cosine", "i_")}"""
+
+
+def _sim_lsh_serving_oracle() -> str:
+    """sim_ann_lsh: md5-signed hyperplane buckets (adaptive band
+    count), bucket-equality candidates, exact cosine rank over the
+    query's own candidates."""
+    sign = (
+        "CASE WHEN strpos('02468ace', substr(md5('b'"
+        " || CAST(bb.b AS VARCHAR) || 'p' || CAST(pp.p AS VARCHAR)"
+        " || '|' || CAST(ps.pos - 1 AS VARCHAR)), 1, 1)) > 0"
+        " THEN 1.0 ELSE -1.0 END"
+    )
+    bands = (
+        f"CASE WHEN n <= {ANN_BASE_N} THEN {N_BANDS}"
+        f" ELSE LEAST({ANN_MAX_BANDS}, {N_BANDS} + 8 *"
+        f" CAST(CEIL(LOG2(CAST(n AS DOUBLE) / {ANN_BASE_N}))"
+        f" AS BIGINT)) END"
+    )
+    return f"""
+    WITH l_d AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    l_L AS (SELECT {bands} AS L
+            FROM (SELECT COUNT(*) AS n FROM embeddings)),
+    l_planes AS (
+      SELECT bb.b, pp.p, ps.pos, {sign} AS sg
+      FROM (SELECT UNNEST(generate_series(0,
+              (SELECT L FROM l_L) - 1)) AS b) bb,
+           (SELECT UNNEST(generate_series(0, {N_PLANES - 1})) AS p) pp,
+           (SELECT DISTINCT pos FROM l_d) ps
+    ),
+    l_dots AS (
+      SELECT d.vid, pl.b AS band, pl.p,
+             SUM(CAST(d.dv * pl.sg AS DECIMAL(28,14))) AS dt
+      FROM l_d d JOIN l_planes pl ON pl.pos = d.pos
+      GROUP BY d.vid, pl.b, pl.p
+    ),
+    l_buckets AS (
+      SELECT vid, band,
+             SUM(CASE WHEN dt > 0
+                 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM l_dots GROUP BY vid, band
+    ),
+    l_cand AS (
+      SELECT DISTINCT q.vid AS qid, v.vid
+      FROM l_buckets v
+      JOIN l_buckets q ON q.band = v.band AND q.bucket = v.bucket
+      WHERE q.vid IN {_SQL_QIDS} AND v.vid <> q.vid
+    ),
+    l_norms AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM l_d GROUP BY vid
+    ),
+    l_kept AS (
+      SELECT qid, vid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vid) AS rk
+      FROM (
+        SELECT t.qid, t.vid,
+               ROUND(CAST(t.dot AS DOUBLE)
+                     / SQRT(CAST(n1.nn AS DOUBLE)
+                            * CAST(n2.nn AS DOUBLE)), 6) AS cosine
+        FROM (SELECT c.qid, c.vid,
+                     SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+              FROM l_cand c
+              JOIN l_d d ON d.vid = c.vid
+              JOIN l_d q ON q.vid = c.qid AND q.pos = d.pos
+              GROUP BY c.qid, c.vid) t
+        JOIN l_norms n1 ON n1.vid = t.vid
+        JOIN l_norms n2 ON n2.vid = t.qid)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, vid) <= {TOP_K}
+    ){_sql_recall_tail("l_d", "l_kept", "cosine", "cosine", "l_")}"""
+
+
+def _sql_pq_shortlist(n: str) -> str:
+    """``pq_shortlist(n)`` in DuckDB SQL."""
+    return (
+        f"CASE WHEN {n} <= {ANN_BASE_N} THEN {PQ_SHORTLIST}"
+        f" ELSE LEAST({PQ_SHORTLIST_MAX}, {PQ_SHORTLIST} + 192 *"
+        f" CAST(CEIL(LOG2(CAST({n} AS DOUBLE) / {ANN_BASE_N}))"
+        f" AS BIGINT)) END"
+    )
+
+
+def _sql_pq_dtable(chain_p: str, out: str) -> str:
+    """Per-query ADC distance tables over trained books {chain_p}c*_2,
+    query subvectors taken from the chain's own sliced sources."""
+    parts = []
+    for m in range(PQ_M):
+        parts.append(f"""{out}{m} AS (
+      SELECT q.vid AS qid, {m} AS m, c.code,
+             SUM(CAST((q.dv - c.cv) * (q.dv - c.cv)
+                      AS DECIMAL(28,14))) AS d2
+      FROM {chain_p}d{m} q JOIN {chain_p}c{m}_2 c USING (pos)
+      WHERE q.vid IN {_SQL_QIDS} GROUP BY q.vid, c.code
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM {out}{m}" for m in range(PQ_M)
+    )
+    return ",\n    ".join(parts) + f",\n    {out} AS ({union})"
+
+
+def _sql_pq_rerank_tail(src: str, short: str, p: str) -> str:
+    """Exact-L2 re-rank of a (qid, vid) shortlist — the _exact_rerank
+    twin: DECIMAL d2, l2_dist rounded to 6, rank (d2 ASC, vid) ≤ k —
+    plus the l2 recall tail."""
+    return f""",
+    {p}exr AS (
+      SELECT sh.qid, sh.vid,
+             SUM(CAST((q.dv - d.dv) * (q.dv - d.dv)
+                      AS DECIMAL(28,14))) AS d2
+      FROM {short} sh
+      JOIN {src} d ON d.vid = sh.vid
+      JOIN {src} q ON q.vid = sh.qid AND q.pos = d.pos
+      GROUP BY sh.qid, sh.vid
+    ),
+    {p}topk AS (
+      SELECT qid, vid, ROUND(CAST(d2 AS DOUBLE), 6) AS l2_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d2 ASC, vid) AS rk
+      FROM {p}exr
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY d2 ASC, vid) <= {TOP_K}
+    ){_sql_recall_tail(src, p + "topk", "l2_dist", "l2", p)}"""
+
+
+def _sim_pq_serving_oracle() -> str:
+    """sim_pq_adc_topk / sim_pq_stored_topk (bit-identical outputs):
+    PQ chain → per-query distance tables → flat code scan → adaptive
+    shortlist → exact re-rank."""
+    return f"""
+    WITH sv_src AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    sv_n AS (SELECT COUNT(*) AS n FROM embeddings),
+    {_sql_pq_chain("sv_src", "sv_n", "s_")},
+    s_C AS (SELECT {_sql_pq_shortlist("n")} AS c FROM sv_n),
+    {_sql_pq_dtable("s_", "s_dt")},
+    s_adc AS (
+      SELECT t.qid, k.vid, SUM(t.d2) AS adc
+      FROM s_codes k JOIN s_dt t ON t.m = k.m AND t.code = k.code
+      GROUP BY t.qid, k.vid
+    ),
+    s_short AS (
+      SELECT qid, vid FROM s_adc WHERE qid <> vid
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vid)
+        <= (SELECT c FROM s_C)
+    ){_sql_pq_rerank_tail("sv_src", "s_short", "s_")}"""
+
+
+def _sim_ivfpq_stored_oracle() -> str:
+    """sim_ivfpq_stored_topk: stored-IVF pruning (default build chain)
+    gates the flat-PQ ADC scan; exact re-rank on the shortlist."""
+    return f"""
+    WITH {_sql_ivf_chain("TRUE", "i_")}
+    {_sql_ivf_probe_block("i_")},
+    sv_src AS (SELECT vid, pos, dv FROM i_d),
+    sv_n AS (SELECT n FROM i_par0),
+    {_sql_pq_chain("sv_src", "sv_n", "s_")},
+    s_C AS (SELECT {_sql_pq_shortlist("n")} AS c FROM sv_n),
+    {_sql_pq_dtable("s_", "s_dt")},
+    g_adc AS (
+      SELECT c.qid, c.vid, SUM(t.d2) AS adc
+      FROM i_cand c
+      JOIN s_codes k ON k.vid = c.vid
+      JOIN s_dt t ON t.qid = c.qid AND t.m = k.m AND t.code = k.code
+      GROUP BY c.qid, c.vid
+    ),
+    g_short AS (
+      SELECT qid, vid FROM g_adc WHERE qid <> vid
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vid)
+        <= (SELECT c FROM s_C)
+    ){_sql_pq_rerank_tail("i_d", "g_short", "g_")}"""
+
+
+def _sim_ivfpq_residual_oracle() -> str:
+    """sim_ivfpq_residual_topk: residual-trained books, per-(query,
+    probed-cell) distance tables against the QUERY residual, candidates
+    score against their own cell's table, exact re-rank on raws."""
+    qparts = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_DIMS, (m + 1) * PQ_DIMS
+        qparts.append(f"""rs_q{m} AS (
+      SELECT pr.qid, pr.cell AS data_cell, d.pos - {lo} AS pos,
+             d.dv - c.cv AS dv
+      FROM i_qprobe pr
+      JOIN i_d d ON d.vid = pr.qid AND d.pos > {lo} AND d.pos <= {hi}
+      JOIN i_centF c ON c.cell = pr.cell AND c.pos = d.pos
+    ),
+    rs_dt{m} AS (
+      SELECT q.qid, q.data_cell, {m} AS m, c.code,
+             SUM(CAST((q.dv - c.cv) * (q.dv - c.cv)
+                      AS DECIMAL(28,14))) AS d2
+      FROM rs_q{m} q JOIN r_c{m}_2 c USING (pos)
+      GROUP BY q.qid, q.data_cell, c.code
+    )""")
+    dt_union = " UNION ALL ".join(
+        f"SELECT * FROM rs_dt{m}" for m in range(PQ_M)
+    )
+    qtables = ",\n    ".join(qparts)
+    return f"""
+    WITH {_sql_ivf_chain("TRUE", "i_")}
+    {_sql_ivf_probe_block("i_")},
+    r_src AS (
+      SELECT d.vid, d.pos, d.dv - c.cv AS dv
+      FROM i_d d
+      JOIN i_asgF a USING (vid)
+      JOIN i_centF c ON c.cell = a.cell AND c.pos = d.pos
+    ),
+    r_n AS (SELECT n FROM i_par0),
+    {_sql_pq_chain("r_src", "r_n", "r_")},
+    r_C AS (SELECT {_sql_pq_shortlist("n")} AS c FROM r_n),
+    {qtables},
+    rs_dt AS ({dt_union}),
+    rs_adc AS (
+      SELECT c.qid, c.vid, SUM(t.d2) AS adc
+      FROM i_cand c
+      JOIN r_codes k ON k.vid = c.vid
+      JOIN rs_dt t ON t.qid = c.qid AND t.data_cell = c.data_cell
+                  AND t.m = k.m AND t.code = k.code
+      GROUP BY c.qid, c.vid
+    ),
+    rs_short AS (
+      SELECT qid, vid FROM rs_adc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vid)
+        <= (SELECT c FROM r_C)
+    ){_sql_pq_rerank_tail("i_d", "rs_short", "rs_")}"""
+
+
+# Attach the serving oracles (post-hoc: the SQL helpers above are
+# defined later in the module than the decorated operators).
+from kachess_spark.registry import add_oracle as _add_oracle  # noqa: E402
+
+_add_oracle("sim_ann_lsh", _sim_lsh_serving_oracle())
+_add_oracle("sim_ivf_topk", _sim_ivf_serving_oracle(0))
+_add_oracle("sim_ivf_stored_topk", _sim_ivf_serving_oracle(IVF_BUILD_ITERS))
+_add_oracle("sim_ivf_kmeans_topk", _sim_ivf_serving_oracle(1))
+_add_oracle("sim_pq_adc_topk", _sim_pq_serving_oracle())
+_add_oracle("sim_pq_stored_topk", _sim_pq_serving_oracle())
+_add_oracle("sim_ivfpq_stored_topk", _sim_ivfpq_stored_oracle())
+_add_oracle("sim_ivfpq_residual_topk", _sim_ivfpq_residual_oracle())
+
+
 # --------------------------------------------- MMR diversified top-k
 
 MMR_LAMBDA = 0.7

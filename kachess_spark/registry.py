@@ -34,6 +34,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def add_oracle(name: str, oracle: str) -> None:
+    """Attach an oracle to an already-registered query — for oracles
+    whose SQL builders are defined later in the module than the
+    decorated operator (e.g. the ANN serving twins, which reuse the
+    training-chain SQL helpers)."""
+    if name not in QUERIES:
+        raise ValueError(f"add_oracle: unknown query {name!r}")
+    if name in ORACLES:
+        raise ValueError(f"add_oracle: {name!r} already has an oracle")
+    ORACLES[name] = oracle
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from kachess_spark.operators import (  # noqa: F401
