@@ -1686,27 +1686,45 @@ def ingest_gate_growing_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for k in range(_GATE_N_BATCHES):
         bk_ids = odd.where(F.col("b") == k).select("doc_id")
-        bkb = bands.join(bk_ids, "doc_id")
-        m_hist = bkb.join(
-            hist.select("band", "band_key"), ["band", "band_key"],
-            "left_semi",
-        ).select("doc_id")
+        # batch-side frames are broadcast throughout — the scale-correct
+        # join direction (batch << stored index): the per-batch job
+        # streams the index partitions once against broadcast batch
+        # bands, with NO shuffle of either side
+        bkb = bands.join(F.broadcast(bk_ids), "doc_id")
+        m_hist = (
+            hist.select("band", "band_key")
+            .join(
+                F.broadcast(
+                    bkb.select(
+                        F.col("doc_id").alias("n_id"), "band", "band_key"
+                    )
+                ),
+                ["band", "band_key"],
+            )
+            .select(F.col("n_id").alias("doc_id"))
+        )
         lhs = bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
         rhs = bkb.select(F.col("doc_id").alias("p_id"), "band", "band_key")
         m_within = (
-            lhs.join(rhs, ["band", "band_key"])
+            lhs.join(F.broadcast(rhs), ["band", "band_key"])
             .where(F.col("p_id") < F.col("a_id"))
             .select(F.col("a_id").alias("doc_id"))
         )
         matched = m_hist.unionByName(m_within).distinct()
-        adm_ids = bk_ids.join(matched, "doc_id", "left_anti")
+        adm_ids = bk_ids.join(F.broadcast(matched), "doc_id", "left_anti")
         # the ONLY per-batch barrier: the grown index (admitted ids ride
-        # along in its doc_id column, so no separate adm checkpoint)
-        hist = hist.unionByName(
-            bands.join(adm_ids, "doc_id").select(
-                "doc_id", "band", "band_key"
+        # along in its doc_id column, so no separate adm checkpoint);
+        # coalesced so the per-batch union doesn't accumulate partitions
+        # (32 + 32 per batch grew the final probe to 128 tiny tasks)
+        hist = (
+            hist.unionByName(
+                bands.join(F.broadcast(adm_ids), "doc_id").select(
+                    "doc_id", "band", "band_key"
+                )
             )
-        ).localCheckpoint(eager=True)
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
     admitted_ids = (
         hist.where(F.col("doc_id") % 2 == 1)
         .select("doc_id")
@@ -1718,7 +1736,7 @@ def ingest_gate_growing_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docs.join(admitted_ids, "doc_id", "left_semi")
+        docs.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
@@ -1850,24 +1868,21 @@ def ingest_gate_growing_verified_batch(
     hist = bands.where(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
 
     def verified_drops(cand: DataFrame) -> DataFrame:
-        """(a_id) for candidate pairs whose exact Jaccard >= τ."""
+        """(a_id) for candidate pairs whose exact Jaccard >= τ.  The
+        candidate pairs are batch-sized → broadcast; the shingle table
+        streams (scale shape: collisions << corpus)."""
+        a_side = sh.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("shingles").alias("sh_a"),
+            F.col("n_sh").alias("n_a"),
+        ).join(F.broadcast(cand), "a_id")
         return (
-            cand.join(
-                sh.select(
-                    F.col("doc_id").alias("a_id"),
-                    F.col("shingles").alias("sh_a"),
-                    F.col("n_sh").alias("n_a"),
-                ),
-                "a_id",
+            sh.select(
+                F.col("doc_id").alias("p_id"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
             )
-            .join(
-                sh.select(
-                    F.col("doc_id").alias("p_id"),
-                    F.col("shingles").alias("sh_b"),
-                    F.col("n_sh").alias("n_b"),
-                ),
-                "p_id",
-            )
+            .join(F.broadcast(a_side), "p_id")
             .withColumn("n_i", F.size(F.array_intersect("sh_a", "sh_b")))
             .where(
                 F.round(
@@ -1883,12 +1898,18 @@ def ingest_gate_growing_verified_batch(
 
     for k in range(_GATE_N_BATCHES):
         bk_ids = odd.where(F.col("b") == k).select("doc_id")
-        bkb = bands.join(bk_ids, "doc_id")
+        # batch side broadcast throughout (scale shape: batch << index),
+        # same as the unverified growing gate
+        bkb = bands.join(F.broadcast(bk_ids), "doc_id")
         cand_h = (
-            bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+            hist.select(
+                F.col("doc_id").alias("p_id"), "band", "band_key"
+            )
             .join(
-                hist.select(
-                    F.col("doc_id").alias("p_id"), "band", "band_key"
+                F.broadcast(
+                    bkb.select(
+                        F.col("doc_id").alias("a_id"), "band", "band_key"
+                    )
                 ),
                 ["band", "band_key"],
             )
@@ -1898,8 +1919,10 @@ def ingest_gate_growing_verified_batch(
         cand_w = (
             bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
             .join(
-                bkb.select(
-                    F.col("doc_id").alias("p_id"), "band", "band_key"
+                F.broadcast(
+                    bkb.select(
+                        F.col("doc_id").alias("p_id"), "band", "band_key"
+                    )
                 ),
                 ["band", "band_key"],
             )
@@ -1908,15 +1931,19 @@ def ingest_gate_growing_verified_batch(
             .distinct()
         )
         dropped = verified_drops(cand_h.unionByName(cand_w).distinct())
-        adm_ids = bk_ids.join(dropped, "doc_id", "left_anti")
+        adm_ids = bk_ids.join(F.broadcast(dropped), "doc_id", "left_anti")
         # ONE barrier per batch (round-9 verdict #3): admitted ids ride
         # along in the grown index's doc_id column — same fold as the
-        # unverified growing gate
-        hist = hist.unionByName(
-            bands.join(adm_ids, "doc_id").select(
-                "doc_id", "band", "band_key"
+        # unverified growing gate; coalesced against partition creep
+        hist = (
+            hist.unionByName(
+                bands.join(F.broadcast(adm_ids), "doc_id").select(
+                    "doc_id", "band", "band_key"
+                )
             )
-        ).localCheckpoint(eager=True)
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
     admitted_ids = (
         hist.where(F.col("doc_id") % 2 == 1)
         .select("doc_id")
@@ -1928,7 +1955,7 @@ def ingest_gate_growing_verified_batch(
         )
     )
     return (
-        docs.join(admitted_ids, "doc_id", "left_semi")
+        docs.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
