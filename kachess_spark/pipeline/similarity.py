@@ -2270,10 +2270,11 @@ def _sim_ivf_serving_oracle(iters: int) -> str:
     ){_sql_recall_tail("i_d", "i_kept", "cosine", "cosine", "i_")}"""
 
 
-def _sim_lsh_serving_oracle() -> str:
-    """sim_ann_lsh: md5-signed hyperplane buckets (adaptive band
-    count), bucket-equality candidates, exact cosine rank over the
-    query's own candidates."""
+def _sql_lsh_blocks() -> str:
+    """Shared LSH serving CTEs: exploded source l_d, adaptive band
+    count l_L, md5-signed planes, per-(vid, band) buckets, the
+    bucket-equality candidate pairs l_cand, norms l_norms, and the
+    exact-cosine-scored candidates l_sc (qid, vid, cosine)."""
     sign = (
         "CASE WHEN strpos('02468ace', substr(md5('b'"
         " || CAST(bb.b AS VARCHAR) || 'p' || CAST(pp.p AS VARCHAR)"
@@ -2286,8 +2287,7 @@ def _sim_lsh_serving_oracle() -> str:
         f" CAST(CEIL(LOG2(CAST(n AS DOUBLE) / {ANN_BASE_N}))"
         f" AS BIGINT)) END"
     )
-    return f"""
-    WITH l_d AS (
+    return f"""l_d AS (
       SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS dv
       FROM embeddings
@@ -2323,23 +2323,33 @@ def _sim_lsh_serving_oracle() -> str:
       SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
       FROM l_d GROUP BY vid
     ),
+    l_sc AS (
+      SELECT t.qid, t.vid,
+             ROUND(CAST(t.dot AS DOUBLE)
+                   / SQRT(CAST(n1.nn AS DOUBLE)
+                          * CAST(n2.nn AS DOUBLE)), 6) AS cosine
+      FROM (SELECT c.qid, c.vid,
+                   SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+            FROM l_cand c
+            JOIN l_d d ON d.vid = c.vid
+            JOIN l_d q ON q.vid = c.qid AND q.pos = d.pos
+            GROUP BY c.qid, c.vid) t
+      JOIN l_norms n1 ON n1.vid = t.vid
+      JOIN l_norms n2 ON n2.vid = t.qid
+    )"""
+
+
+def _sim_lsh_serving_oracle() -> str:
+    """sim_ann_lsh: md5-signed hyperplane buckets (adaptive band
+    count), bucket-equality candidates, exact cosine rank over the
+    query's own candidates."""
+    return f"""
+    WITH {_sql_lsh_blocks()},
     l_kept AS (
       SELECT qid, vid, cosine,
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY cosine DESC, vid) AS rk
-      FROM (
-        SELECT t.qid, t.vid,
-               ROUND(CAST(t.dot AS DOUBLE)
-                     / SQRT(CAST(n1.nn AS DOUBLE)
-                            * CAST(n2.nn AS DOUBLE)), 6) AS cosine
-        FROM (SELECT c.qid, c.vid,
-                     SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
-              FROM l_cand c
-              JOIN l_d d ON d.vid = c.vid
-              JOIN l_d q ON q.vid = c.qid AND q.pos = d.pos
-              GROUP BY c.qid, c.vid) t
-        JOIN l_norms n1 ON n1.vid = t.vid
-        JOIN l_norms n2 ON n2.vid = t.qid)
+      FROM l_sc
       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
                                  ORDER BY cosine DESC, vid) <= {TOP_K}
     ){_sql_recall_tail("l_d", "l_kept", "cosine", "cosine", "l_")}"""
@@ -2500,6 +2510,143 @@ def _sim_ivfpq_residual_oracle() -> str:
       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vid)
         <= (SELECT c FROM r_C)
     ){_sql_pq_rerank_tail("i_d", "rs_short", "rs_")}"""
+
+
+RANGE_TAU = 0.25  # cosine radius for range search (synthetic
+# embeddings are near-orthogonal: max off-diagonal cosine ~0.4, so
+# 0.25 selects the meaningful tail — tens to hundreds of rows per sf)
+
+
+def _sim_range_search_oracle() -> str:
+    """LSH-gated candidates (same serving chain as sim_ann_lsh), kept
+    where the exact cosine clears the radius; range_recall = kept hits
+    / the full-corpus exact range set per query."""
+    return f"""
+    WITH {_sql_lsh_blocks()},
+    r_kept AS (
+      SELECT qid, vid, cosine FROM l_sc WHERE cosine >= {RANGE_TAU}
+    ),
+    r_xnorms AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM l_d GROUP BY vid
+    ),
+    r_ex AS (
+      SELECT t.qid, t.vid
+      FROM (SELECT q.vid AS qid, d.vid,
+                   SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+            FROM l_d d JOIN l_d q
+              ON q.pos = d.pos AND q.vid IN {_SQL_QIDS}
+            WHERE d.vid <> q.vid GROUP BY q.vid, d.vid) t
+      JOIN r_xnorms n1 ON n1.vid = t.vid
+      JOIN r_xnorms n2 ON n2.vid = t.qid
+      WHERE ROUND(CAST(t.dot AS DOUBLE)
+                  / SQRT(CAST(n1.nn AS DOUBLE) * CAST(n2.nn AS DOUBLE)),
+                  6) >= {RANGE_TAU}
+    ),
+    r_hits AS (
+      SELECT k.qid, COUNT(*) AS nhit
+      FROM r_kept k JOIN r_ex e ON e.qid = k.qid AND e.vid = k.vid
+      GROUP BY k.qid
+    ),
+    r_tot AS (SELECT qid, COUNT(*) AS ntot FROM r_ex GROUP BY qid)
+    SELECT k.qid, k.vid, k.cosine,
+           COALESCE(CAST(h.nhit AS DOUBLE) / t.ntot, 0.0) AS range_recall
+    FROM r_kept k
+    LEFT JOIN r_hits h ON h.qid = k.qid
+    LEFT JOIN r_tot t ON t.qid = k.qid"""
+
+
+@query("sim_range_search", _sim_range_search_oracle())
+def sim_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = RANGE_TAU,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
+) -> DataFrame:
+    """Cosine RANGE search (FAISS ``range_search`` shape): every
+    neighbor with cosine >= ``tau`` of each probe — the radius query a
+    dedup/recall pipeline runs when it wants ALL matches, not top-k.
+    Candidates come from the banded hyperplane LSH index (bucket
+    equality in any band — never all-pairs); the exact cosine filter
+    keeps true in-radius candidates, and a per-query ``range_recall``
+    column (kept hits / full exact range set, recomputed in-plan by
+    the codegen kernel) certifies retrieval completeness in the
+    output itself.
+
+    Scale: candidate generation and scoring are the sim_ann_lsh plan
+    (codegen plane dots, bucket-equality join, exact DECIMAL cosine on
+    collisions only); the certificate side is #queries·N codegen dots
+    — linear, broadcast queries, no shuffle."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    buckets = banded_hyperplane_buckets(emb).localCheckpoint(eager=False)
+    qb = buckets.where(F.col("vid").isin(*probe_ids)).select(
+        F.col("vid").alias("qid"), "band", "bucket"
+    )
+    cands = (
+        buckets.join(broadcast(qb), ["band", "bucket"])
+        .where(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
+        f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
+    )
+    embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    qv = embn.where(F.col("vec_id").isin(*probe_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.expr(
+        f"aggregate(zip_with(q_emb, embedding, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+    )
+    cos_expr = F.round(
+        dot.cast("double")
+        / F.sqrt(F.col("nrm").cast("double") * F.col("q_nrm").cast("double")),
+        6,
+    )
+    kept = (
+        cands.join(embn, cands.vid == embn.vec_id)
+        .join(broadcast(qv), "qid")
+        .select("qid", "vid", cos_expr.alias("cosine"))
+        .where(F.col("cosine") >= tau)
+    )
+    # exact full-corpus range set — the in-plan completeness certificate
+    exact = (
+        embn.join(broadcast(qv))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            cos_expr.alias("cosine"),
+        )
+        .where(F.col("cosine") >= tau)
+        .select("qid", "vid")
+    )
+    hits = (
+        kept.select("qid", "vid")
+        .join(exact, ["qid", "vid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("nhit"))
+    )
+    tot = exact.groupBy("qid").agg(F.count("*").alias("ntot"))
+    return (
+        kept.join(broadcast(hits), "qid", "left")
+        .join(broadcast(tot), "qid", "left")
+        .select(
+            "qid",
+            "vid",
+            "cosine",
+            F.coalesce(
+                F.col("nhit").cast("double") / F.col("ntot"), F.lit(0.0)
+            ).alias("range_recall"),
+        )
+    )
 
 
 # Attach the serving oracles (post-hoc: the SQL helpers above are
