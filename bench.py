@@ -74,6 +74,9 @@ BREADTH = [
     "sim_ivfpq_residual_topk",
     "stream_ingest_gate_growing",
     "dedup_cut_spans",
+    # round 9: radius query over the LSH index + the FastSS fuzzy join
+    "sim_range_search",
+    "join_fuzzy_editdist",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

@@ -1072,3 +1072,94 @@ def test_source_overlap_report_shape(spark, sf_dir):
     assert (pdf.dup_pairs >= 1).all()
     assert (pdf.avg_jaccard >= MINHASH_VERIFY_TAU).all()
     assert (pdf.avg_jaccard <= 1.0).all()
+
+
+def test_range_search_plan_and_certificate(spark, sf_dir):
+    """sim_range_search: candidates come from the LSH bucket join —
+    no CartesianProduct, no Python eval — and the in-plan range_recall
+    certificate is 1.0 on this fixture only if the kept set covers the
+    exact range set (spot-checked against a brute-force recompute)."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        QUERY_IDS,
+        RANGE_TAU,
+        cosine_topk,
+        sim_range_search,
+    )
+
+    df = sim_range_search(spark, sf_dir)
+    rows = df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
+    exact = {
+        (r["qid"], r["vid"])
+        for r in cosine_topk(spark, emb, queries, k=10**9).collect()
+        if r["cosine"] >= RANGE_TAU
+    }
+    got = {(r["qid"], r["vid"]) for r in rows}
+    assert got <= exact  # every kept row is truly in radius
+    # the in-plan certificate equals the brute-force recall per query
+    from collections import Counter
+
+    tot = Counter(q for q, _ in exact)
+    hit = Counter(q for q, _ in got if (q,) or True)
+    for r in rows:
+        want = hit[r["qid"]] / tot[r["qid"]] if tot[r["qid"]] else 0.0
+        assert abs(r["range_recall"] - want) < 1e-9
+
+
+def test_fuzzy_join_lossless_candidates(spark, sf_dir):
+    """join_fuzzy_editdist: the FastSS deletion-neighborhood join must
+    find EXACTLY the brute-force all-pairs result (the candidate
+    superset + exact verify is lossless), with no cartesian in the
+    plan."""
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.operators.joins import (
+        _FUZZY_K,
+        join_fuzzy_editdist,
+    )
+
+    df = join_fuzzy_editdist(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+    names = [
+        r["name"]
+        for r in Tables(spark, sf_dir)
+        .part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .collect()
+    ]
+
+    def ed(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, ed(a, b))
+        for a in names
+        for b in names
+        if a < b and ed(a, b) <= _FUZZY_K
+    }
+    got = {(r["name_a"], r["name_b"], r["dist"]) for r in df.collect()}
+    assert got == want

@@ -56,6 +56,9 @@ NOTES = {
     "sim_ivf_stored_topk": "Probe-only IVF: centroids + inverted lists read from the stored index (no max_by corpus assignment anywhere); only the tiny query set assigns at probe time.",
     "sim_ivfpq_stored_topk": "IVF+PQ composition: probed-cell candidate pairs gate the code scan (ADC input = scan fraction x corpus), distance table broadcast, exact re-rank on the shortlist.",
     "dedup_cut_spans": "Span pipeline unchanged (one df-capped postings exchange); the cut is a broadcast span-array join + a per-row lambda filter — no new exchange, no Python.",
+    "stream_ingest_gate_growing": "Round-9 shape: batch bands broadcast into the streamed stored index (no shuffle of either side), ONE checkpoint barrier per batch, admitted ids derived from the final index in one closing job.",
+    "sim_range_search": "Radius query over the LSH index: bucket-equality candidates, exact cosine filter, and the in-plan completeness certificate (exact range set from a linear codegen kernel, broadcast back).",
+    "join_fuzzy_editdist": "FastSS fuzzy join: deletion-neighborhood explode on DISTINCT names, candidates from an EQUALITY join on the variant string (inverted index, no cartesian), exact levenshtein verify on collisions.",
 }
 
 
