@@ -2064,9 +2064,19 @@ def streaming_ingest_dedup_gate(
             idx = spark.read.parquet(*_index_dirs_before(batch_id))
         else:
             idx = hist_bands
+        # batch side broadcast (batch << stored index): the index
+        # partitions stream once with no shuffle of either side — the
+        # same join direction as the batch twins (round-9)
         matched = (
-            new_bands.join(idx, ["band", "band_key"], "left_semi")
-            .select("doc_id")
+            idx.join(
+                F.broadcast(
+                    new_bands.select(
+                        F.col("doc_id").alias("n_id"), "band", "band_key"
+                    )
+                ),
+                ["band", "band_key"],
+            )
+            .select(F.col("n_id").alias("doc_id"))
             .distinct()
         )
         if grow:
@@ -2077,14 +2087,14 @@ def streaming_ingest_dedup_gate(
                 F.col("doc_id").alias("p_id"), "band", "band_key"
             )
             within = (
-                lhs.join(rhs, ["band", "band_key"])
+                lhs.join(F.broadcast(rhs), ["band", "band_key"])
                 .where(F.col("p_id") < F.col("a_id"))
                 .select(F.col("a_id").alias("doc_id"))
             )
             matched = matched.unionByName(within).distinct()
-        admitted = batch_df.join(matched, "doc_id", "left_anti").select(
-            "doc_id", "source", "n_chars"
-        )
+        admitted = batch_df.join(
+            F.broadcast(matched), "doc_id", "left_anti"
+        ).select("doc_id", "source", "n_chars")
         if grow:
             # eager barrier: breaks the index-read lineage before we
             # write back UNDER the index dir, and admitted feeds two
@@ -2106,7 +2116,9 @@ def streaming_ingest_dedup_gate(
             # per-batch overwrite-dir idempotence as the sink, so a
             # replayed batch replaces (not duplicates) its contribution
             (
-                new_bands.join(admitted.select("doc_id"), "doc_id")
+                new_bands.join(
+                    F.broadcast(admitted.select("doc_id")), "doc_id"
+                )
                 .select("band", "band_key")
                 .write.mode("overwrite")
                 .parquet(os.path.join(idx_dir, f"batch={batch_id}"))
