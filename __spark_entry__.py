@@ -33,18 +33,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return join_inner_q3(spark, "/root/testdata/sf0.001")
 
 
-def _is_green(rec: dict) -> bool:
-    """A CORRECTNESS row counts as verified only if the check PASSED.
+def _is_green(rec: dict, has_oracle_now: bool = False) -> bool:
+    """A CORRECTNESS row counts as verified only if the check PASSED
+    *in the mode the query runs in today*.
 
     Oracle-compared rows need all three matches true with no error;
     rows-only rows (err == "no_oracle") pass when the Spark side
-    produced a row count.  Anything else (hash mismatch, traceback)
-    must NOT count, so the failed query re-enters the next driver
-    window immediately instead of rotating out with the passes.
+    produced a row count — but ONLY while the name still has no oracle.
+    A name that has since GAINED an oracle must not inherit credit from
+    historical rows-only passes, or the rotation would keep deferring
+    the very names that most need a fresh hash-certified driver row.
+    Anything else (hash mismatch, traceback) must NOT count, so the
+    failed query re-enters the next driver window immediately instead
+    of rotating out with the passes.
     """
     err = rec.get("err")
     if err == "no_oracle":
-        return rec.get("spark_rows") is not None
+        return (not has_oracle_now) and rec.get("spark_rows") is not None
     return (
         err is None
         and rec.get("rows_match") is True
@@ -66,7 +71,9 @@ def _verification_counts() -> dict[str, int]:
         except Exception:
             continue
         for name, rec in data.items():
-            if isinstance(rec, dict) and _is_green(rec):
+            if isinstance(rec, dict) and _is_green(
+                rec, has_oracle_now=name in registry.ORACLES
+            ):
                 counts[name] = counts.get(name, 0) + 1
     return counts
 
@@ -85,7 +92,9 @@ def _ever_failed() -> set[str]:
         except Exception:
             continue
         for name, rec in data.items():
-            if isinstance(rec, dict) and not _is_green(rec):
+            if isinstance(rec, dict) and not _is_green(
+                rec, has_oracle_now=name in registry.ORACLES
+            ):
                 failed.add(name)
     return failed
 

@@ -248,6 +248,26 @@ def main() -> None:
     if profile:
         out["profile"] = per_profile
     print(json.dumps(out))
+    if profile:
+        # The driver records only the LAST ~2000 chars of output and
+        # parses the JSON line it finds there.  With the profile map the
+        # full line is ~7000 chars, so its opening brace scrolls out of
+        # the tail and the artifact loses every timing (BENCH_r09.json,
+        # round-9 verdict #1).  Emit a compact timings-only duplicate as
+        # the FINAL line — ~1700 chars, always inside the tail window —
+        # so the per-query walls and subtotals survive tail-capture while
+        # the full line above keeps the profile for local analysis.
+        compact = {k: v for k, v in out.items() if k != "profile"}
+        line = json.dumps(compact)
+        if len(line) > 1950:
+            # keep the line inside the tail window no matter how many
+            # breadth queries the suite grows: 2-decimal walls first,
+            # then drop the loadavg context (it stays in the full line)
+            compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+            compact.pop("loadavg_start", None)
+            compact.pop("loadavg_end", None)
+            line = json.dumps(compact)
+        print(line)
 
 
 if __name__ == "__main__":

@@ -841,7 +841,8 @@ def _del1(col: str) -> str:
 @query("join_fuzzy_editdist", _FUZZY_ORACLE)
 def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join (the data-cleaning fuzzy join):
-    all part-name pairs within Levenshtein distance {_FUZZY_K}, with
+    all part-name pairs within Levenshtein distance 2 (see _FUZZY_K),
+    with
     each name's occurrence count — candidates from FastSS deletion
     neighborhoods (Bocek et al. 2007), verification exact.
 

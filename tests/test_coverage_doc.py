@@ -1,0 +1,98 @@
+"""COVERAGE.md is the §2 audit trail — keep it in lockstep with the
+live registry (round-9 verdict #4: five registry names had silently
+dropped out of the doc, and the header counts had drifted).
+
+Invariants, no Spark session needed:
+  1. every registered query name appears in COVERAGE.md at least once;
+  2. every backticked token that shares a prefix with the registry
+     resolves to a registered query (no stale rows);
+  3. a row marked "rows-only" only names queries that genuinely have
+     no oracle today (annotations must not lag oracle additions);
+  4. the header's query/oracle counts match the live registry.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from kachess_spark import registry
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# backticked tokens that legitimately are NOT registry queries: the
+# reference's own table/construct names and pytest-only streaming twins
+_NOT_QUERIES = {
+    "ts_dboard_lineage",  # reference dashboard table (construct column)
+    "streaming_dedup_events",  # dropDuplicatesWithinWatermark pytest twin
+}
+
+
+def _doc() -> str:
+    with open(os.path.join(_REPO, "COVERAGE.md")) as fh:
+        return fh.read()
+
+
+def _prefixes() -> tuple[str, ...]:
+    registry.load_all()
+    return tuple({n.split("_", 1)[0] + "_" for n in registry.QUERIES})
+
+
+def _coverage_names() -> set[str]:
+    pref = _prefixes()
+    return {
+        m
+        for m in re.findall(r"`([a-z0-9_]+)`", _doc())
+        if m.startswith(pref) and "_" in m and m not in _NOT_QUERIES
+    }
+
+
+def test_every_registry_name_documented():
+    registry.load_all()
+    missing = sorted(set(registry.QUERIES) - _coverage_names())
+    assert not missing, f"registry names absent from COVERAGE.md: {missing}"
+
+
+def test_no_stale_coverage_rows():
+    registry.load_all()
+    # `lateral_*` family shorthand expands to nothing; drop glob stubs
+    stale = sorted(
+        n for n in _coverage_names() - set(registry.QUERIES) if "*" not in n
+    )
+    assert not stale, f"COVERAGE.md rows without a registry entry: {stale}"
+
+
+def test_rows_only_annotations_match_live_oracles():
+    registry.load_all()
+    rows_only_live = set(registry.QUERIES) - set(registry.ORACLES)
+    pref = _prefixes()
+    mislabeled = []
+    for line in _doc().splitlines():
+        if "rows-only" not in line or not line.startswith("|"):
+            continue
+        cells = [c.strip() for c in line.split("|")]
+        # only the Check column (last non-empty cell) decides the label
+        if "rows-only" not in cells[-2]:
+            continue
+        for name in re.findall(r"`([a-z0-9_]+)`", line):
+            if (
+                name.startswith(pref)
+                and name in registry.QUERIES
+                and name not in rows_only_live
+            ):
+                mislabeled.append(name)
+    assert not mislabeled, (
+        f"COVERAGE.md marks these rows-only but they have oracles now: "
+        f"{sorted(set(mislabeled))}"
+    )
+
+
+def test_header_counts_are_live():
+    registry.load_all()
+    head = _doc()[:600]
+    m = re.search(r"(\d+) queries, (\d+) with\s+oracles", head)
+    assert m, "COVERAGE.md header must state the query/oracle counts"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(registry.QUERIES),
+        len(registry.ORACLES),
+    ), "COVERAGE.md header counts drifted from the live registry"

@@ -1108,7 +1108,7 @@ def test_range_search_plan_and_certificate(spark, sf_dir):
     from collections import Counter
 
     tot = Counter(q for q, _ in exact)
-    hit = Counter(q for q, _ in got if (q,) or True)
+    hit = Counter(q for q, _ in got)
     for r in rows:
         want = hit[r["qid"]] / tot[r["qid"]] if tot[r["qid"]] else 0.0
         assert abs(r["range_recall"] - want) < 1e-9
