@@ -2666,64 +2666,246 @@ _add_oracle("sim_ivfpq_residual_topk", _sim_ivfpq_residual_oracle())
 # --------------------------------------------- MMR diversified top-k
 
 MMR_LAMBDA = 0.7
+# the diversity weight is a LITERAL 0.3, not the float expression
+# (1 - 0.7) == 0.30000000000000004: the DuckDB oracle types the same
+# 0.3 literal, so both engines run bit-identical IEEE score arithmetic
+# and lattice-tied candidates order the same way on both sides
+MMR_MU = 0.3
 MMR_SHORTLIST = 50
 
 
 def _mmr_select(pdf):
     """Greedy MMR over one query's shortlist: pick argmax of
-    λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s), ties to lowest vid.
-    Pure float64 numpy in a fixed order — deterministic on any
-    executor."""
+    λ·rel(d) − μ·max_{s∈picked} sim(d,s), ties to lowest vid.
+
+    Inputs are one query group of PRE-COMPUTED pairwise rows
+    (qid, va, vb, sim, rel): rel is the 6-dp-rounded exact-DECIMAL
+    cosine to the query, sim the same formulation between shortlist
+    members.  Every value the greedy loop touches is therefore a
+    reproducible lattice double, which is what lets a DuckDB twin
+    replay the picks exactly — the float64 score arithmetic below is
+    the same IEEE ops in both engines."""
     import numpy as np
     import pandas as pd
 
-    pdf = pdf.sort_values("vid").reset_index(drop=True)
-    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    rel = pdf["cosine"].to_numpy(dtype=np.float64)
-    n = len(pdf)
+    ids = np.sort(pdf["va"].unique())
+    idx = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    rel = np.zeros(n)
+    S = np.zeros((n, n))
+    for va, vb, sim, r in zip(pdf["va"], pdf["vb"], pdf["sim"], pdf["rel"]):
+        a = idx[int(va)]
+        rel[a] = r
+        S[a, idx[int(vb)]] = sim
     k = min(TOP_K, n)
     picked: list[int] = []
     max_sim = np.full(n, -np.inf)
     out = []
     for rank in range(1, k + 1):
         if picked:
-            last = vecs @ vecs[picked[-1]]
-            max_sim = np.maximum(max_sim, last)
-            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            max_sim = np.maximum(max_sim, S[:, picked[-1]])
+            score = MMR_LAMBDA * rel - MMR_MU * max_sim
         else:
             score = MMR_LAMBDA * rel
         score[picked] = -np.inf
         i = int(np.argmax(score))  # ties → lowest index == lowest vid
         picked.append(i)
-        out.append((int(pdf["qid"].iloc[0]), int(pdf["vid"].iloc[i]),
-                    rank, round(float(score[i]), 6)))
+        # 7 dp: lattice scores are exact multiples of 1e-7, so this
+        # round is a no-op in rationals and both engines emit the same
+        # nearest-double (a 6-dp round would sit ON half-way boundaries
+        # where Python and DuckDB rounding disagree ~2% of the time)
+        out.append((int(pdf["qid"].iloc[0]), int(ids[i]),
+                    rank, round(float(score[i]), 7)))
     return pd.DataFrame(out, columns=["qid", "vid", "rank", "mmr_score"])
 
 
-@query("sim_mmr_topk")  # rows-only: greedy iteration has no SQL oracle;
-# exactness is pytest vs an independent numpy reference (test_smoke)
+def _mmr_oracle() -> str:
+    """DuckDB twin of the greedy MMR kernel: the k selection rounds are
+    UNROLLED as chained CTEs (k = TOP_K is a compile-time constant, so
+    no recursive CTE is needed).  Every intermediate the greedy loop
+    compares — rel, pairwise sim — is the 6-dp-rounded exact-DECIMAL
+    cosine, identical lattice doubles on both engines, and the score
+    0.7·rel − 0.3·ms is the same IEEE double arithmetic; mmr_score is
+    rounded at 7 dp because lattice scores are exact multiples of 1e-7
+    (a 6-dp round would sit exactly on half-way boundaries, where the
+    engines' rounding algorithms disagree ~2% of the time — measured)."""
+    steps = []
+    for r in range(2, TOP_K + 1):
+        prev = "cand0" if r == 2 else f"c{r - 2}"
+        ms = "s.sim" if r == 2 else "GREATEST(c.ms, s.sim)"
+        steps.append(f"""
+    c{r - 1} AS (
+      SELECT c.qid, c.vid, c.rel, {ms} AS ms
+      FROM {prev} c
+      JOIN p{r - 1} p ON c.qid = p.qid AND c.vid <> p.vid
+      JOIN sims s ON s.va = c.vid AND s.vb = p.vid
+    ),
+    p{r} AS (
+      SELECT qid, vid, score FROM (
+        SELECT qid, vid,
+               CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * ms AS score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY CAST(0.7 AS DOUBLE) * rel
+                          - CAST(0.3 AS DOUBLE) * ms DESC, vid) AS rn
+        FROM c{r - 1}
+      ) WHERE rn = 1
+    )""")
+    picks = "\n      UNION ALL ".join(
+        f"SELECT qid, vid, {r} AS rank, ROUND(score, 7) AS mmr_score FROM p{r}"
+        for r in range(1, TOP_K + 1)
+    )
+    return f"""
+    WITH d AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id IN {QUERY_IDS}
+    ),
+    dots AS (
+      SELECT qid, vid, SUM(CAST(qv * dv AS DECIMAL(28,14))) AS dot
+      FROM d JOIN q USING (pos) GROUP BY qid, vid
+    ),
+    norms AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM d GROUP BY vid
+    ),
+    cos AS (
+      SELECT dots.qid AS qid, dots.vid AS vid,
+             ROUND(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(n1.nn AS DOUBLE) * CAST(n2.nn AS DOUBLE)),
+                   6) AS cosine
+      FROM dots
+      JOIN norms n1 ON dots.vid = n1.vid
+      JOIN norms n2 ON dots.qid = n2.vid
+      WHERE dots.qid <> dots.vid
+    ),
+    short AS (
+      SELECT qid, vid, cosine, rk FROM (
+        SELECT qid, vid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vid) AS rk
+        FROM cos
+      ) WHERE rk <= {MMR_SHORTLIST}
+    ),
+    mv AS (SELECT DISTINCT vid FROM short),
+    pd AS (
+      SELECT d.vid, d.pos, d.dv FROM d JOIN mv USING (vid)
+    ),
+    pdots AS (
+      SELECT a.vid AS va, b.vid AS vb,
+             SUM(CAST(a.dv * b.dv AS DECIMAL(28,14))) AS dot
+      FROM pd a JOIN pd b USING (pos)
+      WHERE a.vid <> b.vid
+      GROUP BY a.vid, b.vid
+    ),
+    sims AS (
+      SELECT va, vb,
+             ROUND(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)),
+                   6) AS sim
+      FROM pdots
+      JOIN norms na ON va = na.vid
+      JOIN norms nb ON vb = nb.vid
+    ),
+    cand0 AS (SELECT qid, vid, cosine AS rel FROM short),
+    p1 AS (
+      SELECT qid, vid, CAST(0.7 AS DOUBLE) * rel AS score FROM (
+        SELECT qid, vid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY CAST(0.7 AS DOUBLE) * rel DESC,
+                                           vid) AS rn
+        FROM cand0
+      ) WHERE rn = 1
+    ),{",".join(steps)},
+    picks AS (
+      {picks}
+    ),
+    ver AS (
+      SELECT p1.qid, (p1.vid = s.vid) AS verified
+      FROM p1 JOIN short s ON p1.qid = s.qid AND s.rk = 1
+    )
+    SELECT p.qid AS qid, p.vid AS vid, CAST(p.rank AS INTEGER) AS rank,
+           p.mmr_score + 0.0 AS mmr_score, v.verified AS verified
+    FROM picks p JOIN ver v ON p.qid = v.qid
+    ORDER BY p.qid, p.rank
+    """
+
+
+@query("sim_mmr_topk", _mmr_oracle())
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking: exact-cosine shortlist of
     {MMR_SHORTLIST} per query, then the greedy diversity trade-off
-    (λ={MMR_LAMBDA}) picks {TOP_K} — the diversified-retrieval step a
-    RAG serving stack runs after ANN.
+    (λ={MMR_LAMBDA}, μ={MMR_MU}) picks {TOP_K} — the
+    diversified-retrieval step a RAG serving stack runs after ANN.
 
     Scale: relevance comes from the distributed exact-cosine ranker
-    (cosine_topk, broadcast queries); the greedy loop — inherently
+    (cosine_topk, broadcast queries), pairwise shortlist sims from the
+    same relational DECIMAL dot (shortlist² · dims rows — bounded by
+    the shortlist, never the corpus); the greedy loop — inherently
     sequential in its picks — runs per query group in applyInPandas
-    over only the shortlist (50 rows × 64 dims per group), so the
-    quadratic term is bounded by the shortlist, never the corpus, and
-    no vector ever reaches the driver.
+    over the pre-computed pair rows, so no vector ever reaches the
+    driver.  Feeding the kernel 6-dp lattice sims (instead of raw
+    float dots) is what makes the greedy picks exactly replayable by
+    the DuckDB oracle (round-9 verdict stretch #9: rows-only 8 → 7).
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
     short = cosine_topk(spark, emb, queries, MMR_SHORTLIST)
-    enriched = short.join(
-        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("emb")),
-        "vid",
-    ).select("qid", "vid", "cosine", "emb")
+    members = short.select("qid", "vid", F.col("cosine").alias("rel"))
+    mv = members.select(F.col("vid").alias("vec_id")).distinct()
+    sub = emb.join(broadcast(mv), "vec_id", "left_semi")
+    da = _exploded(sub, "va", "dva")
+    db = _exploded(sub, "vb", "dvb")
+    pn = da.groupBy("va").agg(
+        F.sum((F.col("dva") * F.col("dva")).cast(PDEC)).alias("nn")
+    )
+    sims = (
+        da.join(db, "pos")
+        .where(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum((F.col("dva") * F.col("dvb")).cast(PDEC)).alias("dot"))
+        .join(broadcast(pn), "va")
+        .join(broadcast(pn.select(F.col("va").alias("vb"),
+                                  F.col("nn").alias("nnb"))), "vb")
+        .select(
+            "va",
+            "vb",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nn").cast("double")
+                         * F.col("nnb").cast("double")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    # one row per (qid, candidate, other-candidate); self-pairs keep
+    # singleton shortlists alive in the grouped kernel
+    a = members.select("qid", F.col("vid").alias("va"), "rel")
+    b = members.select("qid", F.col("vid").alias("vb"))
+    s = sims.select(
+        F.col("va").alias("s_va"), F.col("vb").alias("s_vb"), "sim"
+    )
+    qpairs = (
+        a.join(b, "qid")
+        .join(
+            broadcast(s),
+            (F.col("va") == F.col("s_va")) & (F.col("vb") == F.col("s_vb")),
+            "left",
+        )
+        .select(
+            "qid",
+            "va",
+            "vb",
+            F.coalesce(F.col("sim"), F.lit(1.0)).alias("sim"),
+            "rel",
+        )
+    )
     out_schema = T.StructType(
         [
             T.StructField("qid", T.LongType()),
@@ -2732,7 +2914,7 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("mmr_score", T.DoubleType()),
         ]
     )
-    picked = enriched.groupBy("qid").applyInPandas(
+    picked = qpairs.groupBy("qid").applyInPandas(
         _mmr_select, schema=out_schema
     )
     # Self-certifying invariant (round-5 VERDICT #3): MMR's FIRST pick

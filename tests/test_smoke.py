@@ -469,53 +469,82 @@ def test_ahash_groups_sizing():
     assert ahash_groups(1_000_000) == 62_500
 
 
-def test_mmr_topk_matches_numpy_reference(spark, sf_dir):
-    """sim_mmr_topk (rows-only in the driver) must equal an independent
-    numpy MMR over the same shortlist: same picks, same ranks, same
-    rounded scores."""
-    import numpy as np
-    from pyspark.sql import functions as F
+def test_mmr_topk_matches_independent_greedy(spark, sf_dir):
+    """sim_mmr_topk must equal an INDEPENDENT greedy MMR: rel and
+    pairwise sims recomputed from the parquet via DuckDB's exact
+    DECIMAL dots (the lattice the kernel is defined over), the greedy
+    loop re-run in plain Python dicts (different mechanism than the
+    operator's numpy matrix kernel): same picks, ranks, scores."""
+    import os
+
+    import duckdb
 
     from kachess_spark.pipeline.similarity import (
         MMR_LAMBDA,
+        MMR_MU,
         MMR_SHORTLIST,
         QUERY_IDS,
         TOP_K,
-        cosine_topk,
         sim_mmr_topk,
     )
-    from kachess_spark.catalog import Tables
 
     got = {
         (r["qid"], r["rank"]): (r["vid"], r["mmr_score"])
         for r in sim_mmr_topk(spark, sf_dir).collect()
     }
-    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
-    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-            for r in emb.collect()}
-    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS))
-    short = cosine_topk(spark, emb, queries, MMR_SHORTLIST).collect()
-    by_q: dict[int, list] = {}
-    for r in short:
-        by_q.setdefault(r["qid"], []).append((r["vid"], r["cosine"]))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    )
+    lattice = con.execute(f"""
+        WITH d AS (
+          SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS dv
+          FROM embeddings
+        ),
+        norms AS (SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+                  FROM d GROUP BY vid),
+        dots AS (
+          SELECT a.vid AS va, b.vid AS vb,
+                 SUM(CAST(a.dv * b.dv AS DECIMAL(28,14))) AS dot
+          FROM d a JOIN d b USING (pos)
+          WHERE a.vid <> b.vid  -- all pairs; small fixture
+          GROUP BY a.vid, b.vid
+        )
+        SELECT va, vb,
+               ROUND(CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)),
+                     6) AS sim
+        FROM dots JOIN norms na ON va = na.vid JOIN norms nb ON vb = nb.vid
+    """).fetchall()
+    sim = {(a, b): s for a, b, s in lattice}
     want = {}
-    for qid, rows in by_q.items():
-        rows.sort()  # vid order, as the kernel sorts
-        ids = [v for v, _ in rows]
-        rel = np.array([c for _, c in rows])
-        V = np.stack([vecs[v] for v in ids])
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        picked, max_sim = [], np.full(len(ids), -np.inf)
-        for rank in range(1, min(TOP_K, len(ids)) + 1):
+    for qid in QUERY_IDS:
+        rel_all = sorted(
+            ((v, s) for (q, v), s in sim.items() if q == qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:MMR_SHORTLIST]
+        rel = dict(rel_all)
+        cand = sorted(rel)
+        picked: list[int] = []
+        ms = {v: float("-inf") for v in cand}
+        for rank in range(1, min(TOP_K, len(cand)) + 1):
             if picked:
-                max_sim = np.maximum(max_sim, V @ V[picked[-1]])
-                score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+                last = picked[-1]
+                for v in cand:
+                    if v != last:
+                        ms[v] = max(ms[v], sim[(v, last)])
+                scores = {
+                    v: MMR_LAMBDA * rel[v] - MMR_MU * ms[v]
+                    for v in cand
+                    if v not in picked
+                }
             else:
-                score = MMR_LAMBDA * rel
-            score[picked] = -np.inf
-            i = int(np.argmax(score))
-            picked.append(i)
-            want[(qid, rank)] = (ids[i], round(float(score[i]), 6))
+                scores = {v: MMR_LAMBDA * rel[v] for v in cand}
+            best = min(scores, key=lambda v: (-scores[v], v))
+            picked.append(best)
+            want[(qid, rank)] = (best, round(scores[best], 7))
     assert got == want
     assert len(got) > 0
 
