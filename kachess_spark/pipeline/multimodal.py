@@ -523,12 +523,58 @@ def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_audio_pcm_stats")  # numpy kernel — cross-checked in pytest
+# DuckDB CAN reinterpret the payload: hex(encode(text)) exposes the
+# utf-8 bytes (byte-parity with Spark's encode() is already proven by
+# mm_binary_stats' hash-green digest oracle), and two hex pairs per
+# sample decode to the same little-endian int16 the numpy kernel reads.
+# peak/sq are exact integer aggregates; rms's ROUND(sqrt,4) is the
+# irrational-input round the cosine oracles already rely on.
+_PCM_ORACLE = """
+    WITH a AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) // 2 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    nib AS (
+      SELECT doc_id, n, i,
+             strpos('0123456789ABCDEF', substr(h, 4*i + 3, 1)) - 1 AS h1,
+             strpos('0123456789ABCDEF', substr(h, 4*i + 4, 1)) - 1 AS h0,
+             strpos('0123456789ABCDEF', substr(h, 4*i + 1, 1)) - 1 AS l1,
+             strpos('0123456789ABCDEF', substr(h, 4*i + 2, 1)) - 1 AS l0
+      FROM a, LATERAL (SELECT unnest(range(0, n)) AS i) t
+    ),
+    v AS (
+      SELECT doc_id, n,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+      FROM (SELECT doc_id, n,
+                   h1 * 4096 + h0 * 256 + l1 * 16 + l0 AS u
+            FROM nib)
+    ),
+    g AS (
+      SELECT doc_id, MAX(ABS(x)) AS peak,
+             SUM(CAST(x AS BIGINT) * x) AS sq
+      FROM v GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_id,
+           CAST(a.n AS BIGINT) AS n_samples,
+           CAST(a.n * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(COALESCE(g.peak, 0) AS INTEGER) AS peak_abs,
+           CASE WHEN a.n > 0 THEN ROUND(sqrt(g.sq / a.n), 4)
+                ELSE 0.0 END AS rms,
+           TRUE AS verified
+    FROM a LEFT JOIN g ON a.doc_id = g.doc_id
+    ORDER BY a.doc_id
+"""
+
+
+@query("mm_audio_pcm_stats", _PCM_ORACLE)
 def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waveform stats for audio payloads: sample count, duration at
     16 kHz, peak amplitude, RMS — PCM16 reinterpretation + numpy math
-    inside Arrow-batched mapInPandas.  Rows-only in the driver gate
-    (DuckDB has no binary reinterpret); a pytest recomputes the exact
+    inside Arrow-batched mapInPandas.  Oracle: DuckDB decodes the SAME
+    little-endian int16 stream from hex(encode(text)) nibbles and
+    replays the exact-integer peak/sum-of-squares aggregation (round-10;
+    previously rows-only).  A pytest additionally recomputes the exact
     expected values with an independent pure-Python reference.
 
     Scale: per-row kernel work is proportional to payload bytes, the
