@@ -77,6 +77,8 @@ BREADTH = [
     # round 9: radius query over the LSH index + the FastSS fuzzy join
     "sim_range_search",
     "join_fuzzy_editdist",
+    # round 10: Gopher repetition filters (word n-gram shuffle family)
+    "text_repetition_signals",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

@@ -1415,3 +1415,156 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------- Gopher-style repetition filters
+
+# Published repetition quality signals (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", table A1): documents dominated by a
+# single repeated n-gram or by many duplicated n-grams are boilerplate/
+# spam and get filtered before training.  Signals here are the word
+# 2-gram and 3-gram variants (the fixture's documents are single-space
+# word streams with no line structure).  All arithmetic is exact
+# integers (ppm via integer division, the text_unigram_likelihood
+# idiom): ratio denominators are character counts, which CAN divide
+# 10^7 and would park a 6-dp ROUND exactly on half-way boundaries
+# where the engines' rounding rules disagree.
+_REPETITION_TOP2_MAX_PPM = 200_000  # Gopher: top-2gram char frac < 0.20
+_REPETITION_DUP3_MAX_PPM = 600_000
+
+_REPETITION_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, length(text) AS n_chars,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM t2 GROUP BY doc_id, g),
+    top2 AS (
+      SELECT doc_id, c, gl FROM (
+        SELECT doc_id, c, length(g) AS gl,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, length(g) DESC, g) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    ),
+    t3 AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+    ),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM t3 GROUP BY doc_id, g),
+    dup3 AS (
+      SELECT doc_id, SUM(c * length(g)) AS dupchars
+      FROM c3 WHERE c > 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id AS doc_id,
+           CAST(COALESCE(top2.c, 0) AS INTEGER) AS top2gram_count,
+           CAST(COALESCE(top2.c * top2.gl, 0) * 1000000
+                // w.n_chars AS BIGINT) AS top2gram_ppm,
+           CAST(COALESCE(dup3.dupchars, 0) * 1000000
+                // w.n_chars AS BIGINT) AS dup3gram_ppm,
+           (COALESCE(top2.c * top2.gl, 0) * 1000000 // w.n_chars
+              < {_REPETITION_TOP2_MAX_PPM}
+            AND COALESCE(dup3.dupchars, 0) * 1000000 // w.n_chars
+              < {_REPETITION_DUP3_MAX_PPM}) AS repetition_pass
+    FROM w
+    LEFT JOIN top2 ON w.doc_id = top2.doc_id
+    LEFT JOIN dup3 ON w.doc_id = dup3.doc_id
+    ORDER BY w.doc_id
+"""
+
+
+@query("text_repetition_signals", _REPETITION_ORACLE)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: the character fraction (exact
+    integer ppm) covered by the single most frequent word 2-gram, and
+    by ALL duplicated word 3-grams, plus the keep/drop gate at the
+    published thresholds — the boilerplate/spam screen a training-data
+    pipeline runs corpus-wide before mixing.
+
+    Scale: n-grams are assembled INSIDE the array column (SQL-lambda
+    transform over the word array — no window, no per-word explode of
+    singles), both orders explode once with a tag, and ONE
+    repartition(doc_id) is the plan's only corpus-sized exchange: the
+    gram count and the per-doc fold are two back-to-back hash
+    aggregations that reuse its clustering, with the top-2-gram argmax
+    expressed as MIN over a (−count, −len, gram) struct — no window,
+    no self-joins, so nothing re-reads the corpus (a first cut
+    branched c into three filtered joins, and predicate pushdown
+    through the repartition cloned the corpus exchange per branch:
+    5.6 s → 1.2 s at sf0.1).  A tag-0 sentinel per doc keeps gram-less
+    docs alive through the grouped path.  Same shuffle family as the
+    shingling dedups (sub-linear to 64x in BASELINE.md); everything
+    JVM-side codegen, no UDFs.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id", F.length("text").alias("n_chars"), F.split("text", " ").alias("ws")
+    )
+    grams = (
+        base.select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.expr(
+                    "concat("
+                    " array(struct(0 as tag, '' as g)),"
+                    " if(size(ws) >= 2,"
+                    "    transform(sequence(0, size(ws) - 2),"
+                    "      i -> struct(2 as tag,"
+                    "                  concat_ws(' ', ws[i], ws[i + 1]) as g)),"
+                    "    array()),"
+                    " if(size(ws) >= 3,"
+                    "    transform(sequence(0, size(ws) - 3),"
+                    "      i -> struct(3 as tag,"
+                    "                  concat_ws(' ', ws[i], ws[i + 1],"
+                    "                            ws[i + 2]) as g)),"
+                    "    array()))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "n_chars", F.col("x.tag").alias("tag"),
+                F.col("x.g").alias("g"))
+        .repartition("doc_id")  # the plan's ONE corpus-sized exchange
+    )
+    c = grams.groupBy("doc_id", "n_chars", "tag", "g").agg(
+        F.count("*").alias("c")
+    )
+    # argmax over (c DESC, length(g) DESC, g ASC) as MIN of the
+    # sign-flipped struct — struct comparison is field-lexicographic,
+    # so min((-c, -gl, g)) is exactly the window top-1 without a window
+    per_doc = c.groupBy("doc_id", "n_chars").agg(
+        F.min(
+            F.when(
+                F.col("tag") == 2,
+                F.struct(
+                    (-F.col("c")).alias("nc"),
+                    (-F.length("g")).alias("ngl"),
+                    F.col("g").alias("g"),
+                ),
+            )
+        ).alias("m2"),
+        F.sum(
+            F.when(
+                (F.col("tag") == 3) & (F.col("c") > 1),
+                F.col("c") * F.length("g"),
+            ).otherwise(F.lit(0))
+        ).alias("dupchars"),
+    )
+    top2_ppm = F.expr("coalesce(-m2.nc * -m2.ngl, 0) * 1000000 div n_chars")
+    dup3_ppm = F.expr("dupchars * 1000000 div n_chars")
+    return per_doc.select(
+        "doc_id",
+        F.coalesce(-F.col("m2.nc"), F.lit(0)).cast("int").alias(
+            "top2gram_count"
+        ),
+        top2_ppm.cast("bigint").alias("top2gram_ppm"),
+        dup3_ppm.cast("bigint").alias("dup3gram_ppm"),
+        (
+            (top2_ppm < F.lit(_REPETITION_TOP2_MAX_PPM))
+            & (dup3_ppm < F.lit(_REPETITION_DUP3_MAX_PPM))
+        ).alias("repetition_pass"),
+    ).orderBy("doc_id")

@@ -1163,3 +1163,53 @@ def test_fuzzy_join_lossless_candidates(spark, sf_dir):
     }
     got = {(r["name_a"], r["name_b"], r["dist"]) for r in df.collect()}
     assert got == want
+
+
+def test_repetition_signals_single_pass_plan(spark, sf_dir):
+    """text_repetition_signals: ONE corpus-sized exchange (the explicit
+    doc_id repartition) + the deterministic-output range sort, and NO
+    window/join/Python — the first cut branched three filtered joins
+    off the gram counts and predicate pushdown through the repartition
+    cloned the corpus exchange per branch (3x scan+explode)."""
+    from kachess_spark.pipeline.text import text_repetition_signals
+
+    df = text_repetition_signals(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # exactly one hash exchange (repartition) + one range (orderBy)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 1
+
+    # content pin vs an independent Python recount of one document
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from kachess_spark.catalog import load_table
+
+    row = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    words = row["text"].split(" ")
+    n_chars = len(row["text"])
+    c2 = collections.Counter(
+        " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+    )
+    c3 = collections.Counter(
+        " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+    )
+    top_c, top_chars = 0, 0
+    if c2:
+        g = min(c2, key=lambda k: (-c2[k], -len(k), k))
+        top_c, top_chars = c2[g], c2[g] * len(g)
+    dupchars = sum(c * len(g) for g, c in c3.items() if c > 1)
+    got = df.where(F.col("doc_id") == row["doc_id"]).collect()[0]
+    assert got["top2gram_count"] == top_c
+    assert got["top2gram_ppm"] == top_chars * 1_000_000 // n_chars
+    assert got["dup3gram_ppm"] == dupchars * 1_000_000 // n_chars
