@@ -500,6 +500,71 @@ def lineage_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DS_EDGES (acyclic, the honest extraction) plus deliberate back edges:
+# the 2-cycle a warehouse gets when two jobs each "refresh" the other's
+# table, and a 3-cycle of staging bounces — the misconfiguration a
+# lineage tool must ALARM on, since every closure/impact walk over a
+# cyclic graph silently truncates at max_hops.
+CYCLE_EDGES: list[tuple[int, int]] = sorted(
+    set(DS_EDGES) | {(1034, 1000), (1040, 1041), (1041, 1042), (1042, 1040)}
+)
+
+_CYCLE_ORACLE = f"""
+WITH RECURSIVE edges(src, dst) AS (
+  SELECT DISTINCT src, dst FROM {_edges_values_sql(CYCLE_EDGES)}
+),
+walk(start, node, distance) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.start, e.dst, w.distance + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.distance < 20 AND w.node <> w.start
+)
+SELECT start AS dataset_id, CAST(MIN(distance) AS BIGINT) AS cycle_len
+FROM walk WHERE node = start GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("lineage_cycle_detect", _CYCLE_ORACLE)
+def lineage_cycle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle detection over the dataset graph: every dataset on a
+    dependency cycle, with the length of the shortest cycle through it
+    — the refresh-loop misconfiguration alarm a lineage deployment runs
+    before any closure/impact query (which would silently truncate at
+    max_hops on a cyclic graph).
+
+    Mechanism: a node v lies on a cycle iff some edge u→v closes a
+    path v⇝u, and the shortest such closure is min-distance(v⇝u)+1 —
+    so cycle membership is ONE equi-join between the edge table and
+    the transitive closure (closure.transitive_closure, the same
+    iterative-BFS artifact table_lineage persists), no new walk.  The
+    oracle re-derives it with an independent WITH RECURSIVE walk that
+    tracks walk starts instead.
+    """
+    from kachess_spark.lineage.closure import transitive_closure
+
+    edges = spark.createDataFrame(
+        CYCLE_EDGES, "parent_dataset_id BIGINT, child_dataset_id BIGINT"
+    )
+    closure = transitive_closure(
+        edges, "parent_dataset_id", "child_dataset_id"
+    )
+    e = edges.select(
+        F.col("parent_dataset_id").alias("e_src"),
+        F.col("child_dataset_id").alias("e_dst"),
+    )
+    return (
+        closure.join(
+            e,
+            (F.col("ancestor_id") == F.col("e_dst"))
+            & (F.col("descendant_id") == F.col("e_src")),
+        )
+        .groupBy(F.col("ancestor_id").alias("dataset_id"))
+        .agg((F.min("distance") + 1).cast("long").alias("cycle_len"))
+        .orderBy("dataset_id")
+    )
+
+
 _CORPUS_V2 = """
 SELECT col101s, max(col103i, col303i) as max_int, tab40_str,
        col300l as shipment_key

@@ -1169,6 +1169,74 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_stats_oracle() -> str:
+    """One-row health summary over the same replayed assignment chain:
+    configured vs used cells, list-size extremes, and the imbalance
+    factor max_list/avg_list as exact integer x1000 (the number a
+    serving-capacity monitor alerts on — a hot cell IS the probe-time
+    tail latency)."""
+    return f"""
+    WITH {_sql_ivf_chain("TRUE", "i_")},
+    lists AS (SELECT cell, COUNT(*) AS c FROM i_asgF GROUP BY cell),
+    conf AS (SELECT COUNT(DISTINCT cell) AS n_cells FROM i_centF),
+    tot AS (SELECT SUM(c) AS n_vectors, COUNT(*) AS n_used,
+                   MAX(c) AS max_list, MIN(c) AS min_list
+            FROM lists)
+    SELECT CAST(tot.n_vectors AS BIGINT) AS n_vectors,
+           CAST(conf.n_cells AS INTEGER) AS n_cells,
+           CAST(tot.n_used AS INTEGER) AS n_cells_used,
+           CAST(conf.n_cells - tot.n_used AS INTEGER) AS n_cells_empty,
+           CAST(tot.max_list AS BIGINT) AS max_list,
+           CAST(tot.min_list AS BIGINT) AS min_list,
+           CAST(tot.max_list * conf.n_cells * 1000
+                // tot.n_vectors AS BIGINT) AS imbalance_x1000
+    FROM tot, conf"""
+
+
+@query("ann_index_stats", _ann_index_stats_oracle())
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-IVF health report (one row): configured vs used cell
+    counts, inverted-list size extremes, and the imbalance factor
+    max_list/avg_list (exact integer x1000) — the monitor a serving
+    deployment alerts on before probe-time tail latency degrades (a
+    hot cell means every query probing it scans far more than
+    n_vectors/n_cells candidates).
+
+    Scale: reads only the stored assignment table (no training scan,
+    same property as the serving rankers); two metadata-sized
+    aggregations after one per-cell count.
+    """
+    import os
+
+    index_dir = build_ivf_index(spark, sf_dir)
+    assign = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    lists = assign.groupBy("data_cell").agg(F.count("*").alias("c"))
+    tot = lists.agg(
+        F.sum("c").alias("n_vectors"),
+        F.count("*").alias("n_used"),
+        F.max("c").alias("max_list"),
+        F.min("c").alias("min_list"),
+    )
+    conf = cents.agg(F.countDistinct("vec_id").alias("n_cells"))
+    return (
+        tot.crossJoin(broadcast(conf))  # 1 row x 1 row
+        .select(
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.col("n_cells").cast("int").alias("n_cells"),
+            F.col("n_used").cast("int").alias("n_cells_used"),
+            (F.col("n_cells") - F.col("n_used")).cast("int").alias(
+                "n_cells_empty"
+            ),
+            F.col("max_list").cast("bigint").alias("max_list"),
+            F.col("min_list").cast("bigint").alias("min_list"),
+            F.expr("max_list * n_cells * 1000 div n_vectors")
+            .cast("bigint")
+            .alias("imbalance_x1000"),
+        )
+    )
+
+
 @query("sim_ivf_stored_topk")  # rows-only: approximate; recall in
 # RECALL.md, no-training-scan plan pinned in tests/test_plans.py
 def sim_ivf_stored_topk(
