@@ -59,6 +59,8 @@ NOTES = {
     "stream_ingest_gate_growing": "Round-9 shape: batch bands broadcast into the streamed stored index (no shuffle of either side), ONE checkpoint barrier per batch, admitted ids derived from the final index in one closing job.",
     "sim_range_search": "Radius query over the LSH index: bucket-equality candidates, exact cosine filter, and the in-plan completeness certificate (exact range set from a linear codegen kernel, broadcast back).",
     "join_fuzzy_editdist": "FastSS fuzzy join: deletion-neighborhood explode on DISTINCT names, candidates from an EQUALITY join on the variant string (inverted index, no cartesian), exact levenshtein verify on collisions.",
+    "text_repetition_signals": "Gopher repetition filters: n-grams assembled inside the array column, ONE repartition(doc_id) exchange, two chained hash aggs reuse its clustering; top-2gram argmax is MIN of a sign-flipped struct (no window, no joins).",
+    "sim_mmr_topk": "MMR re-rank: relational lattice sims (DECIMAL dots over shortlist^2 pairs), greedy picks in one applyInPandas over pre-scored pair rows; exact-top1 verification broadcast back.",
 }
 
 
