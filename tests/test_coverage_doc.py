@@ -87,6 +87,18 @@ def test_rows_only_annotations_match_live_oracles():
     )
 
 
+def test_readme_counts_are_live():
+    registry.load_all()
+    with open(os.path.join(_REPO, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(r"(\d+) registered\s+queries, (\d+) with a DuckDB", readme)
+    assert m, "README.md must state the registry counts"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(registry.QUERIES),
+        len(registry.ORACLES),
+    ), "README.md registry counts drifted"
+
+
 def test_header_counts_are_live():
     registry.load_all()
     head = _doc()[:600]
