@@ -680,3 +680,33 @@ def test_mmr_emitted_verified_column(spark, sf_dir):
     rows = sim_mmr_topk(spark, sf_dir).collect()
     assert rows
     assert all(r.verified for r in rows)
+
+
+def test_bpe_sql_twin_counterexample():
+    """Executable form of the COVERAGE.md note on why text_bpe_apply has
+    no sound DuckDB twin: the delimiter-anchored replace() formulation of
+    one merge step (the only natural SQL encoding — RE2 has no lookahead)
+    diverges from the one-pass walker on a run of a repeated symbol, and
+    the divergent adjacency changes the next learning iteration's pair
+    counts, so the error compounds instead of self-correcting."""
+    from kachess_spark.pipeline.text import _EOW, bpe_encode_word
+
+    merge = ("a", "a")
+    walker = bpe_encode_word("aaaaa", [merge])
+    assert walker == ["aa", "aa", "a", _EOW]
+
+    # One merge step the way a SQL twin would express it: '|'-wrapped
+    # symbols rewritten by leftmost non-overlapping replace (str.replace
+    # here has the same semantics as DuckDB's replace()).  The second
+    # walker match is blocked because the first replacement consumed the
+    # shared delimiter, so the merge lands at the WRONG offset.
+    s = "|" + "|".join(list("aaaaa") + [_EOW]) + "|"
+    s = s.replace("|a|a|", "|aa|")
+    sql_like = [t for t in s.split("|") if t]
+    assert sql_like == ["aa", "a", "aa", _EOW]
+
+    # Same token MULTISET (the coincidence that would make a twin look
+    # green on easy data) but different ADJACENCY — the pair counts that
+    # drive the next merge's argmax differ, hence rows-only.
+    assert sorted(walker) == sorted(sql_like)
+    assert list(zip(walker, walker[1:])) != list(zip(sql_like, sql_like[1:]))
