@@ -1386,3 +1386,72 @@ def win_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------- rolling median
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH l AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS qty
+  FROM lineitem WHERE l_suppkey <= 2
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(qty AS BIGINT) AS qty,
+       CAST(2 * quantile_cont(qty, 0.5) OVER (
+              PARTITION BY l_suppkey
+              ORDER BY l_orderkey, l_linenumber
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS med2
+FROM l
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+@query("win_rolling_median", _ROLLING_MEDIAN_ORACLE)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (7-row trailing window) of order quantity
+    per supplier — the robust-center smoothing that mean-based rolling
+    stats (win_running_sum / win_rolling_autocorr) can't provide under
+    outliers; the per-key robust baseline an anomaly monitor tracks.
+
+    Spark's ``percentile`` is an exact linearly-interpolated quantile
+    and is frame-capable as a window aggregate (probed on 4.1);
+    DuckDB's ``quantile_cont`` implements the same interpolation.
+    Quantities are integers, so every interpolated median is a
+    multiple of 0.5 — emitted as ``2*median`` cast to BIGINT so the
+    hash compares integers, never float formatting.
+
+    Scale: one shuffle on the partition key (l_suppkey), then a
+    per-partition sort — the canonical window shape.  The 7-row frame
+    keeps the per-row state O(frame), not O(partition); a RANGE frame
+    over a hot key would be the skew risk, bounded here by the ROWS
+    frame.  Filter is pushed to the parquet scan (suppkey <= 2).
+    """
+    l = (
+        Tables(spark, sf_dir)
+        .lineitem.where(F.col("l_suppkey") <= 2)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        l.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("qty").cast("bigint").alias("qty"),
+            (2 * F.expr("percentile(qty, 0.5)").over(w))
+            .cast("bigint")
+            .alias("med2"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )

@@ -1239,3 +1239,112 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------- sized output shards
+
+_SHARD_TARGET_BYTES = 16_384  # target bytes per output shard
+_SHARD_BLOCK = 1000  # doc_ids per prefix-sum block
+
+_SIZED_SHARDS_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             start_offset // {_SHARD_TARGET_BYTES} AS shard
+      FROM d
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(sum(n_chars) * 1000000 // {_SHARD_TARGET_BYTES} AS BIGINT)
+             AS fill_ppm
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+"""
+
+
+@query("pipeline_sized_shards", _SIZED_SHARDS_ORACLE)
+def pipeline_sized_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-targeted shard assignment for corpus export:
+    every document lands in the shard whose byte range contains its
+    start offset in the doc_id-ordered stream (next-fit by offset, the
+    layout a sharded-tar / parquet-part writer wants), and the report
+    is one row per shard — doc count, actual bytes, boundary doc_ids,
+    and fill ratio vs the {_SHARD_TARGET_BYTES}-byte target in exact
+    ppm.  The write side of the same problem pipeline_sequence_pack
+    solves for training windows: balanced output files at a target
+    size, decided by data, reproducible across runs.
+
+    Scale design: the global byte offset is the distributed two-phase
+    prefix sum (per-block local cumsum partitioned on blk, plus a
+    metadata-sized block-prefix frame broadcast back) — NEVER the
+    single-partition `SUM() OVER (ORDER BY doc_id)` the oracle uses as
+    its semantic spec.  The per-shard rollup is one map-side-combined
+    hash aggregation keyed on the derived shard id; at 100 TB the
+    output is ~bytes/target rows (metadata-sized), and the actual file
+    write would `repartition("shard")` on the same derived column so
+    each task streams exactly one target-sized file.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"doc_id div {_SHARD_BLOCK}").alias("blk"),
+    )
+    w_local = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_chars").over(w_local), F.lit(0))
+    )
+    blk_totals = d.groupBy("blk").agg(F.sum("n_chars").alias("blk_total"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_prefix = blk_totals.select(
+        "blk",
+        F.coalesce(F.sum("blk_total").over(w_blk), F.lit(0)).alias(
+            "blk_prefix"
+        ),
+    )
+    assigned = (
+        local.join(F.broadcast(blk_prefix), "blk")
+        .select(
+            "doc_id",
+            "n_chars",
+            # integer div: byte offsets exceed 2^53 at real scale
+            F.expr(
+                f"(blk_prefix + local_prefix) div {_SHARD_TARGET_BYTES}"
+            ).alias("shard"),
+        )
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "shard_bytes",
+            "first_doc",
+            "last_doc",
+            F.expr(
+                f"shard_bytes * 1000000 div {_SHARD_TARGET_BYTES}"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("shard")
+    )

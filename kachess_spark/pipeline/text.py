@@ -1568,3 +1568,109 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dup3_ppm < F.lit(_REPETITION_DUP3_MAX_PPM))
         ).alias("repetition_pass"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------- Unicode normalization
+
+# Crafted non-ASCII probe rows (doc_id < 0, never collides with fixture
+# ids).  The synthetic documents fixture is ASCII, so these rows are
+# what actually exercises NFC composition, control stripping, and
+# whitespace collapse; they are injected IDENTICALLY on both sides (the
+# Spark plan unions a literal DataFrame, the oracle unions a VALUES
+# list rendered from the same constant), so the twin checks the
+# transform, not the fixture.
+_UNICODE_PROBES: list[tuple[int, str | None]] = [
+    (-1, "cafe\u0301 menu"),  # e + combining acute -> \u00e9 (NFC composes)
+    (-2, "A\u030angstrom  unit"),  # A + combining ring -> \u00c5, plus a space run
+    (-3, "already \u00e9 composed"),  # NFC no-op (already composed)
+    (-4, "bell\x07and\x01controls"),  # C0 controls -> space
+    (-5, "many     spaces   here"),  # whitespace collapse only
+    (-6, "o\u0308\u0304 stacked marks"),  # o+diaeresis+macron -> \u022b
+    (-7, None),                           # NULL text propagates as NULL
+]
+
+
+def _unicode_probe_values() -> str:
+    rows = []
+    for i, s in _UNICODE_PROBES:
+        if s is None:
+            rows.append(f"({i}, CAST(NULL AS VARCHAR))")
+        else:
+            rows.append("({}, '{}')".format(i, s.replace("'", "''")))
+    return ", ".join(rows)
+
+
+_UNICODE_NORM_ORACLE = f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {_unicode_probe_values()}) v(doc_id, text)
+    ),
+    n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               nfc_normalize(regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g')),
+               ' {{2,}}', ' ', 'g')) AS norm
+      FROM src
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_before,
+           CAST(length(norm) AS BIGINT) AS n_after,
+           (text IS DISTINCT FROM norm) AS changed,
+           md5(norm) AS norm_fp
+    FROM n
+    ORDER BY doc_id
+"""
+
+
+@query("text_unicode_normalize", _UNICODE_NORM_ORACLE)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + C0-control stripping + whitespace
+    collapse — the canonicalization pass a crawler-fed training
+    pipeline runs before ANY hashing/dedup step, so that byte-distinct
+    but canonically-equal documents (decomposed vs composed accents)
+    land in the same dedup buckets.
+
+    Spark has no built-in NFC (probed: no ``normalize``/``nfc``
+    routine in 4.1), so composition is the one non-JVM step — an
+    Arrow-batched ``pandas_udf`` over ``unicodedata.normalize`` (the
+    vectorized slow path, never row-at-a-time Python).  Control-strip
+    and space-collapse stay JVM-side codegen ``regexp_replace``.  The
+    plan is one narrow projection — no shuffle, no window; the closing
+    ORDER BY is presentation only.  The DuckDB twin replays the exact
+    chain via ``nfc_normalize`` (verified char-identical to Python's
+    unicodedata on the probe set — both implement UAX #15).
+
+    100 TB: per-row map over the corpus, embarrassingly parallel;
+    Arrow batch transfer is the only overhead vs pure codegen and is
+    amortized at ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import pandas as pd  # noqa: F401 (pandas_udf signature)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    t = Tables(spark, sf_dir)
+    probes = spark.createDataFrame(
+        _UNICODE_PROBES, schema="doc_id bigint, text string"
+    )
+    src = t.documents.select("doc_id", "text").unionByName(probes)
+    ctrl = F.regexp_replace("text", r"[\x00-\x1f\x7f]", " ")
+    norm = F.trim(F.regexp_replace(_nfc(ctrl), " {2,}", " "))
+    return (
+        src.select("doc_id", "text", norm.alias("norm"))
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_before"),
+            F.length("norm").cast("bigint").alias("n_after"),
+            (~F.col("text").eqNullSafe(F.col("norm"))).alias("changed"),
+            F.md5("norm").alias("norm_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,136 @@
+"""Unit pins for the round-10 continuation operators:
+
+- text_unicode_normalize: NFC probe semantics + the DuckDB/Python
+  Unicode-version parity assumption the oracle rests on;
+- win_rolling_median: hand-computed 7-row trailing medians;
+- pipeline_sized_shards: partition/contiguity/fill invariants vs the
+  corpus, independent of the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+
+import duckdb
+import pytest
+
+
+def test_unicode_probe_nfc_parity_duckdb_vs_python():
+    """The oracle assumes DuckDB's nfc_normalize == Python unicodedata
+    NFC (both UAX #15).  Pin it on the probe set so a container upgrade
+    that splits Unicode versions fails HERE, not as a driver hash
+    mismatch."""
+    from kachess_spark.pipeline.text import _UNICODE_PROBES
+
+    con = duckdb.connect()
+    for _, s in _UNICODE_PROBES:
+        if s is None:
+            continue
+        dd = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert dd == unicodedata.normalize("NFC", s), repr(s)
+
+
+def test_unicode_normalize_probe_semantics(spark, sf_dir):
+    from kachess_spark.pipeline.text import text_unicode_normalize
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_unicode_normalize(spark, sf_dir)
+        .where("doc_id < 0")
+        .collect()
+    }
+    assert set(got) == {-1, -2, -3, -4, -5, -6, -7}
+    # -1: decomposed e+acute (len 10) composes to é (len 9)
+    assert (got[-1]["n_before"], got[-1]["n_after"]) == (10, 9)
+    assert got[-1]["changed"] is True
+    assert got[-1]["norm_fp"] == hashlib.md5(
+        "café menu".encode()
+    ).hexdigest()
+    # -3: already composed — byte-identical passthrough
+    assert got[-3]["changed"] is False
+    assert got[-3]["n_before"] == got[-3]["n_after"]
+    # -4: C0 controls become spaces (no runs created here beyond 1)
+    assert got[-4]["norm_fp"] == hashlib.md5(
+        b"bell and controls"
+    ).hexdigest()
+    # -5: space runs collapse
+    assert got[-5]["norm_fp"] == hashlib.md5(b"many spaces here").hexdigest()
+    assert got[-5]["n_after"] == len("many spaces here")
+    # -6: o + diaeresis + macron composes to a single code point
+    assert got[-6]["n_before"] - got[-6]["n_after"] == 2
+    # -7: NULL text propagates NULLs, changed is false (null-safe eq)
+    assert got[-7]["n_before"] is None
+    assert got[-7]["norm_fp"] is None
+    assert got[-7]["changed"] is False
+
+
+def test_unicode_normalize_corpus_rows_pass_through(spark, sf_dir):
+    """The ASCII fixture corpus must come through unchanged (changed
+    is false for every doc_id >= 0) — normalization must never touch
+    already-clean text."""
+    from kachess_spark.pipeline.text import text_unicode_normalize
+
+    df = text_unicode_normalize(spark, sf_dir)
+    n_changed = df.where("doc_id >= 0 AND changed").count()
+    assert n_changed == 0
+
+
+def test_rolling_median_hand_case(spark, tmp_path):
+    """7-row trailing median over a known sequence, one key."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    rows = [(1, i, 1, float(q)) for i, q in enumerate([1, 9, 5, 3, 7, 2, 8, 4])]
+    df = spark.createDataFrame(
+        rows, "l_suppkey long, l_orderkey long, l_linenumber int, l_quantity double"
+    )
+    path = str(tmp_path / "lineitem.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    from kachess_spark.operators.windows import win_rolling_median
+
+    got = [
+        r["med2"]
+        for r in win_rolling_median(spark, str(tmp_path)).collect()
+    ]
+    # trailing-7 windows of [1,9,5,3,7,2,8,4]:
+    # [1]=1.0*2; [1,9]=5*2; [1,9,5]=5*2; [1,9,5,3]=4*2; [1,9,5,3,7]=5*2;
+    # [1,9,5,3,7,2]=4*2; [1,9,5,3,7,2,8]=5*2; [9,5,3,7,2,8,4]=5*2
+    assert got == [2, 10, 10, 8, 10, 8, 10, 10]
+
+
+def test_sized_shards_partition_invariants(spark, sf_dir, duck):
+    from kachess_spark.pipeline.curation import (
+        _SHARD_TARGET_BYTES,
+        pipeline_sized_shards,
+    )
+
+    shards = pipeline_sized_shards(spark, sf_dir).collect()
+    n_docs, total = duck.execute(
+        "SELECT count(*), sum(n_chars) FROM documents"
+    ).fetchone()
+    # exact partition of the corpus
+    assert sum(r["n_docs"] for r in shards) == n_docs
+    assert sum(r["shard_bytes"] for r in shards) == total
+    # shards are contiguous, disjoint doc_id ranges in order
+    for prev, cur in zip(shards, shards[1:]):
+        assert prev["last_doc"] < cur["first_doc"]
+    # next-fit by offset: a shard only ends when the cumulative offset
+    # crosses its boundary, so every shard but the last holds at least
+    # target − (max straddle) bytes, where the straddle is bounded by
+    # the largest single document
+    max_doc = duck.execute("SELECT max(n_chars) FROM documents").fetchone()[0]
+    for r in shards[:-1]:
+        assert r["shard_bytes"] > _SHARD_TARGET_BYTES - max_doc, r
+    assert all(r["n_docs"] >= 1 for r in shards)
+
+
+@pytest.mark.parametrize("name", [
+    "text_unicode_normalize", "win_rolling_median", "pipeline_sized_shards",
+])
+def test_round10b_ops_registered_with_oracles(name):
+    from kachess_spark import registry
+
+    registry.load_all()
+    assert name in registry.QUERIES
+    assert name in registry.ORACLES
