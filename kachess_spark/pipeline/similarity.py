@@ -313,10 +313,15 @@ def hyperplane_bucket(df: DataFrame, band: int = 0) -> DataFrame:
     return sig.select("vid", bucket.alias("bucket"))
 
 
-def banded_hyperplane_buckets(df: DataFrame, n_bands: int | None = None) -> DataFrame:
+def banded_hyperplane_buckets(
+    df: DataFrame, n_bands: int | None = None, n_planes: int = N_PLANES
+) -> DataFrame:
     """(vid, band, bucket) for all bands, one exploded pass.  The band
     count defaults to ``ann_n_bands(corpus size)`` — adaptive
-    OR-amplification so recall holds as the corpus grows.
+    OR-amplification so recall holds as the corpus grows; ``n_planes``
+    widens the per-band bucket space (2^planes buckets) for callers
+    whose candidate volume must stay sub-quadratic in corpus size
+    (sim_knn_graph's all-nodes self-join).
 
     Banding OR-amplifies LSH the same way MinHash banding does: a true
     neighbor only has to agree on ALL planes of SOME band, so recall
@@ -345,7 +350,7 @@ def banded_hyperplane_buckets(df: DataFrame, n_bands: int | None = None) -> Data
         [
             _plane_signs(b, p, dim)
             for b in range(n_bands)
-            for p in range(N_PLANES)
+            for p in range(n_planes)
         ]
     )
     df = df.withColumn(
@@ -365,9 +370,9 @@ def banded_hyperplane_buckets(df: DataFrame, n_bands: int | None = None) -> Data
         F.col("vec_id").alias("vid"), F.expr(dots).alias("dots")
     ).localCheckpoint(eager=False)
     bucket_terms = " + ".join(
-        f"(CASE WHEN element_at(dots, b * {N_PLANES} + {p} + 1) > 0"
+        f"(CASE WHEN element_at(dots, b * {n_planes} + {p} + 1) > 0"
         f" THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     )
     buckets = f"transform(sequence(0, {n_bands - 1}), b -> {bucket_terms})"
     return sig.select("vid", F.expr(buckets).alias("bkts")).select(
@@ -458,6 +463,116 @@ def sim_ann_lsh(
     if not certify:
         return topk
     return with_recall(topk, emb, TOP_K, "cosine")
+
+
+KNN_K = 3  # neighbors per node in the k-NN graph
+KNN_TARGET_BUCKET = 32  # target vectors per LSH bucket for the self-join
+
+
+def knn_n_planes(n: int) -> int:
+    """Planes per band for the all-nodes k-NN self-join: the bucket
+    count (2^planes) must GROW with the corpus so that expected bucket
+    occupancy stays ~{KNN_TARGET_BUCKET} and the bucket-equality
+    self-join stays ~O(n·bucket) per band, never O(n²/2^planes)·... —
+    a fixed plane count is quadratic in disguise (bucket size grows
+    linearly with n, pair volume quadratically).  planes =
+    max(N_PLANES, ceil(log2(n / target))) keeps per-band pair volume
+    ≈ n·target at every scale."""
+    import math
+
+    if n <= KNN_TARGET_BUCKET:
+        return N_PLANES
+    return max(N_PLANES, int(math.ceil(math.log2(n / KNN_TARGET_BUCKET))))
+
+
+@query("sim_knn_graph")  # oracle attached post-hoc (SQL helpers below)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the embedding corpus: every vector's top-{KNN_K}
+    cosine neighbors among its LSH candidates — the neighborhood graph
+    that SemDeDup-style cluster pruning, hubness audits, and
+    graph-based ANN serving (HNSW base layers) all start from.
+
+    Unlike the query-serving rankers (3 fixed probes), EVERY node is a
+    query, so candidate generation is a bucket-equality SELF-join of
+    the banded signature table: shuffle hash join on (band, bucket) —
+    both sides corpus-sized, nothing broadcast, no all-pairs.  Plane
+    count adapts with the corpus (``knn_n_planes``) so expected bucket
+    occupancy stays ~{KNN_TARGET_BUCKET} and per-band pair volume stays
+    ~O(n·bucket); band count reuses ``ann_n_bands`` OR-amplification.
+    Exact DECIMAL cosine runs only on the deduped candidate union, and
+    the per-source top-{KNN_K} is one window over candidate edges
+    (bounded per node by L·bucket, not n).  The DuckDB twin replays the
+    identical chain (same md5 plane signs, same adaptive plane/band
+    formulas), so the driver hash certifies the graph edge-for-edge.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    buckets = banded_hyperplane_buckets(
+        emb, ann_n_bands(n), knn_n_planes(n)
+    ).localCheckpoint(eager=False)
+    a = buckets.select(
+        F.col("vid").alias("src"), "band", "bucket"
+    )
+    b = buckets.select(F.col("vid").alias("dst"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])  # corpus×corpus: shuffle join, NOT broadcast
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()  # union over bands
+    )
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
+        f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
+    )
+    embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    scored = (
+        cands.join(
+            embn.select(
+                F.col("vec_id").alias("dst"),
+                F.col("embedding").alias("d_emb"),
+                F.col("nrm").alias("d_nrm"),
+            ),
+            "dst",
+        )
+        .join(
+            embn.select(
+                F.col("vec_id").alias("src"),
+                F.col("embedding").alias("s_emb"),
+                F.col("nrm").alias("s_nrm"),
+            ),
+            "src",
+        )
+        .withColumn(
+            "dot",
+            F.expr(
+                f"aggregate(zip_with(s_emb, d_emb, (x, y) ->"
+                f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+                f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+            ),
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("s_nrm").cast("double")
+                    * F.col("d_nrm").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.select(
+            "src", "dst", "cosine", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= KNN_K)
+        .orderBy("src", "rk")
+    )
 
 
 N_CELLS = 8  # base IVF cell count (corpus <= ANN_BASE_N vectors)
@@ -2728,7 +2843,93 @@ _add_oracle("sim_ivf_kmeans_topk", _sim_ivf_serving_oracle(1))
 _add_oracle("sim_pq_adc_topk", _sim_pq_serving_oracle())
 _add_oracle("sim_pq_stored_topk", _sim_pq_serving_oracle())
 _add_oracle("sim_ivfpq_stored_topk", _sim_ivfpq_stored_oracle())
+def _sim_knn_graph_oracle() -> str:
+    """sim_knn_graph: the full chain in DuckDB — adaptive plane/band
+    counts from the corpus size, md5-signed hyperplane buckets, the
+    bucket-equality self-join candidates, exact DECIMAL cosine, and the
+    per-source top-KNN_K rank."""
+    sign = (
+        "CASE WHEN strpos('02468ace', substr(md5('b'"
+        " || CAST(bb.b AS VARCHAR) || 'p' || CAST(pp.p AS VARCHAR)"
+        " || '|' || CAST(ps.pos - 1 AS VARCHAR)), 1, 1)) > 0"
+        " THEN 1.0 ELSE -1.0 END"
+    )
+    bands = (
+        f"CASE WHEN n <= {ANN_BASE_N} THEN {N_BANDS}"
+        f" ELSE LEAST({ANN_MAX_BANDS}, {N_BANDS} + 8 *"
+        f" CAST(CEIL(LOG2(CAST(n AS DOUBLE) / {ANN_BASE_N}))"
+        f" AS BIGINT)) END"
+    )
+    planes = (
+        f"CASE WHEN n <= {KNN_TARGET_BUCKET} THEN {N_PLANES}"
+        f" ELSE GREATEST({N_PLANES},"
+        f" CAST(CEIL(LOG2(CAST(n AS DOUBLE) / {KNN_TARGET_BUCKET}))"
+        f" AS BIGINT)) END"
+    )
+    return f"""
+    WITH k_d AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    k_n AS (SELECT COUNT(*) AS n FROM embeddings),
+    k_LP AS (SELECT {bands} AS L, {planes} AS P FROM k_n),
+    k_planes AS (
+      SELECT bb.b, pp.p, ps.pos, {sign} AS sg
+      FROM (SELECT UNNEST(generate_series(0,
+              (SELECT L FROM k_LP) - 1)) AS b) bb,
+           (SELECT UNNEST(generate_series(0,
+              (SELECT P FROM k_LP) - 1)) AS p) pp,
+           (SELECT DISTINCT pos FROM k_d) ps
+    ),
+    k_dots AS (
+      SELECT d.vid, pl.b AS band, pl.p,
+             SUM(CAST(d.dv * pl.sg AS DECIMAL(28,14))) AS dt
+      FROM k_d d JOIN k_planes pl ON pl.pos = d.pos
+      GROUP BY d.vid, pl.b, pl.p
+    ),
+    k_buckets AS (
+      SELECT vid, band,
+             SUM(CASE WHEN dt > 0
+                 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM k_dots GROUP BY vid, band
+    ),
+    k_cand AS (
+      SELECT DISTINCT s.vid AS src, v.vid AS dst
+      FROM k_buckets s
+      JOIN k_buckets v ON v.band = s.band AND v.bucket = s.bucket
+      WHERE v.vid <> s.vid
+    ),
+    k_norms AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM k_d GROUP BY vid
+    ),
+    k_sc AS (
+      SELECT t.src, t.dst,
+             ROUND(CAST(t.dot AS DOUBLE)
+                   / SQRT(CAST(n1.nn AS DOUBLE)
+                          * CAST(n2.nn AS DOUBLE)), 6) AS cosine
+      FROM (SELECT c.src, c.dst,
+                   SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+            FROM k_cand c
+            JOIN k_d d ON d.vid = c.dst
+            JOIN k_d q ON q.vid = c.src AND q.pos = d.pos
+            GROUP BY c.src, c.dst) t
+      JOIN k_norms n1 ON n1.vid = t.dst
+      JOIN k_norms n2 ON n2.vid = t.src
+    )
+    SELECT src, dst, cosine, rk FROM (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rk
+      FROM k_sc
+    ) WHERE rk <= {KNN_K}
+    ORDER BY src, rk
+"""
+
+
 _add_oracle("sim_ivfpq_residual_topk", _sim_ivfpq_residual_oracle())
+_add_oracle("sim_knn_graph", _sim_knn_graph_oracle())
 
 
 # --------------------------------------------- MMR diversified top-k

@@ -134,3 +134,68 @@ def test_round10b_ops_registered_with_oracles(name):
     registry.load_all()
     assert name in registry.QUERIES
     assert name in registry.ORACLES
+
+
+# ------------------------------------------------------ sim_knn_graph
+
+
+def test_knn_n_planes_occupancy_scaling():
+    """Bucket space must grow with the corpus: expected occupancy
+    n / 2^planes stays within 2x of the target at every octave."""
+    from kachess_spark.pipeline.similarity import (
+        KNN_TARGET_BUCKET,
+        N_PLANES,
+        knn_n_planes,
+    )
+
+    assert knn_n_planes(10) == N_PLANES
+    assert knn_n_planes(500) == N_PLANES
+    for n in (1_000, 10_000, 100_000, 10_000_000):
+        p = knn_n_planes(n)
+        assert n / (1 << p) <= KNN_TARGET_BUCKET  # never denser than target
+        assert p >= N_PLANES
+
+
+def test_knn_graph_recall_vs_brute_force(spark, sf_dir):
+    """Recall@KNN_K of the LSH-gated graph vs numpy brute force.  The
+    gate is candidate generation only — missed edges are the LSH
+    recall loss, bounded here."""
+    import numpy as np
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import KNN_K, sim_knn_graph
+
+    got = sim_knn_graph(spark, sf_dir).collect()
+    rows = (
+        Tables(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    truth: dict[int, set[int]] = {}
+    for i, vid in enumerate(ids):
+        order = np.lexsort((ids, -sims[i]))[:KNN_K]
+        truth[int(vid)] = {int(ids[j]) for j in order}
+    by_src: dict[int, set[int]] = {}
+    for r in got:
+        by_src.setdefault(r["src"], set()).add(r["dst"])
+    assert set(by_src) == set(truth)  # every node got edges
+    hits = sum(len(by_src[v] & truth[v]) for v in truth)
+    recall = hits / (len(truth) * KNN_K)
+    assert recall >= 0.60, recall  # LSH floor; RECALL.md tracks exact value
+
+
+def test_knn_graph_plan_no_all_pairs(spark, sf_dir):
+    """The candidate self-join must be a hash join on (band, bucket) —
+    never a cartesian/nested-loop product, never Python row-at-a-time."""
+    from kachess_spark.pipeline.similarity import sim_knn_graph
+
+    df = sim_knn_graph(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
