@@ -79,6 +79,11 @@ BREADTH = [
     "join_fuzzy_editdist",
     # round 10: Gopher repetition filters (word n-gram shuffle family)
     "text_repetition_signals",
+    # round 10 (cont.): all-nodes k-NN graph, NFC canonicalization,
+    # size-targeted shard assignment
+    "sim_knn_graph",
+    "text_unicode_normalize",
+    "pipeline_sized_shards",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

@@ -3522,3 +3522,107 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("qid", "rk")
     )
+
+
+# ------------------------------------- random-projection dim reduction
+
+RP_DIM = 16  # output dims; 1/sqrt(16) = 0.25 keeps the scale EXACT in binary
+
+
+def _rp_signs(j: int, dim: int) -> list[float]:
+    """±1 sign per input component for output dimension j — +1 iff the
+    first hex digit of md5("rp{j}|{pos}") is even; same derivation rule
+    as the LSH plane signs (_plane_signs) with an 'rp' namespace, so the
+    projection matrix is a deterministic driver-hoisted constant on any
+    cluster, no RNG state to ship."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"rp{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+_RP_ORACLE = f"""
+    WITH rp_d AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    rp_signs AS (
+      SELECT jj.j, ps.pos,
+             CASE WHEN strpos('02468ace', substr(md5('rp'
+                 || CAST(jj.j AS VARCHAR) || '|'
+                 || CAST(ps.pos - 1 AS VARCHAR)), 1, 1)) > 0
+             THEN 1.0 ELSE -1.0 END AS sg
+      FROM (SELECT UNNEST(generate_series(0, {RP_DIM - 1})) AS j) jj,
+           (SELECT DISTINCT pos FROM rp_d) ps
+    ),
+    rp_dots AS (
+      SELECT d.vid, s.j,
+             SUM(CAST(d.dv * s.sg AS DECIMAL(28,14))) AS dt
+      FROM rp_d d JOIN rp_signs s ON s.pos = d.pos
+      GROUP BY d.vid, s.j
+    )
+    SELECT vid AS vec_id, CAST(j AS INT) AS out_dim,
+           CAST(floor(CAST(dt AS DOUBLE) * 250000 + 0.5) AS BIGINT)
+             AS comp_q
+    FROM rp_dots
+    ORDER BY vec_id, out_dim
+"""
+
+
+@query("emb_random_projection", _RP_ORACLE)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the embedding corpus
+    to {RP_DIM} dims with a deterministic ±1 sign matrix (Achlioptas
+    2003: ±1 entries satisfy the JL guarantee with the same distortion
+    bound as Gaussian) scaled by 1/sqrt({RP_DIM}) — the cheap
+    first-stage dim reduction a 100 TB embedding pipeline runs before
+    clustering/ANN when the full width doesn't pay for itself.
+
+    Components emit as 1e-6 fixed-point integers (the 0.25 scale is
+    exact in binary, so floor(dot·250000 + 0.5) assembles from the same
+    DECIMAL sums in both engines — never float formatting).  Output is
+    the exploded (vec_id, out_dim, comp_q) long form so the driver hash
+    certifies every component.
+
+    Scale: the {RP_DIM}·dim sign matrix travels as ONE constant-folded
+    from_json literal (same trick as banded_hyperplane_buckets — a
+    nested-literal tree costs driver analysis time, a broadcast join
+    plans as BroadcastNestedLoopJoin); the projection itself is
+    {RP_DIM} zip_with DECIMAL folds in one narrow codegen projection —
+    per-row map over the corpus, no shuffle, embarrassingly parallel.
+    """
+    import json
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    dim = _emb_dim(emb)
+    emb = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    signs_json = json.dumps([_rp_signs(j, dim) for j in range(RP_DIM)])
+    dots = (
+        f"transform(signs, s ->"
+        f" aggregate(zip_with(embedding, s, (x, sg) ->"
+        f" CAST(CAST(x AS DOUBLE) * sg AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC})))"
+    )
+    return (
+        emb.withColumn(
+            "signs", F.from_json(F.lit(signs_json), "array<array<double>>")
+        )
+        .select("vec_id", F.expr(dots).alias("dots"))
+        .select("vec_id", F.posexplode("dots").alias("out_dim", "dt"))
+        .select(
+            "vec_id",
+            F.col("out_dim").cast("int").alias("out_dim"),
+            F.expr(
+                "CAST(floor(CAST(dt AS DOUBLE) * 250000 + 0.5) AS BIGINT)"
+            ).alias("comp_q"),
+        )
+        .orderBy("vec_id", "out_dim")
+    )

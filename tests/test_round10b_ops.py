@@ -199,3 +199,58 @@ def test_knn_graph_plan_no_all_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+# ----------------------------------------------- emb_random_projection
+
+
+def test_random_projection_jl_distortion(spark, sf_dir):
+    """JL property: the 1/sqrt(RP_DIM)-scaled ±1 projection roughly
+    preserves squared norms — mean ratio near 1, individual ratios
+    inside wide distortion bounds (64 -> 16 dims gives ~25% std)."""
+    import numpy as np
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        emb_random_projection,
+    )
+
+    proj = emb_random_projection(spark, sf_dir).collect()
+    by_vec: dict[int, dict[int, float]] = {}
+    for r in proj:
+        by_vec.setdefault(r["vec_id"], {})[r["out_dim"]] = (
+            r["comp_q"] / 1e6
+        )
+    rows = (
+        Tables(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .collect()
+    )
+    ratios = []
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        p = np.array(
+            [by_vec[r["vec_id"]][j] for j in sorted(by_vec[r["vec_id"]])]
+        )
+        nx = float(x @ x)
+        if nx > 0:
+            ratios.append(float(p @ p) / nx)
+    ratios = np.array(ratios)
+    assert abs(ratios.mean() - 1.0) < 0.15, ratios.mean()
+    assert (np.percentile(ratios, 2.5) > 0.25) and (
+        np.percentile(ratios, 97.5) < 2.5
+    )
+
+
+def test_random_projection_deterministic_signs():
+    """The sign matrix is a pure function of (out_dim, pos) — stable
+    across processes/clusters (md5-derived, no RNG state)."""
+    from kachess_spark.pipeline.similarity import RP_DIM, _rp_signs
+
+    a = [_rp_signs(j, 64) for j in range(RP_DIM)]
+    b = [_rp_signs(j, 64) for j in range(RP_DIM)]
+    assert a == b
+    flat = [s for row in a for s in row]
+    # balanced-ish signs (md5 first hex digit is uniform)
+    frac_pos = sum(1 for s in flat if s > 0) / len(flat)
+    assert 0.35 < frac_pos < 0.65
