@@ -17,7 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -1070,4 +1070,88 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ----------------------------------------------------- scene-cut detection
+
+_CUT_THRESHOLD = 96  # |Δsignature| above this = a cut
+
+
+@query(
+    "mm_scene_cut",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 120 + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx
+      FROM vids
+    ),
+    sig AS (
+      SELECT doc_id, n_frames, frame_idx,
+             (doc_id * 37 + frame_idx * 97) % 256 AS s
+      FROM frames
+    ),
+    d AS (
+      SELECT doc_id, n_frames, frame_idx,
+             abs(s - lag(s) OVER (PARTITION BY doc_id
+                                  ORDER BY frame_idx)) AS delta
+      FROM sig
+    )
+    SELECT doc_id,
+           CAST(max(n_frames) AS INT) AS n_frames,
+           CAST(count(*) FILTER (delta > {_CUT_THRESHOLD}) AS BIGINT)
+             AS n_cuts,
+           min(frame_idx) FILTER (delta > {_CUT_THRESHOLD}) AS first_cut
+    FROM d
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video payloads: per-frame signature
+    deltas above a threshold mark cuts; report per-video cut count and
+    first cut index — the shot-boundary pass a video curation pipeline
+    runs before frame sampling (sample per SCENE, not per fixed
+    stride, so long static shots don't dominate).
+
+    The decoder is STUBBED like the rest of the multimodal family (no
+    codec libs in this container): the per-frame signature is a
+    deterministic integer hash of (doc_id, frame_idx) standing in for
+    mean frame luminance; the Spark-side plumbing — frame explode,
+    per-video ordered lag window, grouped rollup — is the real,
+    scale-shaped part.  At 100 TB the frames explode keyed by doc_id
+    shuffles once onto the window partition; per-video state is one
+    lag value, never the frame list.
+    """
+    t = Tables(spark, sf_dir)
+    mm = with_payload(t.documents)
+    vids = mm.where(F.col("meta.kind") == "video").select(
+        "doc_id",
+        (F.col("meta.n_bytes") % 120 + 1).cast("int").alias("n_frames"),
+    )
+    frames = vids.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias(
+            "frame_idx"
+        ),
+    )
+    sig = frames.withColumn(
+        "s", (F.col("doc_id") * 37 + F.col("frame_idx") * 97) % 256
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = sig.withColumn("delta", F.abs(F.col("s") - F.lag("s").over(w)))
+    is_cut = F.col("delta") > _CUT_THRESHOLD
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.max("n_frames").cast("int").alias("n_frames"),
+            F.count(F.when(is_cut, 1)).cast("bigint").alias("n_cuts"),
+            F.min(F.when(is_cut, F.col("frame_idx"))).alias("first_cut"),
+        )
+        .orderBy("doc_id")
     )

@@ -515,9 +515,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vid").alias("src"), "band", "bucket"
     )
     b = buckets.select(F.col("vid").alias("dst"), "band", "bucket")
+    # cosine is symmetric and the zip_with DECIMAL fold is position-
+    # ordered (direction-independent), so score each UNORDERED pair
+    # once (src < dst) and mirror afterwards — halves the distinct
+    # candidate volume and the exact-dot work, bit-identical results
     cands = (
         a.join(b, ["band", "bucket"])  # corpus×corpus: shuffle join, NOT broadcast
-        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()  # union over bands
     )
@@ -565,9 +569,16 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    both = scored.unionByName(
+        scored.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "cosine",
+        )
+    )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
-        scored.select(
+        both.select(
             "src", "dst", "cosine", F.row_number().over(w).alias("rk")
         )
         .where(F.col("rk") <= KNN_K)

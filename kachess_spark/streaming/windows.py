@@ -2154,3 +2154,86 @@ def streaming_ingest_dedup_gate(
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------- seasonal decomposition (ts)
+
+_SEAS_HALF = 3  # centered moving-average half-width (frame = 7 rows)
+
+_SEASONAL_ORACLE = f"""
+    WITH v AS (
+      SELECT event_id, ts, event_type,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, ts, vi,
+             SUM(vi) OVER w AS num, COUNT(*) OVER w AS den
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {_SEAS_HALF} PRECEDING
+                            AND {_SEAS_HALF} FOLLOWING)
+    )
+    SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(vi * {2 * _SEAS_HALF + 1} - num) AS BIGINT)
+             AS detrended_sum_q
+    FROM t WHERE den = {2 * _SEAS_HALF + 1}
+    GROUP BY event_type, hr
+    ORDER BY event_type, hr
+"""
+
+
+@query("ts_seasonal_decompose", _SEASONAL_ORACLE)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, exact-integer variant: detrend
+    each event_type's (ts, event_id)-ordered value stream with a
+    centered {2 * _SEAS_HALF + 1}-row moving average, then fold the
+    detrended series into hour-of-day seasonal cells — the
+    trend/seasonal split behind traffic dashboards and anomaly
+    baselines.
+
+    Exactness: values are 1e-4 fixed-point BIGINTs and the detrended
+    residual is kept as the EXACT integer vi·W − Σ_frame vi (W times
+    the residual — emitting the (sum, n) pair instead of dividing
+    sidesteps the floor-vs-truncate integer-division dialect split for
+    negative residuals; the seasonal index is sum/(W·10⁴·n) for the
+    consumer).  Edge rows whose frame is not full (den < W) are
+    excluded on both sides, so no partial-window semantics leak in.
+
+    Scale: one shuffle onto the event_type window partition (bounded
+    ROWS frame → O(W) state per row), then a map-side-combinable hash
+    aggregation onto (event_type, hour) — ~types·24 output rows,
+    metadata-sized at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    W = 2 * _SEAS_HALF + 1
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("vi"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_SEAS_HALF, _SEAS_HALF)
+    )
+    t = ev.select(
+        "event_type",
+        "ts",
+        "vi",
+        F.sum("vi").over(w).alias("num"),
+        F.count("*").over(w).alias("den"),
+    ).where(F.col("den") == W)
+    return (
+        t.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("vi") * W - F.col("num"))
+            .cast("bigint")
+            .alias("detrended_sum_q"),
+        )
+        .orderBy("event_type", "hr")
+    )

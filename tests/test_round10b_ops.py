@@ -254,3 +254,59 @@ def test_random_projection_deterministic_signs():
     # balanced-ish signs (md5 first hex digit is uniform)
     frac_pos = sum(1 for s in flat if s > 0) / len(flat)
     assert 0.35 < frac_pos < 0.65
+
+
+# --------------------------------------- mm_scene_cut / ts_seasonal
+
+
+def test_scene_cut_matches_python_recompute(spark, sf_dir, duck):
+    from kachess_spark.pipeline.multimodal import _CUT_THRESHOLD
+    from kachess_spark.pipeline.multimodal import mm_scene_cut
+
+    got = {r["doc_id"]: r.asDict() for r in mm_scene_cut(spark, sf_dir).collect()}
+    vids = duck.execute(
+        "SELECT doc_id, octet_length(encode(text)) % 120 + 1 AS nf"
+        " FROM documents WHERE doc_id % 3 = 2"
+    ).fetchall()
+    assert set(got) == {d for d, _ in vids}
+    for doc_id, nf in vids:
+        sigs = [(doc_id * 37 + i * 97) % 256 for i in range(nf)]
+        cuts = [
+            i
+            for i in range(1, nf)
+            if abs(sigs[i] - sigs[i - 1]) > _CUT_THRESHOLD
+        ]
+        r = got[doc_id]
+        assert r["n_frames"] == nf
+        assert r["n_cuts"] == len(cuts)
+        assert r["first_cut"] == (cuts[0] if cuts else None)
+
+
+def test_seasonal_decompose_matches_python_recompute(spark, sf_dir, duck):
+    import math
+
+    from kachess_spark.streaming.windows import (
+        _SEAS_HALF,
+        ts_seasonal_decompose,
+    )
+
+    got = {
+        (r["event_type"], r["hr"]): (r["n"], r["detrended_sum_q"])
+        for r in ts_seasonal_decompose(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT event_type, ts, event_id, value FROM events"
+        " ORDER BY event_type, ts, event_id"
+    ).fetchall()
+    W = 2 * _SEAS_HALF + 1
+    by_type: dict[str, list] = {}
+    for et, ts, eid, val in rows:
+        by_type.setdefault(et, []).append((ts, math.floor(val * 10000 + 0.5)))
+    want: dict[tuple, list] = {}
+    for et, seq in by_type.items():
+        for i in range(_SEAS_HALF, len(seq) - _SEAS_HALF):
+            ts, vi = seq[i]
+            num = sum(v for _, v in seq[i - _SEAS_HALF : i + _SEAS_HALF + 1])
+            want.setdefault((et, ts.hour), []).append(vi * W - num)
+    want_agg = {k: (len(v), sum(v)) for k, v in want.items()}
+    assert got == want_agg
