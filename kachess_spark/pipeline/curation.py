@@ -1348,3 +1348,121 @@ def pipeline_sized_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------------------- snapshot diffing
+
+# Deterministic synthetic "next crawl" derived from the documents
+# fixture (no second snapshot table in the testdata): every 17th doc
+# is dropped, every 13th gets its text revised, and every 19th spawns
+# a brand-new doc at doc_id + 1_000_000.  Both engines derive the same
+# view, so the diff logic — not the fixture — is what the twin checks.
+_SNAP_DROP, _SNAP_EDIT, _SNAP_ADD = 17, 13, 19
+_SNAP_ADD_OFFSET = 1_000_000
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_SNAP_EDIT} = 5
+                  THEN md5(text || ' rev2') ELSE md5(text) END AS fp,
+             CASE WHEN doc_id % {_SNAP_EDIT} = 5
+                  THEN n_chars + 5 ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % {_SNAP_DROP} <> 3
+      UNION ALL
+      SELECT doc_id + {_SNAP_ADD_OFFSET},
+             md5(text || ' new'), n_chars + 4
+      FROM documents WHERE doc_id % {_SNAP_ADD} = 2
+    ),
+    diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(n.n_chars, o.n_chars) AS n_chars
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM diff
+    GROUP BY status
+    ORDER BY status
+"""
+
+
+@query("pipeline_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every document across two crawl
+    snapshots as added / removed / changed / unchanged by content
+    fingerprint, and report per-status doc counts, byte mass, and
+    doc_id bounds — the audit an incremental ingestion run publishes
+    before promoting a new corpus version (and the input to "process
+    only added+changed" incremental dedup, cf. dedup_minhash_incremental).
+
+    Scale: ONE full-outer join on doc_id between the two snapshots'
+    (doc_id, fp, bytes) projections — fingerprints are computed in the
+    scan projection, never materialized corpus-wide; at 100 TB both
+    snapshots would be bucketed by doc_id so the join is co-located
+    (zero shuffle), and the rollup is a 4-row map-side-combined
+    aggregate.  The "new" snapshot here is a deterministic view of the
+    fixture (drop/edit/add by doc_id residue), derived identically in
+    the DuckDB twin.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text", "n_chars")
+    old = base.select("doc_id", F.md5("text").alias("fp"), "n_chars")
+    edited = F.col("doc_id") % _SNAP_EDIT == 5
+    new = (
+        base.where(F.col("doc_id") % _SNAP_DROP != 3)
+        .select(
+            "doc_id",
+            F.when(edited, F.md5(F.concat(F.col("text"), F.lit(" rev2"))))
+            .otherwise(F.md5("text"))
+            .alias("fp"),
+            F.when(edited, F.col("n_chars") + 5)
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % _SNAP_ADD == 2).select(
+                (F.col("doc_id") + _SNAP_ADD_OFFSET).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+                (F.col("n_chars") + 4).alias("n_chars"),
+            )
+        )
+    )
+    o = old.select(
+        F.col("doc_id").alias("o_id"),
+        F.col("fp").alias("o_fp"),
+        F.col("n_chars").alias("o_chars"),
+    )
+    nw = new.select(
+        F.col("doc_id").alias("n_id"),
+        F.col("fp").alias("n_fp"),
+        F.col("n_chars").alias("n_chars"),
+    )
+    diff = o.join(nw, o.o_id == nw.n_id, "full_outer").select(
+        F.coalesce("o_id", "n_id").alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_fp") != F.col("n_fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("n_chars", "o_chars").alias("n_chars"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("status")
+    )

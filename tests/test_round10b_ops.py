@@ -310,3 +310,46 @@ def test_seasonal_decompose_matches_python_recompute(spark, sf_dir, duck):
             want.setdefault((et, ts.hour), []).append(vi * W - num)
     want_agg = {k: (len(v), sum(v)) for k, v in want.items()}
     assert got == want_agg
+
+
+def test_unicode_normalize_plan_is_arrow_vectorized(spark, sf_dir):
+    """The NFC step must run as an Arrow-batched pandas_udf
+    (ArrowEvalPython), never row-at-a-time Python (BatchEvalPython),
+    and the plan needs no corpus shuffle before it."""
+    from kachess_spark.pipeline.text import text_unicode_normalize
+
+    df = text_unicode_normalize(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_counts_reconcile(spark, sf_dir, duck):
+    """The four statuses must exactly partition old ∪ new: |removed| +
+    |changed| + |unchanged| = |old|, |added| + |changed| + |unchanged|
+    = |new|."""
+    from kachess_spark.pipeline.curation import (
+        _SNAP_ADD,
+        _SNAP_DROP,
+        pipeline_snapshot_diff,
+    )
+
+    got = {
+        r["status"]: r["n_docs"]
+        for r in pipeline_snapshot_diff(spark, sf_dir).collect()
+    }
+    n_old = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    n_kept = duck.execute(
+        f"SELECT count(*) FROM documents WHERE doc_id % {_SNAP_DROP} <> 3"
+    ).fetchone()[0]
+    n_added = duck.execute(
+        f"SELECT count(*) FROM documents WHERE doc_id % {_SNAP_ADD} = 2"
+    ).fetchone()[0]
+    assert got.get("removed", 0) + got.get("changed", 0) + got.get(
+        "unchanged", 0
+    ) == n_old
+    assert got.get("added", 0) + got.get("changed", 0) + got.get(
+        "unchanged", 0
+    ) == n_kept + n_added
+    assert got.get("added", 0) == n_added
