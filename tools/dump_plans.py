@@ -61,6 +61,14 @@ NOTES = {
     "join_fuzzy_editdist": "FastSS fuzzy join: deletion-neighborhood explode on DISTINCT names, candidates from an EQUALITY join on the variant string (inverted index, no cartesian), exact levenshtein verify on collisions.",
     "text_repetition_signals": "Gopher repetition filters: n-grams assembled inside the array column, ONE repartition(doc_id) exchange, two chained hash aggs reuse its clustering; top-2gram argmax is MIN of a sign-flipped struct (no window, no joins).",
     "sim_mmr_topk": "MMR re-rank: relational lattice sims (DECIMAL dots over shortlist^2 pairs), greedy picks in one applyInPandas over pre-scored pair rows; exact-top1 verification broadcast back.",
+    "sim_knn_graph": "All-nodes k-NN: signature table checkpointed once, bucket-equality SELF-join (shuffle hash, nothing broadcast), unordered pairs scored once then mirrored; per-source top-k window bounded by L*bucket.",
+    "text_unicode_normalize": "NFC is the ONE ArrowEvalPython node (no built-in exists); control-strip and collapse are codegen regexp_replace around it; no exchange before the presentation sort.",
+    "pipeline_sized_shards": "Two-phase prefix sum: per-block local cumsum windows partitioned by blk, metadata-sized block-prefix frame broadcast back; shard rollup is one map-side-combined agg.",
+    "pipeline_snapshot_diff": "ONE full-outer join on doc_id between fingerprint projections (both computed in the scan projection); 4-row status rollup map-side combined.",
+    "emb_random_projection": "Sign matrix is a constant-folded from_json literal; 16 zip_with DECIMAL folds in one narrow codegen projection; posexplode only at output.",
+    "mm_scene_cut": "Frame explode keyed by doc_id shuffles once onto the lag-window partition; per-video state is one lag value; rollup reuses the same clustering.",
+    "ts_seasonal_decompose": "One exchange onto the event_type window partition (bounded ROWS frame), then a map-side-combinable (event_type, hour) agg — output is metadata-sized.",
+    "win_rolling_median": "suppkey filter pushed to the parquet scan; one window exchange; percentile state is O(frame) via the 7-row ROWS frame.",
 }
 
 
