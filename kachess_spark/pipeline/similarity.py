@@ -586,6 +586,102 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_knn_graph_ivf")  # oracle attached post-hoc (SQL helpers below)
+def sim_knn_graph_ivf(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
+    """k-NN graph over the STORED IVF index — the second, index-serving
+    way to build the neighbor graph (cf. the LSH self-join
+    sim_knn_graph): every node probes its n_probe nearest cells from
+    the trained centroids, candidates are the probed cells' inverted
+    lists, exact DECIMAL cosine ranks the top-{KNN_K} per node.
+
+    The two graph paths trade differently with corpus size: LSH's
+    per-node candidates stay ~bucket·bands (log-factor growth, heavier
+    signatures); IVF's are n_probe·(n/cells) — with the sqrt cell
+    schedule that is ~n_probe·sqrt(n) per node, but cell assignment is
+    one broadcast-centroid argmax pass (no 600-fold signature
+    projection).  Which wins is corpus- and hardware-dependent; both
+    are first-class here and BASELINE.md records the measured walls.
+    Unlike the symmetric LSH candidates, the IVF relation is directed
+    (a sees b iff b's HOME cell is among a's probe set), so pairs score
+    directed — no mirror trick.
+    """
+    import os
+
+    if index_dir is None:
+        index_dir = build_ivf_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assign = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    n_probe = int(
+        spark.read.parquet(os.path.join(index_dir, "meta")).head()["n_probe"]
+    )
+    # corpus-wide multi-probe: every node's n_probe nearest cells
+    qprobe = ivf_assign(spark, emb, centroids, n=n_probe).select(
+        F.col("vid").alias("src"), F.col("cell").alias("data_cell")
+    )
+    cands = (
+        assign.join(qprobe, "data_cell")  # inverted lists x probe sets
+        .where(F.col("vid") != F.col("src"))
+        .select("src", F.col("vid").alias("dst"))
+        .distinct()
+    )
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
+        f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
+    )
+    embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    scored = (
+        cands.join(
+            embn.select(
+                F.col("vec_id").alias("dst"),
+                F.col("embedding").alias("d_emb"),
+                F.col("nrm").alias("d_nrm"),
+            ),
+            "dst",
+        )
+        .join(
+            embn.select(
+                F.col("vec_id").alias("src"),
+                F.col("embedding").alias("s_emb"),
+                F.col("nrm").alias("s_nrm"),
+            ),
+            "src",
+        )
+        .withColumn(
+            "dot",
+            F.expr(
+                f"aggregate(zip_with(s_emb, d_emb, (x, y) ->"
+                f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+                f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+            ),
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("s_nrm").cast("double")
+                    * F.col("d_nrm").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.select(
+            "src", "dst", "cosine", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= KNN_K)
+        .orderBy("src", "rk")
+    )
+
+
 N_CELLS = 8  # base IVF cell count (corpus <= ANN_BASE_N vectors)
 N_PROBE = 2  # base cells searched per query
 IVF_MAX_CELLS = 65536  # cells ~ sqrt(n) plateau (IVF-standard)
@@ -840,6 +936,10 @@ def kmeans_centroids(
     centroid frame is k rows and localCheckpointed so the loop never
     builds an iters-deep plan.  Returns (vec_id=cell, embedding).
     """
+    if seeding not in ("first", "sample_fft"):
+        raise ValueError(
+            f"unknown seeding {seeding!r}: use 'first' or 'sample_fft'"
+        )
     if seeding == "sample_fft":
         cent = _sample_fft_centroids(spark, emb, k).localCheckpoint(
             eager=True
@@ -923,16 +1023,19 @@ def sim_ivf_kmeans_topk(
 # the train-once / probe-many split their docstrings promise.
 
 
-# Default Lloyd iterations for the STORED index build — the measured
-# recall winner on this corpus (round-9, verdict #2): RECALL.md's
-# wide-probe sweep has seeded/iters=0 at 0.99 recall@5 (sf0.1, 32
-# cells / 4 probes) vs 0.95 for iters=1 and 0.91 for iters=3, and the
-# main-table stored rows move 13/15 → 15/15 at sf0.1.  The synthetic
-# embeddings are unclustered, so Lloyd convergence only sharpens
-# Voronoi boundaries through dense neighborhoods (see the RECALL.md
-# iteration + seeding sweeps); on a real clustered corpus pass
-# iters>=1 — the trainer is one keyword away.
-IVF_BUILD_ITERS = 0
+# Stored-index training default.  ROUND-10 CORRECTION: the round-9
+# flip to iters=0 rested on a BIASED recall metric — its probe ids
+# (1-20 / QUERY_IDS) coincide with the first-k-by-id SEED CENTROIDS,
+# so iters=0 (centroids pinned exactly on the probes) measured 0.99
+# while Lloyd rounds, which move centroids off the probes, looked like
+# regressions (0.95/0.91).  On an UNBIASED md5-random 150-probe sample
+# at sf0.1 the ordering inverts: population recall@5 is 0.348 for
+# iters=0 vs 0.424 (first/1), 0.427 (first/3), 0.451 (sample_fft/3).
+# Default is now ONE Lloyd round — captures nearly all of the
+# population-recall gain at one extra assignment pass; sample_fft/3
+# buys +0.027 more at 3x build cost (keywords available).  RECALL.md
+# "Round-10 probe-bias correction" records the full sweep.
+IVF_BUILD_ITERS = 1
 
 
 # --- DuckDB twins of the deterministic training pipeline (round-8
@@ -1112,9 +1215,10 @@ def build_ivf_index(
     training is fully deterministic, so an existing index for the same
     parameters is reused as-is (the default dir is keyed on them).
 
-    Default ``iters=IVF_BUILD_ITERS`` (0: seeded centroids, no Lloyd
-    rounds) — the recall-winning configuration on this corpus per
-    RECALL.md's sweeps; pass ``iters>=1`` for clustered embeddings.
+    Default ``iters=IVF_BUILD_ITERS`` (1 Lloyd round — the round-10
+    POPULATION-recall winner after the probe-bias correction in
+    RECALL.md; the round-9 iters=0 default was an artifact of probing
+    the seed vectors themselves).
 
     This is where the n·cells assignment cost lives at production
     scale — paid once per corpus version, amortized over every query
@@ -1378,9 +1482,9 @@ def sim_ivf_stored_topk(
     pass, only (tiny query set → n_probe cells) assignment, an
     inverted-list fetch, and the exact top-k within candidates.
     Identical results to the self-contained operator built with the
-    same training configuration (``sim_ivf_topk`` at the default
-    ``IVF_BUILD_ITERS=0``; ``sim_ivf_kmeans_topk`` for an
-    ``iters>=1`` build) at a fraction of its per-query cost — the
+    same training configuration (``sim_ivf_kmeans_topk`` at the
+    default ``IVF_BUILD_ITERS=1``; ``sim_ivf_topk`` for an ``iters=0``
+    seeded build) at a fraction of its per-query cost — the
     train-once/probe-many split a production deployment runs.
     """
     import os
@@ -2940,7 +3044,68 @@ def _sim_knn_graph_oracle() -> str:
 
 
 _add_oracle("sim_ivfpq_residual_topk", _sim_ivfpq_residual_oracle())
+def _sim_knn_graph_ivf_oracle() -> str:
+    """sim_knn_graph_ivf: stored-index chain (default-iters build) ->
+    ALL-nodes n_probe cell probe -> inverted-list candidates -> exact
+    DECIMAL cosine -> per-source top-KNN_K."""
+    cells = _sql_ivf_cells("n")
+    np_ = (
+        f"CASE WHEN cells <= {N_CELLS} THEN {N_PROBE}"
+        f" ELSE {N_PROBE} + CAST(CEIL(LOG2(CAST(cells AS DOUBLE)"
+        f" / {N_CELLS})) AS BIGINT) END"
+    )
+    return f"""
+    WITH {_sql_ivf_chain("TRUE", "g_")},
+    g_k AS (SELECT cells, {np_} AS np
+            FROM (SELECT {cells} AS cells FROM g_par0)),
+    g_qcos AS (
+      SELECT t.vid AS src, t.cell,
+             CAST(t.dot AS DOUBLE)
+               / SQRT(CAST(n.nn AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cos
+      FROM (SELECT d.vid, c.cell,
+                   SUM(CAST(d.dv * c.cv AS DECIMAL(28,14))) AS dot
+            FROM g_d d JOIN g_centF c USING (pos)
+            GROUP BY d.vid, c.cell) t
+      JOIN g_norms n ON n.vid = t.vid
+      JOIN g_asgF_cn c ON c.cell = t.cell
+    ),
+    g_qprobe AS (
+      SELECT src, cell FROM g_qcos
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, cell)
+        <= (SELECT np FROM g_k)
+    ),
+    g_cand AS (
+      SELECT DISTINCT pr.src, a.vid AS dst
+      FROM g_asgF a JOIN g_qprobe pr ON a.cell = pr.cell
+      WHERE a.vid <> pr.src
+    ),
+    g_sdots AS (
+      SELECT c.src, c.dst,
+             SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+      FROM g_cand c
+      JOIN g_d d ON d.vid = c.dst
+      JOIN g_d q ON q.vid = c.src AND q.pos = d.pos
+      GROUP BY c.src, c.dst
+    )
+    SELECT src, dst, cosine, rk FROM (
+      SELECT s.src, s.dst,
+             ROUND(CAST(s.dot AS DOUBLE)
+                   / SQRT(CAST(n1.nn AS DOUBLE)
+                          * CAST(n2.nn AS DOUBLE)), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY s.src
+                                ORDER BY ROUND(CAST(s.dot AS DOUBLE)
+                   / SQRT(CAST(n1.nn AS DOUBLE)
+                          * CAST(n2.nn AS DOUBLE)), 6) DESC, s.dst) AS rk
+      FROM g_sdots s
+      JOIN g_norms n1 ON n1.vid = s.dst
+      JOIN g_norms n2 ON n2.vid = s.src
+    ) WHERE rk <= {KNN_K}
+    ORDER BY src, rk
+"""
+
+
 _add_oracle("sim_knn_graph", _sim_knn_graph_oracle())
+_add_oracle("sim_knn_graph_ivf", _sim_knn_graph_ivf_oracle())
 
 
 # --------------------------------------------- MMR diversified top-k

@@ -461,10 +461,11 @@ def test_stored_ivf_probe_has_no_training_scan(spark, sf_dir):
     only the tiny query-side assignment (row_number window over
     n_probe) is allowed at probe time.  Results must be bit-identical
     to the self-contained operator at the same training configuration
-    — sim_ivf_topk since the round-9 IVF_BUILD_ITERS=0 default (the
-    RECALL.md recall winner: seeded centroids, no Lloyd rounds)."""
+    — sim_ivf_kmeans_topk since the round-10 IVF_BUILD_ITERS=1 default
+    (the POPULATION-recall winner after RECALL.md's probe-bias
+    correction; the round-9 iters=0 flip probed the seeds themselves)."""
     from kachess_spark.pipeline.similarity import (
-        sim_ivf_topk,
+        sim_ivf_kmeans_topk,
         sim_ivf_stored_topk,
     )
 
@@ -483,7 +484,7 @@ def test_stored_ivf_probe_has_no_training_scan(spark, sf_dir):
     got = {(r["qid"], r["vid"]) for r in df.select("qid", "vid").collect()}
     want = {
         (r["qid"], r["vid"])
-        for r in sim_ivf_topk(spark, sf_dir, certify=False)
+        for r in sim_ivf_kmeans_topk(spark, sf_dir, certify=False)
         .select("qid", "vid")
         .collect()
     }

@@ -353,3 +353,34 @@ def test_snapshot_diff_counts_reconcile(spark, sf_dir, duck):
         "unchanged", 0
     ) == n_kept + n_added
     assert got.get("added", 0) == n_added
+
+
+def test_kmeans_seeding_rejects_unknown_keyword(spark, sf_dir):
+    """A typo'd seeding string must fail loudly, not silently fall back
+    to first-k seeding (that silent fallback masked half of a round-10
+    recall sweep)."""
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import kmeans_centroids
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="unknown seeding"):
+        kmeans_centroids(spark, emb, 8, iters=0, seeding="fft")
+
+
+def test_knn_graph_ivf_structure(spark, sf_dir, tmp_path):
+    """Stored-IVF graph: every node gets exactly KNN_K edges (cells are
+    far larger than K at every fixture sf), ranks are 1..K, and no
+    self-edges."""
+    from kachess_spark.pipeline.similarity import (
+        KNN_K,
+        build_ivf_index,
+        sim_knn_graph_ivf,
+    )
+
+    idx = build_ivf_index(spark, sf_dir, index_dir=str(tmp_path / "ivf_idx"))
+    got = sim_knn_graph_ivf(spark, sf_dir, index_dir=idx).collect()
+    by_src: dict[int, list] = {}
+    for r in got:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, KNN_K + 1)) for v in by_src.values())

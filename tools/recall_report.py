@@ -35,8 +35,8 @@ METHODS = [
      " 1 k-means iter (see seeding/iteration sweeps below)"),
     ("sim_ivf_stored_topk",
      "probe-only over the STORED IVF index (build_ivf_index, default"
-     " IVF_BUILD_ITERS=0: seeded centroids — the measured recall"
-     " winner — + materialized inverted lists)"),
+     " IVF_BUILD_ITERS=1 since the round-10 probe-bias correction"
+     " + materialized inverted lists)"),
     (
         "sim_pq_adc_topk",
         "PQ-ADC, M=4 subspaces, adaptive pq_codewords(n) (16 at n<=500,"
