@@ -1155,3 +1155,155 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ VAD-style segmentation
+
+_VAD_FRAME = 20  # samples per frame
+_VAD_ENERGY_T = 6_000_000_000  # per-frame sum(x^2) threshold (exact int)
+
+_VAD_ORACLE = f"""
+    WITH a AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) // 2 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    nib AS (
+      SELECT doc_id, n, i,
+             strpos('0123456789ABCDEF', substr(h, 4*i + 3, 1)) - 1 AS h1,
+             strpos('0123456789ABCDEF', substr(h, 4*i + 4, 1)) - 1 AS h0,
+             strpos('0123456789ABCDEF', substr(h, 4*i + 1, 1)) - 1 AS l1,
+             strpos('0123456789ABCDEF', substr(h, 4*i + 2, 1)) - 1 AS l0
+      FROM a, LATERAL (SELECT unnest(range(0, n)) AS i) t
+    ),
+    v AS (
+      SELECT doc_id, n, i,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+      FROM (SELECT doc_id, n, i,
+                   h1 * 4096 + h0 * 256 + l1 * 16 + l0 AS u
+            FROM nib)
+    ),
+    fr AS (
+      SELECT doc_id, i // {_VAD_FRAME} AS frame_idx,
+             SUM(CAST(x AS BIGINT) * x) AS energy
+      FROM v WHERE i // {_VAD_FRAME} < n // {_VAD_FRAME}
+      GROUP BY doc_id, i // {_VAD_FRAME}
+    ),
+    act AS (
+      SELECT doc_id, frame_idx,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS island
+      FROM fr WHERE energy > {_VAD_ENERGY_T}
+    ),
+    seg AS (
+      SELECT doc_id, island, COUNT(*) AS seg_frames,
+             MIN(frame_idx) AS seg_start
+      FROM act GROUP BY doc_id, island
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(COALESCE(s.n_active, 0) AS BIGINT) AS n_active,
+           CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(s.longest, 0) AS BIGINT) AS longest_segment,
+           s.first_active
+    FROM (SELECT doc_id, count(*) AS cnt FROM fr GROUP BY doc_id) f(doc_id, cnt)
+    JOIN fr ON fr.doc_id = f.doc_id
+    LEFT JOIN (
+      SELECT doc_id, SUM(seg_frames) AS n_active,
+             COUNT(*) AS n_segments, MAX(seg_frames) AS longest,
+             MIN(seg_start) AS first_active
+      FROM seg GROUP BY doc_id
+    ) s ON s.doc_id = f.doc_id
+    GROUP BY f.doc_id, s.n_active, s.n_segments, s.longest, s.first_active
+    ORDER BY f.doc_id
+"""
+
+
+def _vad_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-energy kernel: reinterpret payload bytes as PCM16 and emit
+    one (doc_id, frame_idx, energy) row per FULL {_VAD_FRAME}-sample
+    frame — exact int64 sum of squares, numpy-vectorized per batch.
+    Byte-crunching stays in Python; everything after (threshold,
+    islands, rollup) is relational."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_idx, out_en = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
+            b = bytes(payload)
+            usable = len(b) - (len(b) % 2)
+            samples = np.frombuffer(b[:usable], dtype="<i2").astype("int64")
+            nf = len(samples) // _VAD_FRAME
+            if nf == 0:
+                continue
+            fr = samples[: nf * _VAD_FRAME].reshape(nf, _VAD_FRAME)
+            en = (fr * fr).sum(axis=1)
+            out_doc.extend([doc_id] * nf)
+            out_idx.extend(range(nf))
+            out_en.extend(int(e) for e in en)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+                "energy": pd.Series(out_en, dtype="int64"),
+            }
+        )
+
+
+@query("mm_audio_vad_segments", _VAD_ORACLE)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over audio payloads: per-frame
+    PCM16 energy (exact int64, Arrow-batched numpy kernel — the same
+    real reinterpretation mm_audio_pcm_stats certifies), energy
+    threshold, and consecutive active frames merged into segments via
+    the gaps-islands idiom — per doc: frame/active counts, segment
+    count, longest segment, first active frame.  The speech/music
+    segmenter an audio curation pipeline runs before transcription
+    (process SEGMENTS, not whole files).
+
+    Scale: kernel work is byte-proportional and emits only frame rows
+    (payload_bytes / {2 * _VAD_FRAME} per doc); segmentation is ONE
+    doc_id-partitioned window plus two grouped rollups that reuse its
+    clustering.  The DuckDB twin replays the identical chain from hex
+    nibbles through the island arithmetic.
+    """
+    t = Tables(spark, sf_dir)
+    mm = with_payload(t.documents)
+    audio = mm.where(F.col("meta.kind") == "audio").select("doc_id", "payload")
+    frames = audio.mapInPandas(
+        _vad_frame_batches,
+        schema="doc_id long, frame_idx long, energy long",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    act = frames.where(F.col("energy") > _VAD_ENERGY_T).withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = act.groupBy("doc_id", "island").agg(
+        F.count("*").alias("seg_frames"),
+        F.min("frame_idx").alias("seg_start"),
+    )
+    per_doc_seg = seg.groupBy("doc_id").agg(
+        F.sum("seg_frames").cast("bigint").alias("n_active"),
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.max("seg_frames").cast("bigint").alias("longest_segment"),
+        F.min("seg_start").alias("first_active"),
+    )
+    totals = frames.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames")
+    )
+    return (
+        totals.join(per_doc_seg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+            F.coalesce("n_segments", F.lit(0))
+            .cast("bigint")
+            .alias("n_segments"),
+            F.coalesce("longest_segment", F.lit(0))
+            .cast("bigint")
+            .alias("longest_segment"),
+            "first_active",
+        )
+        .orderBy("doc_id")
+    )

@@ -384,3 +384,51 @@ def test_knn_graph_ivf_structure(spark, sf_dir, tmp_path):
         assert r["src"] != r["dst"]
         by_src.setdefault(r["src"], []).append(r["rk"])
     assert all(sorted(v) == list(range(1, KNN_K + 1)) for v in by_src.values())
+
+
+def test_vad_segments_match_python_recompute(spark, sf_dir, duck):
+    """Independent pure-Python replay of the whole VAD chain (PCM16
+    reinterpretation, frame energies, threshold, island merge)."""
+    import struct
+
+    from kachess_spark.pipeline.multimodal import (
+        _VAD_ENERGY_T,
+        _VAD_FRAME,
+        mm_audio_vad_segments,
+    )
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in mm_audio_vad_segments(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1"
+    ).fetchall()
+    checked = 0
+    for doc_id, text in rows:
+        b = text.encode()
+        usable = len(b) - (len(b) % 2)
+        samples = struct.unpack(f"<{usable // 2}h", b[:usable])
+        nf = len(samples) // _VAD_FRAME
+        if nf == 0:
+            assert doc_id not in got
+            continue
+        energies = [
+            sum(s * s for s in samples[i * _VAD_FRAME : (i + 1) * _VAD_FRAME])
+            for i in range(nf)
+        ]
+        active = [i for i, e in enumerate(energies) if e > _VAD_ENERGY_T]
+        segs = []
+        for i in active:
+            if segs and i == segs[-1][-1] + 1:
+                segs[-1].append(i)
+            else:
+                segs.append([i])
+        r = got[doc_id]
+        assert r["n_frames"] == nf
+        assert r["n_active"] == len(active)
+        assert r["n_segments"] == len(segs)
+        assert r["longest_segment"] == (max(len(s) for s in segs) if segs else 0)
+        assert r["first_active"] == (segs[0][0] if segs else None)
+        checked += 1
+    assert checked > 50  # non-vacuous: most audio docs have >= 1 frame
