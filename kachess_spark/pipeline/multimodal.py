@@ -1201,20 +1201,18 @@ _VAD_ORACLE = f"""
       FROM act GROUP BY doc_id, island
     )
     SELECT f.doc_id,
-           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(f.n_frames AS BIGINT) AS n_frames,
            CAST(COALESCE(s.n_active, 0) AS BIGINT) AS n_active,
            CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
            CAST(COALESCE(s.longest, 0) AS BIGINT) AS longest_segment,
            s.first_active
-    FROM (SELECT doc_id, count(*) AS cnt FROM fr GROUP BY doc_id) f(doc_id, cnt)
-    JOIN fr ON fr.doc_id = f.doc_id
+    FROM (SELECT doc_id, count(*) AS n_frames FROM fr GROUP BY doc_id) f
     LEFT JOIN (
       SELECT doc_id, SUM(seg_frames) AS n_active,
              COUNT(*) AS n_segments, MAX(seg_frames) AS longest,
              MIN(seg_start) AS first_active
       FROM seg GROUP BY doc_id
     ) s ON s.doc_id = f.doc_id
-    GROUP BY f.doc_id, s.n_active, s.n_segments, s.longest, s.first_active
     ORDER BY f.doc_id
 """
 
@@ -1228,7 +1226,7 @@ def _vad_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     import numpy as np
 
     for pdf in batches:
-        out_doc, out_idx, out_en = [], [], []
+        docs, idxs, ens = [], [], []
         for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
             b = bytes(payload)
             usable = len(b) - (len(b) % 2)
@@ -1237,15 +1235,15 @@ def _vad_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             if nf == 0:
                 continue
             fr = samples[: nf * _VAD_FRAME].reshape(nf, _VAD_FRAME)
-            en = (fr * fr).sum(axis=1)
-            out_doc.extend([doc_id] * nf)
-            out_idx.extend(range(nf))
-            out_en.extend(int(e) for e in en)
+            docs.append(np.full(nf, doc_id, dtype="int64"))
+            idxs.append(np.arange(nf, dtype="int64"))
+            ens.append((fr * fr).sum(axis=1))
+        empty = np.empty(0, dtype="int64")
         yield pd.DataFrame(
             {
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "frame_idx": pd.Series(out_idx, dtype="int64"),
-                "energy": pd.Series(out_en, dtype="int64"),
+                "doc_id": np.concatenate(docs) if docs else empty,
+                "frame_idx": np.concatenate(idxs) if idxs else empty,
+                "energy": np.concatenate(ens) if ens else empty,
             }
         )
 

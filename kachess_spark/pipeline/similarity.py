@@ -253,21 +253,29 @@ def ann_n_bands(n: int) -> int:
     )
 
 
-def _plane_signs(band: int, p: int, dim: int) -> list[float]:
-    """±1 sign per component for plane (band, p): +1 iff the first hex
-    digit of md5("b{band}p{p}|{pos}") is even — the SAME rule the
-    original per-row expression evaluated, hoisted to the driver.  The
-    sign depends only on (band, plane, pos), so it is a ~4 KB constant
-    per band set; recomputing it per row cost dim·planes·bands md5
-    calls per vector (the dominant wall-clock of the old plan)."""
+def _md5_signs(prefix: str, dim: int) -> list[float]:
+    """±1 per component: +1 iff the first hex digit of
+    md5("{prefix}|{pos}") is even — THE sign-derivation rule every
+    DuckDB twin mirrors character-for-character; defined once, keyed by
+    namespace prefix (LSH planes use "b{band}p{p}", the random
+    projection uses "rp{j}")."""
     import hashlib
 
     return [
         1.0
-        if int(hashlib.md5(f"b{band}p{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        if int(hashlib.md5(f"{prefix}|{i}".encode()).hexdigest()[0], 16) % 2
+        == 0
         else -1.0
         for i in range(dim)
     ]
+
+
+def _plane_signs(band: int, p: int, dim: int) -> list[float]:
+    """±1 sign per component for plane (band, p) — _md5_signs under the
+    "b{band}p{p}" namespace.  Driver-hoisted constant (~4 KB per band
+    set); recomputing it per row cost dim·planes·bands md5 calls per
+    vector (the dominant wall-clock of the old plan)."""
+    return _md5_signs(f"b{band}p{p}", dim)
 
 
 def _plane_dot(band: int, p: int, dim: int):
@@ -485,53 +493,18 @@ def knn_n_planes(n: int) -> int:
     return max(N_PLANES, int(math.ceil(math.log2(n / KNN_TARGET_BUCKET))))
 
 
-@query("sim_knn_graph")  # oracle attached post-hoc (SQL helpers below)
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN graph over the embedding corpus: every vector's top-{KNN_K}
-    cosine neighbors among its LSH candidates — the neighborhood graph
-    that SemDeDup-style cluster pruning, hubness audits, and
-    graph-based ANN serving (HNSW base layers) all start from.
-
-    Unlike the query-serving rankers (3 fixed probes), EVERY node is a
-    query, so candidate generation is a bucket-equality SELF-join of
-    the banded signature table: shuffle hash join on (band, bucket) —
-    both sides corpus-sized, nothing broadcast, no all-pairs.  Plane
-    count adapts with the corpus (``knn_n_planes``) so expected bucket
-    occupancy stays ~{KNN_TARGET_BUCKET} and per-band pair volume stays
-    ~O(n·bucket); band count reuses ``ann_n_bands`` OR-amplification.
-    Exact DECIMAL cosine runs only on the deduped candidate union, and
-    the per-source top-{KNN_K} is one window over candidate edges
-    (bounded per node by L·bucket, not n).  The DuckDB twin replays the
-    identical chain (same md5 plane signs, same adaptive plane/band
-    formulas), so the driver hash certifies the graph edge-for-edge.
-    """
-    t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "embedding")
-    n = emb.count()
-    buckets = banded_hyperplane_buckets(
-        emb, ann_n_bands(n), knn_n_planes(n)
-    ).localCheckpoint(eager=False)
-    a = buckets.select(
-        F.col("vid").alias("src"), "band", "bucket"
-    )
-    b = buckets.select(F.col("vid").alias("dst"), "band", "bucket")
-    # cosine is symmetric and the zip_with DECIMAL fold is position-
-    # ordered (direction-independent), so score each UNORDERED pair
-    # once (src < dst) and mirror afterwards — halves the distinct
-    # candidate volume and the exact-dot work, bit-identical results
-    cands = (
-        a.join(b, ["band", "bucket"])  # corpus×corpus: shuffle join, NOT broadcast
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()  # union over bands
-    )
+def _exact_cosine_edges(emb: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact DECIMAL cosine for a (src, dst) candidate edge frame:
+    hoisted norms + zip_with DECIMAL dot (position-ordered, so the
+    value is direction-independent), rounded to 6 — the shared scoring
+    tail of both k-NN graph builders.  Returns (src, dst, cosine)."""
     norm = F.expr(
         f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
         f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
         f" AS {PDEC}) AS {PDEC}))"
     )
     embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    scored = (
+    return (
         cands.join(
             embn.select(
                 F.col("vec_id").alias("dst"),
@@ -569,6 +542,55 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@query("sim_knn_graph")  # oracle attached post-hoc (SQL helpers below)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the embedding corpus: every vector's top-{KNN_K}
+    cosine neighbors among its LSH candidates — the neighborhood graph
+    that SemDeDup-style cluster pruning, hubness audits, and
+    graph-based ANN serving (HNSW base layers) all start from.
+
+    Unlike the query-serving rankers (3 fixed probes), EVERY node is a
+    query, so candidate generation is a bucket-equality SELF-join of
+    the banded signature table: shuffle hash join on (band, bucket) —
+    both sides corpus-sized, nothing broadcast, no all-pairs.  Plane
+    count adapts with the corpus (``knn_n_planes``) so expected bucket
+    occupancy stays ~{KNN_TARGET_BUCKET} and per-band pair volume stays
+    ~O(n·bucket); band count reuses ``ann_n_bands`` OR-amplification.
+    Exact DECIMAL cosine runs only on the deduped candidate union, and
+    the per-source top-{KNN_K} is one window over candidate edges
+    (bounded per node by L·bucket, not n).  The DuckDB twin replays the
+    identical chain (same md5 plane signs, same adaptive plane/band
+    formulas), so the driver hash certifies the graph edge-for-edge.
+
+    Contract note: a node whose signature shares NO bucket with any
+    other vector in all L bands emits no rows (isolated in the graph)
+    — the oracle replays the same omission.  With the occupancy-target
+    plane schedule this needs an extreme outlier; consumers that need
+    every node should left-join the corpus ids back.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    buckets = banded_hyperplane_buckets(
+        emb, ann_n_bands(n), knn_n_planes(n)
+    ).localCheckpoint(eager=False)
+    a = buckets.select(
+        F.col("vid").alias("src"), "band", "bucket"
+    )
+    b = buckets.select(F.col("vid").alias("dst"), "band", "bucket")
+    # cosine is symmetric and the zip_with DECIMAL fold is position-
+    # ordered (direction-independent), so score each UNORDERED pair
+    # once (src < dst) and mirror afterwards — halves the distinct
+    # candidate volume and the exact-dot work, bit-identical results
+    cands = (
+        a.join(b, ["band", "bucket"])  # corpus×corpus: shuffle join, NOT broadcast
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()  # union over bands
+    )
+    scored = _exact_cosine_edges(emb, cands)
     both = scored.unionByName(
         scored.select(
             F.col("dst").alias("src"),
@@ -636,50 +658,7 @@ def sim_knn_graph_ivf(
             spark.sparkContext.defaultParallelism, "src", "dst"
         )
     )
-    norm = F.expr(
-        f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
-        f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
-        f" AS {PDEC}) AS {PDEC}))"
-    )
-    embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    scored = (
-        cands.join(
-            embn.select(
-                F.col("vec_id").alias("dst"),
-                F.col("embedding").alias("d_emb"),
-                F.col("nrm").alias("d_nrm"),
-            ),
-            "dst",
-        )
-        .join(
-            embn.select(
-                F.col("vec_id").alias("src"),
-                F.col("embedding").alias("s_emb"),
-                F.col("nrm").alias("s_nrm"),
-            ),
-            "src",
-        )
-        .withColumn(
-            "dot",
-            F.expr(
-                f"aggregate(zip_with(s_emb, d_emb, (x, y) ->"
-                f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
-                f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
-            ),
-        )
-        .select(
-            "src",
-            "dst",
-            F.round(
-                F.col("dot").cast("double")
-                / F.sqrt(
-                    F.col("s_nrm").cast("double")
-                    * F.col("d_nrm").cast("double")
-                ),
-                6,
-            ).alias("cosine"),
-        )
-    )
+    scored = _exact_cosine_edges(emb, cands)
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         scored.select(
@@ -3714,19 +3693,10 @@ RP_DIM = 16  # output dims; 1/sqrt(16) = 0.25 keeps the scale EXACT in binary
 
 
 def _rp_signs(j: int, dim: int) -> list[float]:
-    """±1 sign per input component for output dimension j — +1 iff the
-    first hex digit of md5("rp{j}|{pos}") is even; same derivation rule
-    as the LSH plane signs (_plane_signs) with an 'rp' namespace, so the
-    projection matrix is a deterministic driver-hoisted constant on any
-    cluster, no RNG state to ship."""
-    import hashlib
-
-    return [
-        1.0
-        if int(hashlib.md5(f"rp{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
-        else -1.0
-        for i in range(dim)
-    ]
+    """±1 sign per input component for output dimension j — _md5_signs
+    under the "rp{j}" namespace: a deterministic driver-hoisted
+    projection matrix on any cluster, no RNG state to ship."""
+    return _md5_signs(f"rp{j}", dim)
 
 
 _RP_ORACLE = f"""

@@ -127,6 +127,9 @@ def test_sized_shards_partition_invariants(spark, sf_dir, duck):
 
 @pytest.mark.parametrize("name", [
     "text_unicode_normalize", "win_rolling_median", "pipeline_sized_shards",
+    "sim_knn_graph", "sim_knn_graph_ivf", "emb_random_projection",
+    "mm_scene_cut", "mm_audio_vad_segments", "ts_seasonal_decompose",
+    "pipeline_snapshot_diff",
 ])
 def test_round10b_ops_registered_with_oracles(name):
     from kachess_spark import registry
