@@ -440,9 +440,12 @@ def emb_sign_bits(n_vectors: int, dim: int = 64) -> int:
     past that, switch to derived random hyperplanes —
     similarity.hyperplane_bucket — which supply unlimited planes).
     A fixed 8-bit bucket would go quadratic at billions of vectors."""
-    import math
+    from kachess_spark.pipeline.similarity import _ceil_log2_ratio
 
-    need = math.ceil(math.log2(max(1, n_vectors) / _TARGET_BUCKET))
+    # exact-integer ceil(log2(n/target)) — the oracle replays the same
+    # shift search, so Spark and DuckDB can never desync on the width
+    # at a 1-ulp float-log2 boundary (round-10 advice)
+    need = _ceil_log2_ratio(max(1, n_vectors), _TARGET_BUCKET)
     return max(_SIGN_BITS, min(dim - 1, need))
 
 
@@ -466,15 +469,19 @@ _EMB_BUCKET_SQL = _emb_bucket_sql(_SIGN_BITS)
 _EMB_BUCKET_SPARK = _emb_bucket_spark(_SIGN_BITS)
 
 # The oracle derives its bucket width from COUNT(*) with the SAME rule as
-# emb_sign_bits (GREATEST(8, CEIL(LOG2(n/8))) capped at 63), so the Spark
-# side and the DuckDB side agree at ANY corpus size — a fixed-8-bit oracle
-# would emit a superset of pairs once n > 2048 and fail the compare.
+# emb_sign_bits (GREATEST(8, ceil-log2 shift search) capped at 63), so the
+# Spark side and the DuckDB side agree at ANY corpus size — a fixed-8-bit
+# oracle would emit a superset of pairs once n > 2048 and fail the compare.
+# The width search is integer-shift arithmetic (not floating LOG2) on both
+# sides, mirroring emb_sign_bits exactly.
 _EMB_COS_ORACLE = f"""
 WITH nn AS (
-  SELECT GREATEST({_SIGN_BITS}, LEAST(63,
-         CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / {_TARGET_BUCKET}.0))
-              AS INTEGER))) AS bits
-  FROM embeddings
+  SELECT GREATEST({_SIGN_BITS}, LEAST(63, CAST((
+           SELECT MIN(k) FROM generate_series(0, 62) g(k)
+           WHERE CAST({_TARGET_BUCKET} AS HUGEINT)
+                 * (CAST(1 AS HUGEINT) << k)
+                 >= (SELECT GREATEST(COUNT(*), 1) FROM embeddings)
+         ) AS INTEGER))) AS bits
 ),
 b AS (
   SELECT vec_id, embedding,

@@ -229,6 +229,31 @@ ANN_BASE_N = 500  # corpus size the base band count was tuned at
 ANN_MAX_BANDS = 64
 
 
+def _ceil_log2_ratio(a: int, b: int) -> int:
+    """Exact-integer ceil(log2(a/b)) for positive ints a > 0, b > 0:
+    the smallest k >= 0 with b·2^k >= a.  Every adaptive schedule
+    (bands/planes/probes/shortlist/codewords) and its DuckDB twin
+    (``_sql_ceil_log2_ratio``) MUST pick the same integer — a 1-ulp
+    float-log2 divergence near a non-power-of-two boundary would desync
+    the whole bucket/probe table between Spark and the oracle
+    (round-10 advice), so neither side touches floating log2."""
+    k = 0
+    while (b << k) < a:
+        k += 1
+    return k
+
+
+def _sql_ceil_log2_ratio(a: str, b: int) -> str:
+    """DuckDB twin of ``_ceil_log2_ratio(a, {b})``: the same smallest-k
+    integer-shift search (HUGEINT so b·2^62 can't overflow), no
+    floating LOG2 anywhere."""
+    return (
+        f"(SELECT MIN(k) FROM generate_series(0, 62) g(k)"
+        f" WHERE CAST({b} AS HUGEINT) * (CAST(1 AS HUGEINT) << k)"
+        f" >= {a})"
+    )
+
+
 def ann_n_bands(n: int) -> int:
     """OR-amplification bands for an n-vector corpus: {N_BANDS} at the
     base size, +8 per doubling beyond it, capped at {ANN_MAX_BANDS}.
@@ -243,13 +268,11 @@ def ann_n_bands(n: int) -> int:
     bands; candidate volume grows at most linearly in L and the band
     dots stay one codegen projection.  RECALL.md records the measured
     recall at each sf with this sizing."""
-    import math
-
     if n <= ANN_BASE_N:
         return N_BANDS
     return min(
         ANN_MAX_BANDS,
-        N_BANDS + 8 * int(math.ceil(math.log2(n / ANN_BASE_N))),
+        N_BANDS + 8 * _ceil_log2_ratio(n, ANN_BASE_N),
     )
 
 
@@ -486,11 +509,9 @@ def knn_n_planes(n: int) -> int:
     linearly with n, pair volume quadratically).  planes =
     max(N_PLANES, ceil(log2(n / target))) keeps per-band pair volume
     ≈ n·target at every scale."""
-    import math
-
     if n <= KNN_TARGET_BUCKET:
         return N_PLANES
-    return max(N_PLANES, int(math.ceil(math.log2(n / KNN_TARGET_BUCKET))))
+    return max(N_PLANES, _ceil_log2_ratio(n, KNN_TARGET_BUCKET))
 
 
 def _exact_cosine_edges(emb: DataFrame, cands: DataFrame) -> DataFrame:
@@ -755,11 +776,9 @@ def ivf_n_probe(cells: int) -> int:
     """Probes per query: {N_PROBE} at the base cell count, +1 per cell
     doubling — scan fraction probe/cells falls as cells grow while the
     absolute probe budget rises (measured sweep in RECALL.md)."""
-    import math
-
     if cells <= N_CELLS:
         return N_PROBE
-    return N_PROBE + int(math.ceil(math.log2(cells / N_CELLS)))
+    return N_PROBE + _ceil_log2_ratio(cells, N_CELLS)
 
 
 def _ivf_search(
@@ -986,12 +1005,14 @@ def sim_ivf_kmeans_topk(
 
     vs sim_ivf_topk's fixed seed centroids: trained cells track the data
     distribution, so probes recover more true neighbors at the same
-    probe budget.  Default iters=1 per the RECALL.md sweeps (round 8):
-    on this corpus more Lloyd iterations monotonically HURT recall
-    (0.95 at 1 vs 0.91 at 3 on the 100-pair metric) and the
-    k-means++-style seeding alternative measured far worse (0.38-0.56)
-    — converged training only pays off on genuinely clustered
-    embeddings, where callers pass iters=3+."""
+    probe budget.  Default iters=1 per the round-10 POPULATION-recall
+    sweep (RECALL.md "Round-10 probe-bias correction"): unbiased
+    md5-random probes measure 0.424 (iters=1) vs 0.427 (iters=3) —
+    statistically flat, so one Lloyd round keeps 3x of the build cost.
+    (The round-8 numbers that read "more iterations hurt" — 0.95 at 1
+    vs 0.91 at 3 — were an artifact of the biased 100-pair probe set
+    and are superseded.)  Converged training only pays off on genuinely
+    clustered embeddings, where callers pass iters=3+."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     if cells is None:
@@ -1519,13 +1540,11 @@ def pq_shortlist(n: int) -> int:
     recall@5 is 0.97 wide-probe / 0.933 on the legacy 3-probe set —
     dominating the old fixed (k=16, C=256) default's 0.83/0.933;
     RECALL.md records the full sweep."""
-    import math
-
     if n <= ANN_BASE_N:
         return PQ_SHORTLIST
     return min(
         PQ_SHORTLIST_MAX,
-        PQ_SHORTLIST + 192 * int(math.ceil(math.log2(n / ANN_BASE_N))),
+        PQ_SHORTLIST + 192 * _ceil_log2_ratio(n, ANN_BASE_N),
     )
 
 
@@ -1547,13 +1566,11 @@ def pq_codewords(n: int) -> int:
     apparent regressions were single-pair noise.  Cost: codebooks stay
     broadcast-sized (M·k·D/M floats), training assignment is n·k dots
     per subspace, code width grows log2(k) bits."""
-    import math
-
     if n <= ANN_BASE_N:
         return PQ_K
     return min(
         PQ_K_MAX,
-        PQ_K * 2 ** int(math.ceil(math.log2(n / ANN_BASE_N))),
+        PQ_K * 2 ** _ceil_log2_ratio(n, ANN_BASE_N),
     )
 
 
@@ -1564,12 +1581,12 @@ def pq_codewords(n: int) -> int:
 
 
 def _sql_pq_codewords(n: str) -> str:
-    """``pq_codewords(n)`` in DuckDB SQL — the ceil(log2) boundary is
-    libm-exact at the only reachable ties (n = {ANN_BASE_N}·2**j)."""
+    """``pq_codewords(n)`` in DuckDB SQL — integer-shift ceil(log2),
+    never floating LOG2 (see _sql_ceil_log2_ratio)."""
     return (
         f"CASE WHEN {n} <= {ANN_BASE_N} THEN {PQ_K}"
         f" ELSE LEAST({PQ_K_MAX}, {PQ_K} * CAST(POWER(2,"
-        f" CEIL(LOG2(CAST({n} AS DOUBLE) / {ANN_BASE_N}))) AS BIGINT)) END"
+        f" {_sql_ceil_log2_ratio(n, ANN_BASE_N)}) AS BIGINT)) END"
     )
 
 
@@ -2435,8 +2452,7 @@ def _sql_ivf_probe_block(p: str) -> str:
     cells = _sql_ivf_cells("n")
     np_ = (
         f"CASE WHEN cells <= {N_CELLS} THEN {N_PROBE}"
-        f" ELSE {N_PROBE} + CAST(CEIL(LOG2(CAST(cells AS DOUBLE)"
-        f" / {N_CELLS})) AS BIGINT) END"
+        f" ELSE {N_PROBE} + {_sql_ceil_log2_ratio('cells', N_CELLS)} END"
     )
     return f""",
     {p}k AS (SELECT cells, {np_} AS np
@@ -2569,8 +2585,7 @@ def _sql_lsh_blocks() -> str:
     bands = (
         f"CASE WHEN n <= {ANN_BASE_N} THEN {N_BANDS}"
         f" ELSE LEAST({ANN_MAX_BANDS}, {N_BANDS} + 8 *"
-        f" CAST(CEIL(LOG2(CAST(n AS DOUBLE) / {ANN_BASE_N}))"
-        f" AS BIGINT)) END"
+        f" {_sql_ceil_log2_ratio('n', ANN_BASE_N)}) END"
     )
     return f"""l_d AS (
       SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
@@ -2641,12 +2656,11 @@ def _sim_lsh_serving_oracle() -> str:
 
 
 def _sql_pq_shortlist(n: str) -> str:
-    """``pq_shortlist(n)`` in DuckDB SQL."""
+    """``pq_shortlist(n)`` in DuckDB SQL — integer-shift ceil(log2)."""
     return (
         f"CASE WHEN {n} <= {ANN_BASE_N} THEN {PQ_SHORTLIST}"
         f" ELSE LEAST({PQ_SHORTLIST_MAX}, {PQ_SHORTLIST} + 192 *"
-        f" CAST(CEIL(LOG2(CAST({n} AS DOUBLE) / {ANN_BASE_N}))"
-        f" AS BIGINT)) END"
+        f" {_sql_ceil_log2_ratio(n, ANN_BASE_N)}) END"
     )
 
 
@@ -2959,14 +2973,12 @@ def _sim_knn_graph_oracle() -> str:
     bands = (
         f"CASE WHEN n <= {ANN_BASE_N} THEN {N_BANDS}"
         f" ELSE LEAST({ANN_MAX_BANDS}, {N_BANDS} + 8 *"
-        f" CAST(CEIL(LOG2(CAST(n AS DOUBLE) / {ANN_BASE_N}))"
-        f" AS BIGINT)) END"
+        f" {_sql_ceil_log2_ratio('n', ANN_BASE_N)}) END"
     )
     planes = (
         f"CASE WHEN n <= {KNN_TARGET_BUCKET} THEN {N_PLANES}"
         f" ELSE GREATEST({N_PLANES},"
-        f" CAST(CEIL(LOG2(CAST(n AS DOUBLE) / {KNN_TARGET_BUCKET}))"
-        f" AS BIGINT)) END"
+        f" {_sql_ceil_log2_ratio('n', KNN_TARGET_BUCKET)}) END"
     )
     return f"""
     WITH k_d AS (
@@ -3038,8 +3050,7 @@ def _sim_knn_graph_ivf_oracle() -> str:
     cells = _sql_ivf_cells("n")
     np_ = (
         f"CASE WHEN cells <= {N_CELLS} THEN {N_PROBE}"
-        f" ELSE {N_PROBE} + CAST(CEIL(LOG2(CAST(cells AS DOUBLE)"
-        f" / {N_CELLS})) AS BIGINT) END"
+        f" ELSE {N_PROBE} + {_sql_ceil_log2_ratio('cells', N_CELLS)} END"
     )
     return f"""
     WITH {_sql_ivf_chain("TRUE", "g_")},
@@ -3748,7 +3759,13 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-literal tree costs driver analysis time, a broadcast join
     plans as BroadcastNestedLoopJoin); the projection itself is
     {RP_DIM} zip_with DECIMAL folds in one narrow codegen projection —
-    per-row map over the corpus, no shuffle, embarrassingly parallel.
+    a per-row map, embarrassingly parallel.  ONE spreading exchange
+    precedes it (the repartition below): the fixture corpus arrives in
+    a handful of files and the folds are CPU-bound, so without the
+    spread the whole projection runs on a few cores (the same AQE/
+    few-input-splits trap as sim_knn_graph_ivf's scoring stage).  On a
+    100 TB corpus already split across thousands of files the exchange
+    is unnecessary — drop it and the projection is fully narrow.
     """
     import json
 

@@ -65,7 +65,7 @@ NOTES = {
     "text_unicode_normalize": "NFC is the ONE ArrowEvalPython node (no built-in exists); control-strip and collapse are codegen regexp_replace around it; no exchange before the presentation sort.",
     "pipeline_sized_shards": "Two-phase prefix sum: per-block local cumsum windows partitioned by blk, metadata-sized block-prefix frame broadcast back; shard rollup is one map-side-combined agg.",
     "pipeline_snapshot_diff": "ONE full-outer join on doc_id between fingerprint projections (both computed in the scan projection); 4-row status rollup map-side combined.",
-    "emb_random_projection": "Sign matrix is a constant-folded from_json literal; 16 zip_with DECIMAL folds in one narrow codegen projection; posexplode only at output.",
+    "emb_random_projection": "Sign matrix is a constant-folded from_json literal; 16 zip_with DECIMAL folds in one narrow codegen projection after ONE spreading exchange (fixture arrives in few files; CPU-bound folds need all cores); posexplode only at output.",
     "mm_scene_cut": "Frame explode keyed by doc_id shuffles once onto the lag-window partition; per-video state is one lag value; rollup reuses the same clustering.",
     "ts_seasonal_decompose": "One exchange onto the event_type window partition (bounded ROWS frame), then a map-side-combinable (event_type, hour) agg — output is metadata-sized.",
     "win_rolling_median": "suppkey filter pushed to the parquet scan; one window exchange; percentile state is O(frame) via the 7-row ROWS frame.",
