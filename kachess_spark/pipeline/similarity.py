@@ -417,6 +417,7 @@ def sim_ann_lsh(
     sf_dir: str,
     n_bands: int | None = None,
     certify: bool = True,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
 ) -> DataFrame:
     """ANN scale path: banded hyperplane-LSH → candidates share a bucket
     in ANY band → exact cosine only on the candidate set.  Returns
@@ -442,7 +443,7 @@ def sim_ann_lsh(
     buckets = banded_hyperplane_buckets(emb, n_bands).localCheckpoint(
         eager=False
     )
-    queries = buckets.where(F.col("vid").isin(*QUERY_IDS)).select(
+    queries = buckets.where(F.col("vid").isin(*probe_ids)).select(
         F.col("vid").alias("qid"), "band", "bucket"
     )
     cands = (
@@ -459,7 +460,7 @@ def sim_ann_lsh(
         f" AS {PDEC}) AS {PDEC}))"
     )
     embn = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    qv = embn.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+    qv = embn.where(F.col("vec_id").isin(*probe_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -629,15 +630,42 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_GRAPH_REFINE = 1  # NN-descent refinement rounds on the IVF graph
+
+
+def knn_graph_n_probe(cells: int) -> int:
+    """Probe count for the ALL-NODES graph build over a stored IVF
+    index: 2x the query-serving schedule, capped at the cell count.
+    Serving probes are tuned for per-query latency; a graph build is an
+    offline batch where doubling the probe budget doubles candidate
+    volume (still n·n_probe·avg_cell — linear in n at fixed schedule)
+    but materially lifts population recall on weakly-clustered corpora
+    (RECALL.md round-11 sweep: recall@3 0.42 -> 0.60 at sf0.1 before
+    refinement).  Grows with cells like the serving schedule, so the
+    scan FRACTION n_probe/cells still falls as the corpus grows."""
+    return min(cells, 2 * ivf_n_probe(cells))
+
+
 @query("sim_knn_graph_ivf")  # oracle attached post-hoc (SQL helpers below)
 def sim_knn_graph_ivf(
-    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    n_probe: int | None = None,
+    refine: int = KNN_GRAPH_REFINE,
 ) -> DataFrame:
     """k-NN graph over the STORED IVF index — the second, index-serving
     way to build the neighbor graph (cf. the LSH self-join
-    sim_knn_graph): every node probes its n_probe nearest cells from
-    the trained centroids, candidates are the probed cells' inverted
-    lists, exact DECIMAL cosine ranks the top-{KNN_K} per node.
+    sim_knn_graph): every node probes its ``n_probe`` nearest cells
+    from the trained centroids (default ``knn_graph_n_probe`` — 2x the
+    serving schedule; a graph build is offline batch, not per-query
+    serving), candidates are the probed cells' inverted lists, exact
+    DECIMAL cosine ranks the top-{KNN_K} per node, then ``refine``
+    NN-descent rounds (Dong et al. 2011, WWW — neighbor-of-neighbor
+    expansion) close the recall gap the Voronoi gating leaves: each
+    round re-ranks every node against its current neighbors, their
+    reverse neighbors, and the two-hop closure — O(n·(2K)²) candidate
+    edges per round, LINEAR in n, independent of the probe budget.
 
     The two graph paths trade differently with corpus size: LSH's
     per-node candidates stay ~bucket·bands (log-factor growth, heavier
@@ -648,7 +676,8 @@ def sim_knn_graph_ivf(
     are first-class here and BASELINE.md records the measured walls.
     Unlike the symmetric LSH candidates, the IVF relation is directed
     (a sees b iff b's HOME cell is among a's probe set), so pairs score
-    directed — no mirror trick.
+    directed — no mirror trick; the refinement rounds re-symmetrize by
+    construction (reverse edges enter the candidate set).
     """
     import os
 
@@ -658,9 +687,11 @@ def sim_knn_graph_ivf(
     emb = t.embeddings.select("vec_id", "embedding")
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assign = spark.read.parquet(os.path.join(index_dir, "assignments"))
-    n_probe = int(
-        spark.read.parquet(os.path.join(index_dir, "meta")).head()["n_probe"]
-    )
+    if n_probe is None:
+        cells = int(
+            spark.read.parquet(os.path.join(index_dir, "meta")).head()["cells"]
+        )
+        n_probe = knn_graph_n_probe(cells)
     # corpus-wide multi-probe: every node's n_probe nearest cells
     qprobe = ivf_assign(spark, emb, centroids, n=n_probe).select(
         F.col("vid").alias("src"), F.col("cell").alias("data_cell")
@@ -679,15 +710,54 @@ def sim_knn_graph_ivf(
             spark.sparkContext.defaultParallelism, "src", "dst"
         )
     )
-    scored = _exact_cosine_edges(emb, cands)
+    topk = _knn_topk(_exact_cosine_edges(emb, cands))
+    for _ in range(refine):
+        topk = _knn_refine_round(spark, emb, topk)
+    return topk.orderBy("src", "rk")
+
+
+def _knn_topk(scored: DataFrame) -> DataFrame:
+    """Per-source top-{KNN_K} over a scored (src, dst, cosine) edge
+    frame — the shared rank tail of the graph builders."""
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    return (
-        scored.select(
-            "src", "dst", "cosine", F.row_number().over(w).alias("rk")
-        )
-        .where(F.col("rk") <= KNN_K)
-        .orderBy("src", "rk")
+    return scored.select(
+        "src", "dst", "cosine", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= KNN_K)
+
+
+def _knn_refine_round(
+    spark: SparkSession, emb: DataFrame, topk: DataFrame
+) -> DataFrame:
+    """One NN-descent round: candidates(u) = N(u) ∪ N⁻¹(u) ∪ the
+    two-hop closure over the undirected current graph, re-scored with
+    the same exact-DECIMAL cosine and re-ranked top-{KNN_K}.  Because
+    the current edges re-enter the candidate set, per-node recall is
+    monotone non-decreasing round over round.  Candidate volume is
+    ≤ n·(2·{KNN_K})² + 2n·{KNN_K} rows — linear in n, so the round
+    costs one small self-join shuffle and one scoring pass regardless
+    of corpus size.  The graph oracle unrolls the identical round(s)
+    in SQL, so refinement stays hash-certified."""
+    edges = topk.select("src", "dst")
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # checkpoint the (tiny) adjacency: it feeds both sides of the
+    # two-hop self-join and the candidate union — one materialization,
+    # three consumers, and the lineage stays flat across rounds
+    und = und.localCheckpoint(eager=False)
+    two_hop = (
+        und.alias("a")
+        .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
     )
+    cands = (
+        und.unionByName(two_hop)
+        .distinct()
+        # same CPU-bound-fold spread as the probe stage above
+        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+    )
+    return _knn_topk(_exact_cosine_edges(emb, cands))
 
 
 N_CELLS = 8  # base IVF cell count (corpus <= ANN_BASE_N vectors)
@@ -3043,18 +3113,74 @@ def _sim_knn_graph_oracle() -> str:
 
 
 _add_oracle("sim_ivfpq_residual_topk", _sim_ivfpq_residual_oracle())
-def _sim_knn_graph_ivf_oracle() -> str:
+def _sql_knn_score_rank(cand: str, out: str) -> str:
+    """_exact_cosine_edges + _knn_topk in DuckDB over a (src, dst)
+    candidate CTE: exact-DECIMAL dot, 6-dp cosine, per-src
+    top-{KNN_K} with the (cosine DESC, dst) tie-break."""
+    return f"""{out}_dot AS (
+      SELECT c.src, c.dst,
+             SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+      FROM {cand} c
+      JOIN g_d d ON d.vid = c.dst
+      JOIN g_d q ON q.vid = c.src AND q.pos = d.pos
+      GROUP BY c.src, c.dst
+    ),
+    {out} AS (
+      SELECT src, dst, cosine, rk FROM (
+        SELECT s.src, s.dst,
+               ROUND(CAST(s.dot AS DOUBLE)
+                     / SQRT(CAST(n1.nn AS DOUBLE)
+                            * CAST(n2.nn AS DOUBLE)), 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY s.src
+                                  ORDER BY ROUND(CAST(s.dot AS DOUBLE)
+                     / SQRT(CAST(n1.nn AS DOUBLE)
+                            * CAST(n2.nn AS DOUBLE)), 6) DESC,
+                                  s.dst) AS rk
+        FROM {out}_dot s
+        JOIN g_norms n1 ON n1.vid = s.dst
+        JOIN g_norms n2 ON n2.vid = s.src
+      ) WHERE rk <= {KNN_K}
+    )"""
+
+
+def _sql_knn_refine_round(prev: str, r: int) -> str:
+    """One NN-descent round in DuckDB — _knn_refine_round's exact
+    chain: undirected adjacency, two-hop closure, re-score, re-rank."""
+    return f"""g_und{r} AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM {prev}
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM {prev})
+    ),
+    g_rc{r} AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM g_und{r}
+        UNION ALL
+        SELECT a.src, b.dst FROM g_und{r} a
+        JOIN g_und{r} b ON a.dst = b.src
+        WHERE a.src <> b.dst)
+    ),
+    {_sql_knn_score_rank(f"g_rc{r}", f"g_e{r + 1}")}"""
+
+
+def _sim_knn_graph_ivf_oracle(refine: int = KNN_GRAPH_REFINE) -> str:
     """sim_knn_graph_ivf: stored-index chain (default-iters build) ->
-    ALL-nodes n_probe cell probe -> inverted-list candidates -> exact
-    DECIMAL cosine -> per-source top-KNN_K."""
+    ALL-nodes graph-schedule probe (knn_graph_n_probe = 2x serving,
+    capped at cells) -> inverted-list candidates -> exact DECIMAL
+    cosine -> per-source top-KNN_K -> ``refine`` unrolled NN-descent
+    rounds (default {KNN_GRAPH_REFINE})."""
     cells = _sql_ivf_cells("n")
-    np_ = (
+    serving = (
         f"CASE WHEN cells <= {N_CELLS} THEN {N_PROBE}"
         f" ELSE {N_PROBE} + {_sql_ceil_log2_ratio('cells', N_CELLS)} END"
     )
+    rounds = ",\n    ".join(
+        _sql_knn_refine_round(f"g_e{r}", r) for r in range(refine)
+    )
+    rounds = f",\n    {rounds}" if rounds else ""
     return f"""
     WITH {_sql_ivf_chain("TRUE", "g_")},
-    g_k AS (SELECT cells, {np_} AS np
+    g_k AS (SELECT cells, LEAST(cells, 2 * ({serving})) AS np
             FROM (SELECT {cells} AS cells FROM g_par0)),
     g_qcos AS (
       SELECT t.vid AS src, t.cell,
@@ -3077,27 +3203,8 @@ def _sim_knn_graph_ivf_oracle() -> str:
       FROM g_asgF a JOIN g_qprobe pr ON a.cell = pr.cell
       WHERE a.vid <> pr.src
     ),
-    g_sdots AS (
-      SELECT c.src, c.dst,
-             SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
-      FROM g_cand c
-      JOIN g_d d ON d.vid = c.dst
-      JOIN g_d q ON q.vid = c.src AND q.pos = d.pos
-      GROUP BY c.src, c.dst
-    )
-    SELECT src, dst, cosine, rk FROM (
-      SELECT s.src, s.dst,
-             ROUND(CAST(s.dot AS DOUBLE)
-                   / SQRT(CAST(n1.nn AS DOUBLE)
-                          * CAST(n2.nn AS DOUBLE)), 6) AS cosine,
-             ROW_NUMBER() OVER (PARTITION BY s.src
-                                ORDER BY ROUND(CAST(s.dot AS DOUBLE)
-                   / SQRT(CAST(n1.nn AS DOUBLE)
-                          * CAST(n2.nn AS DOUBLE)), 6) DESC, s.dst) AS rk
-      FROM g_sdots s
-      JOIN g_norms n1 ON n1.vid = s.dst
-      JOIN g_norms n2 ON n2.vid = s.src
-    ) WHERE rk <= {KNN_K}
+    {_sql_knn_score_rank("g_cand", "g_e0")}{rounds}
+    SELECT src, dst, cosine, rk FROM g_e{refine}
     ORDER BY src, rk
 """
 

@@ -1,0 +1,134 @@
+"""Round-11 operator tests: IVF-graph recall work (graph probe
+schedule, NN-descent refinement) and the population-recall gates for
+the stored-index serving paths (round-11 ask #2)."""
+
+from __future__ import annotations
+
+
+def test_knn_graph_n_probe_schedule():
+    """Graph-build probe budget: 2x the serving schedule, capped at the
+    cell count, still growing with cells (never a fixed constant — the
+    round-1 fixed-constant lesson)."""
+    from kachess_spark.pipeline.similarity import (
+        ivf_n_probe,
+        knn_graph_n_probe,
+    )
+
+    assert knn_graph_n_probe(8) == 4  # 2x serving (2), < cells
+    assert knn_graph_n_probe(32) == 8  # 2x serving (4)
+    assert knn_graph_n_probe(2) == 2  # capped at cells
+    prev = 0
+    for cells in (8, 16, 32, 64, 1024, 65536):
+        cur = knn_graph_n_probe(cells)
+        assert cur >= prev
+        assert cur >= ivf_n_probe(cells)
+        assert cur <= cells
+        prev = cur
+
+
+def test_knn_graph_ivf_refinement_monotone_and_floor(spark, sf_dir):
+    """One NN-descent round must not lose recall (current edges re-enter
+    the candidate set) and must clear the population floor: measured
+    0.754 -> 0.889 at sf0.001, 0.611 -> 0.792 at sf0.1 (RECALL.md
+    round-11).  All-nodes recall IS population recall — no probe
+    sampling to bias."""
+    import numpy as np
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        KNN_K,
+        build_ivf_index,
+        sim_knn_graph_ivf,
+    )
+
+    rows = (
+        Tables(spark, sf_dir).embeddings.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    truth: dict[int, set[int]] = {}
+    for i, vid in enumerate(ids):
+        s = mn @ mn[i]
+        s[i] = -np.inf
+        truth[int(vid)] = {
+            int(ids[j]) for j in np.lexsort((ids, -s))[:KNN_K]
+        }
+
+    idx = build_ivf_index(spark, sf_dir)
+
+    def recall(refine: int) -> float:
+        by: dict[int, set[int]] = {}
+        for r in sim_knn_graph_ivf(
+            spark, sf_dir, index_dir=idx, refine=refine
+        ).collect():
+            by.setdefault(r["src"], set()).add(r["dst"])
+        hits = sum(len(by.get(int(v), set()) & truth[int(v)]) for v in ids)
+        return hits / (len(ids) * KNN_K)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0, (r0, r1)
+    assert r1 >= 0.60, r1  # the round-11 verdict target, with margin
+
+
+def test_knn_graph_ivf_refine_keeps_structure(spark, sf_dir, tmp_path):
+    """After refinement every node still has exactly KNN_K ranked
+    edges, no self-edges, ranks 1..K — the refinement only improves
+    WHICH edges, never the shape."""
+    from kachess_spark.pipeline.similarity import (
+        KNN_K,
+        build_ivf_index,
+        sim_knn_graph_ivf,
+    )
+
+    idx = build_ivf_index(spark, sf_dir, index_dir=str(tmp_path / "idx"))
+    got = sim_knn_graph_ivf(spark, sf_dir, index_dir=idx, refine=2).collect()
+    by_src: dict[int, list] = {}
+    for r in got:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, KNN_K + 1)) for v in by_src.values())
+
+
+def test_stored_index_population_recall(spark, sf_dir):
+    """Population-recall gates for the STORED serving paths — the
+    round-11 ask #2 floors on the unbiased md5-random metric (measured
+    0.484 IVF / 0.756 PQ at sf0.001, 100 probes)."""
+    from kachess_spark.pipeline.similarity import (
+        build_ivf_index,
+        sim_ivf_stored_topk,
+        sim_pq_stored_topk,
+    )
+    from tools.population_recall import population_recall
+
+    build_ivf_index(spark, sf_dir)  # idempotent train-once
+    assert (
+        population_recall(spark, sf_dir, sim_ivf_stored_topk, 40, "cosine")
+        >= 0.35
+    )
+    assert (
+        population_recall(spark, sf_dir, sim_pq_stored_topk, 40, "l2") >= 0.6
+    )
+
+
+def test_ceil_log2_ratio_exact():
+    """The integer shift search must equal mathematical ceil(log2(a/b))
+    everywhere, including the power-of-two boundaries where a float
+    log2 can sit 1 ulp off."""
+    from fractions import Fraction
+
+    from kachess_spark.pipeline.similarity import _ceil_log2_ratio
+
+    for b in (8, 32, 500):
+        for a in list(range(1, 3000, 13)) + [
+            b,
+            b + 1,
+            2 * b,
+            2 * b + 1,
+            1 << 40,
+            (1 << 40) + 1,
+        ]:
+            k = _ceil_log2_ratio(a, b)
+            # smallest k with b*2^k >= a, exactly
+            assert Fraction(b * 2**k) >= Fraction(a)
+            assert k == 0 or Fraction(b * 2 ** (k - 1)) < Fraction(a)

@@ -62,6 +62,7 @@ NOTES = {
     "text_repetition_signals": "Gopher repetition filters: n-grams assembled inside the array column, ONE repartition(doc_id) exchange, two chained hash aggs reuse its clustering; top-2gram argmax is MIN of a sign-flipped struct (no window, no joins).",
     "sim_mmr_topk": "MMR re-rank: relational lattice sims (DECIMAL dots over shortlist^2 pairs), greedy picks in one applyInPandas over pre-scored pair rows; exact-top1 verification broadcast back.",
     "sim_knn_graph": "All-nodes k-NN: signature table checkpointed once, bucket-equality SELF-join (shuffle hash, nothing broadcast), unordered pairs scored once then mirrored; per-source top-k window bounded by L*bucket.",
+    "sim_knn_graph_ivf": "Stored-index graph: all-nodes multi-probe (knn_graph_n_probe = 2x serving) against broadcast centroids, inverted-list candidate join, explicit spread before the CPU-bound DECIMAL scoring; then one NN-descent round — adjacency checkpointed once, two-hop self-join is O(n*(2K)^2) rows, re-score + re-rank.",
     "text_unicode_normalize": "NFC is the ONE ArrowEvalPython node (no built-in exists); control-strip and collapse are codegen regexp_replace around it; no exchange before the presentation sort.",
     "pipeline_sized_shards": "Two-phase prefix sum: per-block local cumsum windows partitioned by blk, metadata-sized block-prefix frame broadcast back; shard rollup is one map-side-combined agg.",
     "pipeline_snapshot_diff": "ONE full-outer join on doc_id between fingerprint projections (both computed in the scan projection); 4-row status rollup map-side combined.",
