@@ -34,6 +34,44 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk (compressed parquet) size of a table — file or directory
+    of part files.  Drives corpus-proportional shuffle sizing (see
+    ``scaled_partitions``): cheap (a stat walk, no Spark job) and
+    available before any plan runs.  A cloud deployment would swap the
+    os.walk for the store's listing API; the sizing logic is the same."""
+    p = table_path(sf_dir, name)
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def scaled_partitions(
+    spark, sf_dir: str, name: str, expansion: float, part_bytes: int = 32 << 20
+) -> int:
+    """Corpus-proportional partition count for a data-expanding
+    exchange: ceil(table_bytes·expansion / part_bytes), floored at the
+    cluster's defaultParallelism and capped at 100k.
+
+    ``expansion`` is the operator's measured exchange-bytes /
+    parquet-bytes ratio (e.g. the TF-IDF postings explode writes ~40x
+    the compressed document bytes).  A FIXED shuffle-partition count is
+    the round-1 fixed-constant lesson applied to shuffles: at 64x the
+    corpus the same 32 slots each carry 47 MB and the marginal octave
+    cost crosses linear (BASELINE.md round-10 text_tfidf watch item);
+    at 100 TB it would be a deadlock-shaped 3 TB per task.  Sizing by
+    input bytes keeps per-task shuffle volume ~constant at every scale
+    while AQE still coalesces if the estimate overshoots."""
+    need = int(
+        -(-table_bytes(sf_dir, name) * expansion // part_bytes)
+    )
+    return max(spark.sparkContext.defaultParallelism, min(need, 100_000))
+
+
 # Session-scoped DataFrame cache: spark.read.parquet costs a file
 # listing + schema RPC per call, and every query invocation paid it
 # again for every table it touches (~50-150 ms each — measured as a

@@ -330,9 +330,17 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the driver — a 100 TB deployment would swap the checkpoint for
     a direct sink write, leaving the rest of the plan unchanged.
     """
+    from kachess_spark.catalog import scaled_partitions
+
     t = Tables(spark, sf_dir)
-    shuffle_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # corpus-proportional postings parallelism (round-11 verdict #3):
+    # the explode writes ~40x the compressed document bytes (measured:
+    # 23 MB exchange off 0.6 MB parquet at sf0.1, ~1.5 GB off 37 MB at
+    # 64x), so a FIXED count leaves each slot carrying 47 MB at 64x and
+    # the marginal octave crossed linear (2.26x) — size the exchange to
+    # ~32 MB/task from the table's on-disk bytes instead
+    shuffle_parts = scaled_partitions(
+        spark, sf_dir, "documents", expansion=40.0
     )
     sh = (
         t.documents.select("doc_id", F.expr(_TFIDF_WS).alias("ws"))

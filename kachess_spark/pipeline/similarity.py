@@ -760,6 +760,258 @@ def _knn_refine_round(
     return _knn_topk(_exact_cosine_edges(emb, cands))
 
 
+# ------------------------- incremental k-NN graph maintenance
+# (round-11 verdict #6): compose pipeline_snapshot_diff's added/
+# changed/removed classification with the LSH graph — update the
+# stored neighbor graph from the delta instead of rebuilding, the
+# operation a 100 TB corpus actually runs daily.
+
+
+def knn_snapshot_v2(emb: DataFrame) -> DataFrame:
+    """The 'next crawl' of the EMBEDDING corpus, derived with the same
+    deterministic residue convention as pipeline_snapshot_diff
+    (curation._SNAP_*): every {_SNAP_DROP_DOC}th vector is dropped,
+    every {_SNAP_EDIT_DOC}th has its embedding REVERSED (same norm,
+    different direction — a re-embedded revision), and every
+    {_SNAP_ADD_DOC}th spawns a brand-new vector at vec_id + offset
+    with the NEGATED embedding.  The DuckDB twin derives the identical
+    view, so the maintenance logic — not the fixture — is what the
+    oracle checks."""
+    from kachess_spark.pipeline.curation import (
+        _SNAP_ADD,
+        _SNAP_ADD_OFFSET,
+        _SNAP_DROP,
+        _SNAP_EDIT,
+    )
+
+    changed = F.col("vec_id") % _SNAP_EDIT == 5
+    kept = emb.where(F.col("vec_id") % _SNAP_DROP != 3).select(
+        "vec_id",
+        F.when(changed, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    added = emb.where(F.col("vec_id") % _SNAP_ADD == 2).select(
+        (F.col("vec_id") + _SNAP_ADD_OFFSET).alias("vec_id"),
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    return kept.unionByName(added)
+
+
+def build_knn_state(
+    spark: SparkSession, sf_dir: str, state_dir: str | None = None
+) -> str:
+    """Persist the v1 LSH-graph state an incremental maintainer reads:
+    the banded signature table (buckets/), the v1 neighbor graph
+    (graph/), and meta (n at build time + the plane/band schedule that
+    n fixed).  Idempotent and parameter-keyed like build_ivf_index —
+    the graph-build cost is paid once per corpus version and amortized
+    over every incremental update until the next full rebuild."""
+    import hashlib
+    import os
+
+    from kachess_spark.operators.sinks import _scratch
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    bands, planes = ann_n_bands(n), knn_n_planes(n)
+    if state_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|knng|{bands}|{planes}".encode()
+        ).hexdigest()[:12]
+        state_dir = _scratch(f"knn_state_{key}")
+    if _reuse_or_clear_index(
+        spark,
+        state_dir,
+        {"n_built": int(n), "bands": int(bands), "planes": int(planes)},
+    ):
+        return state_dir
+    buckets = banded_hyperplane_buckets(emb, bands, planes)
+    buckets.write.mode("overwrite").parquet(os.path.join(state_dir, "buckets"))
+    sim_knn_graph(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "graph")
+    )
+    spark.createDataFrame(
+        [(int(n), int(bands), int(planes))],
+        "n_built long, bands int, planes int",
+    ).write.mode("overwrite").parquet(os.path.join(state_dir, "meta"))
+    return state_dir
+
+
+@query("sim_knn_graph_incremental")  # oracle attached post-hoc below
+def sim_knn_graph_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    drop_mod: int | None = None,
+    edit_mod: int | None = None,
+    add_mod: int | None = None,
+) -> DataFrame:
+    """Incremental k-NN graph maintenance: given the stored v1 state
+    (signature table + neighbor graph, ``build_knn_state``) and the
+    snapshot delta (``knn_snapshot_v2`` — pipeline_snapshot_diff's
+    added/changed/removed convention on the embedding corpus), produce
+    the v2 graph WITHOUT rebuilding: only the delta vectors are
+    re-signed, and only AFFECTED nodes re-rank.
+
+    Three node classes, by how much work exactness actually demands:
+
+    - FULL re-rank — (a) v1 sources with an edge into a removed/
+      changed node (the lost edge must refill from the node's full
+      candidate set) and (b) the new/changed nodes themselves.  Both
+      are delta-proportional (each removed node sits in ~{KNN_K}
+      reverse top-lists on average).
+    - MERGE re-rank — survivors sharing an LSH bucket with a
+      new/changed signature but losing no edge: a new candidate may
+      ENTER their top-{KNN_K}, but no old candidate left it, so
+      top-K(v2) = top-K(old top-K edges ∪ the new delta pairs) — the
+      old edges pass through WITH their scores and only the new
+      (survivor, delta) pairs are scored.  This is the step that keeps
+      the update delta-proportional: with OR-amplified bands the
+      bucket-sharers of even a small delta cover most of the corpus
+      (measured: treating them as full re-ranks made the "incremental"
+      path cost a full rebuild +30%), but the NEW-PAIR volume is only
+      |delta|·L·occupancy.
+    - PASS THROUGH — everyone else: dropping a non-top-K candidate
+      never changes a top-K, so their v1 edges stand as-is.
+
+    The result is EXACTLY the full v2 rebuild (the DuckDB oracle IS
+    the full rebuild, so the driver hash is the equality proof).  One
+    contract matches ivf_index_insert: the plane/band schedule is HELD
+    from build time (meta) until the next full rebuild — incremental
+    updates never resize the bucket space (re-signing the whole corpus
+    would BE a rebuild); when growth crosses a schedule octave, a
+    production deployment schedules the re-train exactly as it does
+    for IVF centroid drift.
+
+    Scale shape: the heavy stages — signature projection, bucket
+    candidate join probe side, exact DECIMAL scoring — are all
+    DELTA-proportional; the corpus-sized inputs (stored buckets,
+    stored graph) are read, anti-joined and unioned but never
+    re-scored.  ``*_mod`` override the snapshot residues so the scale
+    probe can hold |delta| constant while the corpus grows
+    (BASELINE.md round-11 records cost tracking the delta).
+    """
+    import os
+
+    from kachess_spark.pipeline.curation import (
+        _SNAP_ADD,
+        _SNAP_ADD_OFFSET,
+        _SNAP_DROP,
+        _SNAP_EDIT,
+    )
+
+    drop_mod = drop_mod or _SNAP_DROP
+    edit_mod = edit_mod or _SNAP_EDIT
+    add_mod = add_mod or _SNAP_ADD
+    if state_dir is None:
+        state_dir = build_knn_state(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    meta = spark.read.parquet(os.path.join(state_dir, "meta")).head()
+    bands, planes = int(meta["bands"]), int(meta["planes"])
+    b1 = spark.read.parquet(os.path.join(state_dir, "buckets"))
+    g1 = spark.read.parquet(os.path.join(state_dir, "graph"))
+
+    removed = F.col("vec_id") % drop_mod == 3
+    edited = F.col("vec_id") % edit_mod == 5
+    # v2 corpus under the (possibly overridden) residues
+    kept = emb.where(~removed).select(
+        "vec_id",
+        F.when(edited, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    added = emb.where(F.col("vec_id") % add_mod == 2).select(
+        (F.col("vec_id") + _SNAP_ADD_OFFSET).alias("vec_id"),
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    emb2 = kept.unionByName(added)
+
+    # delta id frames (BIG-corpus discipline: joins, never isin lists)
+    minus_ids = (
+        emb.where(removed | edited).select(F.col("vec_id").alias("vid"))
+    )
+    plus_emb = kept.where(edited).unionByName(added)
+
+    # stale entries out, fresh delta signatures in — bucket space HELD
+    # at the build-time schedule (meta), so unchanged signatures stand
+    sig_plus = banded_hyperplane_buckets(
+        plus_emb, bands, planes
+    ).localCheckpoint(eager=False)
+    b2 = b1.join(minus_ids, "vid", "left_anti").unionByName(sig_plus)
+    b2 = b2.localCheckpoint(eager=False)  # feeds probe + candidate sides
+
+    # FULL re-rank set: (a) sources that lost an edge, (b) delta nodes
+    full_set = (
+        g1.join(minus_ids.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        .select(F.col("src").alias("vid"))
+        .unionByName(sig_plus.select("vid"))
+        .distinct()
+        # only v2 members re-rank (a removed source's edges just drop)
+        .join(emb2.select(F.col("vec_id").alias("vid")), "vid", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    probe = b2.join(full_set, "vid", "left_semi").select(
+        F.col("vid").alias("src"), "band", "bucket"
+    )
+    full_cands = (
+        probe.join(
+            b2.select(F.col("vid").alias("dst"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+    )
+    reranked = _knn_topk(_exact_cosine_edges(emb2, full_cands))
+
+    # MERGE set: survivors gaining a delta candidate but losing no edge
+    # — score ONLY the new (survivor, delta) pairs and fold them into
+    # the node's standing v1 edges (scores still valid: both endpoints
+    # unchanged), then re-rank the union.  New-pair volume is
+    # |delta|·L·occupancy — delta-proportional, the whole point.
+    new_pairs = (
+        b2.join(
+            sig_plus.select(
+                F.col("vid").alias("dst"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .where(F.col("vid") != F.col("dst"))
+        .select(F.col("vid").alias("src"), "dst")
+        .join(full_set.withColumnRenamed("vid", "src"), "src", "left_anti")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+    ).localCheckpoint(eager=False)
+    merge_srcs = new_pairs.select(F.col("src").alias("vid")).distinct()
+    merged = _knn_topk(
+        _exact_cosine_edges(emb2, new_pairs)
+        .unionByName(
+            g1.join(
+                merge_srcs.withColumnRenamed("vid", "src"),
+                "src",
+                "left_semi",
+            ).select("src", "dst", "cosine")
+        )
+    )
+
+    # PASS THROUGH: source survives, lost no edge, gained no candidate
+    untouched = (
+        g1.join(full_set.withColumnRenamed("vid", "src"), "src", "left_anti")
+        .join(merge_srcs.withColumnRenamed("vid", "src"), "src", "left_anti")
+        .join(minus_ids.withColumnRenamed("vid", "src"), "src", "left_anti")
+        .select("src", "dst", "cosine", "rk")
+    )
+    return (
+        untouched.unionByName(merged)
+        .unionByName(reranked)
+        .orderBy("src", "rk")
+    )
+
+
 N_CELLS = 8  # base IVF cell count (corpus <= ANN_BASE_N vectors)
 N_PROBE = 2  # base cells searched per query
 IVF_MAX_CELLS = 65536  # cells ~ sqrt(n) plateau (IVF-standard)
@@ -3029,11 +3281,19 @@ _add_oracle("sim_ivf_kmeans_topk", _sim_ivf_serving_oracle(1))
 _add_oracle("sim_pq_adc_topk", _sim_pq_serving_oracle())
 _add_oracle("sim_pq_stored_topk", _sim_pq_serving_oracle())
 _add_oracle("sim_ivfpq_stored_topk", _sim_ivfpq_stored_oracle())
-def _sim_knn_graph_oracle() -> str:
+def _sim_knn_graph_oracle(
+    corpus: str = "embeddings", n_src: str = "embeddings"
+) -> str:
     """sim_knn_graph: the full chain in DuckDB — adaptive plane/band
     counts from the corpus size, md5-signed hyperplane buckets, the
     bucket-equality self-join candidates, exact DECIMAL cosine, and the
-    per-source top-KNN_K rank."""
+    per-source top-KNN_K rank.
+
+    Parameterized for the incremental-maintenance oracle: ``corpus``
+    names the relation/CTE the graph is built OVER (the v2 snapshot),
+    ``n_src`` the relation whose COUNT fixes the plane/band schedule
+    (the V1 corpus — incremental updates hold the build-time bucket
+    space, see sim_knn_graph_incremental)."""
     sign = (
         "CASE WHEN strpos('02468ace', substr(md5('b'"
         " || CAST(bb.b AS VARCHAR) || 'p' || CAST(pp.p AS VARCHAR)"
@@ -3051,12 +3311,12 @@ def _sim_knn_graph_oracle() -> str:
         f" {_sql_ceil_log2_ratio('n', KNN_TARGET_BUCKET)}) END"
     )
     return f"""
-    WITH k_d AS (
+    k_d AS (
       SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS dv
-      FROM embeddings
+      FROM {corpus}
     ),
-    k_n AS (SELECT COUNT(*) AS n FROM embeddings),
+    k_n AS (SELECT COUNT(*) AS n FROM {n_src}),
     k_LP AS (SELECT {bands} AS L, {planes} AS P FROM k_n),
     k_planes AS (
       SELECT bb.b, pp.p, ps.pos, {sign} AS sg
@@ -3209,8 +3469,37 @@ def _sim_knn_graph_ivf_oracle(refine: int = KNN_GRAPH_REFINE) -> str:
 """
 
 
-_add_oracle("sim_knn_graph", _sim_knn_graph_oracle())
+def _sim_knn_graph_incremental_oracle() -> str:
+    """sim_knn_graph_incremental's equality proof: the oracle is the
+    FULL REBUILD over the v2 snapshot (knn_snapshot_v2's residue
+    convention in SQL) at the schedule the V1 corpus fixed — if the
+    incremental path's pass-through/re-rank split were wrong anywhere,
+    the hash compare against this rebuild would catch it."""
+    from kachess_spark.pipeline.curation import (
+        _SNAP_ADD,
+        _SNAP_ADD_OFFSET,
+        _SNAP_DROP,
+        _SNAP_EDIT,
+    )
+
+    return f"""
+    WITH v2_corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % {_SNAP_EDIT} = 5
+                  THEN list_reverse(embedding) ELSE embedding
+             END AS embedding
+      FROM embeddings WHERE vec_id % {_SNAP_DROP} <> 3
+      UNION ALL
+      SELECT vec_id + {_SNAP_ADD_OFFSET},
+             list_transform(embedding, x -> -x)
+      FROM embeddings WHERE vec_id % {_SNAP_ADD} = 2
+    ),
+    {_sim_knn_graph_oracle(corpus="v2_corpus", n_src="embeddings")}"""
+
+
+_add_oracle("sim_knn_graph", "\n    WITH " + _sim_knn_graph_oracle())
 _add_oracle("sim_knn_graph_ivf", _sim_knn_graph_ivf_oracle())
+_add_oracle("sim_knn_graph_incremental", _sim_knn_graph_incremental_oracle())
 
 
 # --------------------------------------------- MMR diversified top-k

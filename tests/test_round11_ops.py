@@ -132,3 +132,52 @@ def test_ceil_log2_ratio_exact():
             # smallest k with b*2^k >= a, exactly
             assert Fraction(b * 2**k) >= Fraction(a)
             assert k == 0 or Fraction(b * 2 ** (k - 1)) < Fraction(a)
+
+
+def test_knn_graph_incremental_passthrough_dominates(spark, sf_dir):
+    """Delta-tracking shape: the untouched pass-through edges must
+    dominate the output — only delta-adjacent neighborhoods re-rank.
+    With the snapshot residues (~1/17 dropped, ~1/13 changed, ~1/19
+    added) the affected fraction is bounded well below half the
+    corpus, and every returned src must be a v2 member with ranks
+    1..K (or fewer edges only if isolated)."""
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        KNN_K,
+        knn_snapshot_v2,
+        sim_knn_graph_incremental,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    v2_ids = {
+        r["vec_id"] for r in knn_snapshot_v2(emb).select("vec_id").collect()
+    }
+    got = sim_knn_graph_incremental(spark, sf_dir).collect()
+    by_src: dict[int, list] = {}
+    for r in got:
+        assert r["src"] in v2_ids
+        assert r["dst"] in v2_ids
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r["rk"])
+    for v, rks in by_src.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= KNN_K
+
+
+def test_knn_graph_incremental_state_reuse(spark, sf_dir, tmp_path):
+    """The stored state is built once and reused (idempotent, keyed on
+    corpus size + schedule like build_ivf_index)."""
+    import os
+
+    from kachess_spark.pipeline.similarity import build_knn_state
+
+    d1 = build_knn_state(spark, sf_dir, state_dir=str(tmp_path / "st"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(d1, "meta", f))
+        for f in os.listdir(os.path.join(d1, "meta"))
+    }
+    d2 = build_knn_state(spark, sf_dir, state_dir=str(tmp_path / "st"))
+    assert d1 == d2
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(d2, "meta", f)) == m

@@ -59,6 +59,11 @@ def build(spark, k: int) -> str:
             shutil.copy2(table_path(BASE_SF, name), table_path(out, name))
         for name, (key, offset) in FACTS.items():
             df = load_table(spark, BASE_SF, name)
+            dim = (
+                len(df.select("embedding").head()["embedding"])
+                if name == "embeddings"
+                else 0
+            )
             parts = []
             for i in range(k):
                 p = df.withColumn(key, F.col(key) + F.lit(i * offset))
@@ -67,15 +72,25 @@ def build(spark, k: int) -> str:
                     # vectors (verbatim copies make every replica pair a
                     # true near-duplicate — the pair-output operators would
                     # then measure quadratic TRUE-DUP growth, a property of
-                    # the fixture, not of the plan under test)
-                    p = p.withColumn(
-                        "embedding",
-                        F.expr(
-                            f"concat(slice(embedding, {i + 1}, "
-                            f"size(embedding) - {i}), "
-                            f"slice(embedding, 1, {i}))"
-                        ),
-                    )
+                    # the fixture, not of the plan under test).  Rotation is
+                    # mod dim (slice had negative length past k=dim), and
+                    # every dim-th replica block flips sign so replicas stay
+                    # distinct beyond dim copies (cosine -1 ≠ near-dup).
+                    r = i % dim
+                    if r:
+                        p = p.withColumn(
+                            "embedding",
+                            F.expr(
+                                f"concat(slice(embedding, {r + 1}, "
+                                f"size(embedding) - {r}), "
+                                f"slice(embedding, 1, {r}))"
+                            ),
+                        )
+                    if (i // dim) % 2 == 1:
+                        p = p.withColumn(
+                            "embedding",
+                            F.expr("transform(embedding, x -> -x)"),
+                        )
                 if name == "documents" and i > 0:
                     # same for text: salt every word with the replica index
                     # — intra-replica near-dup structure is preserved (both
