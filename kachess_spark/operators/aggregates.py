@@ -75,17 +75,65 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+_ADC_RSD = 0.01  # HLL++ target relative standard deviation
+_ADC_SIGMA = 5  # containment belt width in rsd units (determinism note)
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_rows,
+           TRUE AS est_in_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+""",
+)
+def agg_approx_distinct(
+    spark: SparkSession, sf_dir: str, certify: bool = True
+) -> DataFrame:
     """approx_count_distinct — the 100 TB answer to COUNT(DISTINCT).
 
-    HyperLogLog++ sketch; mergeable, one pass, no expand.  No oracle:
-    DuckDB's approx sketch differs by construction.
-    """
+    HyperLogLog++ sketch; mergeable, one pass, no expand.  DuckDB's
+    approx sketch differs by construction, so the ESTIMATE can't be
+    hash-certified — the CONTAINMENT can (round-11 verdict #8): the
+    certified frame emits the exact distinct count (which the oracle
+    replays) plus ``est_in_bounds`` = |est − exact| ≤ {_ADC_SIGMA}·rsd·
+    exact.  Spark's HLL++ is deterministic for a fixed dataset (hash
+    registers, order-independent merge), so the boolean is stable; a
+    regression that drifts the sketch past {_ADC_SIGMA}σ flips it to
+    FALSE and the driver hash catches it.  ``certify=False`` returns
+    the raw estimate surface (what a user queries; pytest keeps its
+    bounds there too)."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    est = t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=_ADC_RSD).alias(
+            "approx_parts"
+        ),
         F.count("*").alias("n_rows"),
+    )
+    if not certify:
+        return est
+    exact = t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.greatest(
+                    F.lit(1),
+                    F.lit(_ADC_SIGMA * _ADC_RSD) * F.col("exact_parts"),
+                )
+            ).alias("est_in_bounds"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -545,23 +593,84 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
-@query("agg_approx_percentile")  # rows-only: sketch values are engine-specific
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+_APCT_ACC = 10000  # approx_percentile accuracy → rank error ≤ n/acc
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           TRUE AS p50_in_bounds,
+           TRUE AS p99_in_bounds
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+""",
+)
+def agg_approx_percentile(
+    spark: SparkSession, sf_dir: str, certify: bool = True
+) -> DataFrame:
     """approx_percentile — the sketch twin of agg_percentiles: mergeable
     one-pass quantiles with bounded error, the only viable form at
-    100 TB (exact percentile sorts each group)."""
+    100 TB (exact percentile sorts each group).
+
+    The sketch VALUES are engine-specific, so the certified frame
+    checks the GUARANTEE instead (round-11 verdict #8): the sketch
+    promises a returned element whose rank is within n/{_APCT_ACC} of
+    the target rank.  ``pXX_in_bounds`` counts, per group, how many
+    values fall strictly below / at-or-below the estimate and asserts
+    the target rank sits inside that window (±n/acc ± 1 slack for the
+    rank convention) — one extra relational agg, no sort.  The oracle
+    emits TRUE: if a sketch regression ever misses its rank guarantee
+    the driver hash flips.  ``certify=False`` returns the raw estimate
+    surface."""
     t = Tables(spark, sf_dir)
     # Sketch result projected into scalar columns (array-typed outputs
     # break downstream canonicalizers that sort rows by value).
-    return t.orders.groupBy("o_orderpriority").agg(
+    est = t.orders.groupBy("o_orderpriority").agg(
         F.expr(
-            "approx_percentile(o_totalprice, 0.5, 10000)"
+            f"approx_percentile(o_totalprice, 0.5, {_APCT_ACC})"
         ).alias("approx_p50"),
         F.expr(
-            "approx_percentile(o_totalprice, 0.99, 10000)"
+            f"approx_percentile(o_totalprice, 0.99, {_APCT_ACC})"
         ).alias("approx_p99"),
         F.count("*").alias("n"),
     )
+    if not certify:
+        return est
+    ranks = (
+        t.orders.select("o_orderpriority", "o_totalprice")
+        .join(F.broadcast(est), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice") <= F.col("approx_p50")).cast("long")
+            ).alias("le50"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("approx_p50")).cast("long")
+            ).alias("lt50"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("approx_p99")).cast("long")
+            ).alias("le99"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("approx_p99")).cast("long")
+            ).alias("lt99"),
+            F.count("*").alias("n"),
+        )
+    )
+
+    def in_window(q: float, lt: str, le: str):
+        err = F.col("n") / F.lit(float(_APCT_ACC)) + F.lit(1.0)
+        target = F.lit(q) * F.col("n")
+        return (F.col(lt) <= target + err) & (F.col(le) >= target - err)
+
+    return ranks.select(
+        "o_orderpriority",
+        "n",
+        in_window(0.5, "lt50", "le50").alias("p50_in_bounds"),
+        in_window(0.99, "lt99", "le99").alias("p99_in_bounds"),
+    ).orderBy("o_orderpriority")
 
 
 _MODERN_AGG_ORACLE = """
@@ -834,8 +943,23 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_D, _CMS_W = 5, 2719
 
 
-@query("agg_count_min_sketch")  # rows-only: sketch estimates; pytest bounds
-def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH probes AS (SELECT UNNEST(generate_series(0, 19)) AS user_id),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    )
+    SELECT p.user_id,
+           COALESCE(e.exact_count, 0) AS exact_count,
+           TRUE AS est_in_bounds
+    FROM probes p LEFT JOIN exact e ON p.user_id = e.user_id
+    ORDER BY p.user_id
+""",
+)
+def agg_count_min_sketch(
+    spark: SparkSession, sf_dir: str, certify: bool = True
+) -> DataFrame:
     """Count-min sketch frequency estimation, built and probed
     RELATIONALLY: the sketch's d×w counter matrix is just
     groupBy(row, hash_row(key) % w).count(), and a point query is the
@@ -848,7 +972,12 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the build is one map pass + a tiny reduce, and the cell
     table can be persisted and re-probed without rescanning.  Estimates
     are biased UP only (CMS guarantee: true <= est <= true + eps*N
-    w.h.p.) — pytest asserts both bounds.
+    w.h.p.) — pytest asserts both bounds on the raw surface
+    (``certify=False``), and the CERTIFIED frame (round-11 verdict #8)
+    carries the containment itself: exact probe counts (oracle-
+    replayable) + ``est_in_bounds`` = exact ≤ est ≤ exact + eps·N + 1.
+    The xxhash64 slots are fixed, so the boolean is deterministic; the
+    oracle emits TRUE and a sketch regression flips the driver hash.
     """
     from kachess_spark.catalog import load_table
 
@@ -865,11 +994,32 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_slots = probes.select("user_id", rows_d).select(
         "user_id", "d", slot.alias("slot")
     )
-    return (
+    est = (
         probe_slots.join(F.broadcast(counters), ["d", "slot"], "left")
         .fillna(0, subset=["cell"])
         .groupBy("user_id")
         .agg(F.min("cell").alias("est_count"))
+        .orderBy("user_id")
+    )
+    if not certify:
+        return est
+    n_total = ev.count()
+    eps_n = max(1, int(0.001 * n_total) + 1)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(exact, "user_id", "left")
+        .fillna(0, subset=["exact_count"])
+        .select(
+            "user_id",
+            "exact_count",
+            (
+                (F.col("est_count") >= F.col("exact_count"))
+                & (
+                    F.col("est_count")
+                    <= F.col("exact_count") + F.lit(eps_n)
+                )
+            ).alias("est_in_bounds"),
+        )
         .orderBy("user_id")
     )
 
@@ -907,8 +1057,21 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_union")  # rows-only: sketch binaries are engine-specific
-def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_in_bounds
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+    ORDER BY event_type
+""",
+)
+def agg_hll_sketch_union(
+    spark: SparkSession, sf_dir: str, certify: bool = True
+) -> DataFrame:
     """Persistable, MERGEABLE distinct-count sketches (Apache
     DataSketches HLL via hll_sketch_agg): build one sketch per
     event_type segment, persist the binaries, then answer the
@@ -918,7 +1081,13 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB pattern approx_count_distinct alone can't do:
     daily/segment jobs write kilobyte sketches; any later rollup
     (all-time distincts, arbitrary segment unions) merges them in
-    milliseconds.  Accuracy is pytest-pinned against the exact counts.
+    milliseconds.  Accuracy is pytest-pinned against the exact counts
+    on the raw surface (``certify=False``); the CERTIFIED frame
+    (round-11 verdict #8) emits the exact distinct counts (oracle-
+    replayable, including the ALL segment) + ``est_in_bounds`` =
+    |est − exact| ≤ max(2, 2%·exact) — lgK=14 gives ~0.4% RSE, so the
+    2% belt is ~5σ; sketch estimates are deterministic for a fixed
+    dataset, and a regression flips the driver hash.
     """
     from kachess_spark.operators.sinks import _scratch
 
@@ -938,7 +1107,33 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("event_type"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
     )
-    return per_type.unionByName(merged).orderBy("event_type")
+    est = per_type.unionByName(merged).orderBy("event_type")
+    if not certify:
+        return est
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            ev.agg(
+                F.lit("ALL").alias("event_type"),
+                F.countDistinct("user_id").alias("exact_users"),
+            )
+        )
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(2.0), F.lit(0.02) * F.col("exact_users")
+                )
+            ).alias("est_in_bounds"),
+        )
+        .orderBy("event_type")
+    )
 
 
 _JOIN_EXPLOSION_ORACLE = """

@@ -351,7 +351,7 @@ def test_cms_build_is_partial_and_jvm(spark, sf_dir):
     map-side; probes broadcast-join the tiny cell table; no Python."""
     from kachess_spark.operators.aggregates import agg_count_min_sketch
 
-    df = agg_count_min_sketch(spark, sf_dir)
+    df = agg_count_min_sketch(spark, sf_dir, certify=False)
     df.count()
     plan = _plan(df)
     assert "EvalPython" not in plan
