@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from kachess_spark.catalog import Tables
 from kachess_spark.registry import query
@@ -350,7 +351,15 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(shuffle_parts, "sfp")  # THE postings exchange
         .groupBy("doc_id", "sfp")  # keys ⊇ sfp → no re-exchange
         .agg(F.count("*").alias("tf"))
-        .persist()
+        # DISK_ONLY, not the deserialized-row default: the postings are
+        # corpus-sized, and once the row cache outgrows the unified
+        # region the evict-recompute cycle turns the marginal octave
+        # superlinear (measured 2.3x/octave at 128x; a 4x-heap run made
+        # it WORSE — 6x — via full-GC thrash on the bigger row cache).
+        # Serialized-to-disk blocks are eviction-free and land in the
+        # OS page cache at small scale, so the base wall is unchanged
+        # while 128x drops to ~1.9x/octave (BASELINE.md round-11).
+        .persist(StorageLevel.DISK_ONLY)
     )
     kept = None
     try:
@@ -376,7 +385,9 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("wq"),
             )
-            .persist()  # feeds the norm agg and the self-join, still hash(sfp)
+            # feeds the norm agg and the self-join, still hash(sfp);
+            # DISK_ONLY for the same eviction-free reason as sh above
+            .persist(StorageLevel.DISK_ONLY)
         )
         # Materialize NOW: three consumers (norms + both self-join
         # sides) would otherwise each rebuild the join before the cache
@@ -389,7 +400,21 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("nrm")
         )
-        a, b = kept.alias("a"), kept.alias("b")
+        # Per-doc norms attach to the POSTINGS before the self-join and
+        # ride through the pair aggregation as constants-per-group (MIN
+        # of a per-doc constant) — ZERO joins after the agg.  The old
+        # shape joined norms onto the DOT table: pair-volume-sized
+        # probes, twice — measured 68 s of the 186 s 128x wall vs 11 s
+        # at 64x (the broadcast hash table outgrowing cache turns the
+        # per-probe constant DRAM-bound); probing the postings instead
+        # touches 4x fewer rows once and scales with input, not pairs.
+        # Broadcast while the norm table fits (~16 B/row → gate at 4M
+        # docs ≈ 64 MB); larger corpora fall back to a shuffle join on
+        # doc_id of the postings (the bigram auto-selection pattern).
+        if n_docs <= TFIDF_NORM_BCAST_MAX_DOCS:
+            nrm = F.broadcast(nrm)
+        nrmed = kept.join(nrm, "doc_id")
+        a, b = nrmed.alias("a"), nrmed.alias("b")
         dots = (
             a.join(
                 b,
@@ -403,29 +428,15 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.sum(F.expr("CAST(a.wq AS DECIMAL(38,0)) * b.wq"))
                 .cast("double")
-                .alias("dot")
+                .alias("dot"),
+                F.min(F.col("a.nrm")).alias("na"),
+                F.min(F.col("b.nrm")).alias("nb"),
             )
         )
-        # Per-doc norms: corpus-row-count sized.  Broadcast while that
-        # fits comfortably (~16 B/row → gate at 4M docs ≈ 64 MB); a
-        # larger corpus falls back to a shuffle join of the already-
-        # reduced dots/nrm tables (the bigram join auto-selection
-        # pattern, pipeline/text.py).
-        if n_docs <= TFIDF_NORM_BCAST_MAX_DOCS:
-            nrm = F.broadcast(nrm)
-        na = nrm.select(
-            F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")
-        )
-        nb = nrm.select(
-            F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")
-        )
         cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
-        out = (
-            dots.join(na, "doc_a")
-            .join(nb, "doc_b")
-            .select("doc_a", "doc_b", cos.alias("cosine"))
-            .where(F.col("cosine") >= TFIDF_COS_MIN)
-        )
+        out = dots.select(
+            "doc_a", "doc_b", cos.alias("cosine")
+        ).where(F.col("cosine") >= TFIDF_COS_MIN)
         # No distributed orderBy: RangePartitioning's sampling pass
         # would re-execute the whole candidate pipeline a second time
         # (it doubled the pair-agg shuffle when measured) — and the

@@ -28,6 +28,19 @@ def get_spark(app_name: str = "kachess_spark", master: str | None = None) -> Spa
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
+        # AQE picks the REAL reduce parallelism by coalescing down from
+        # this ceiling, so a corpus-sized aggregation is never pinned at
+        # the static shuffle-partition count: at 128x the fixture, the
+        # 32-way pair-agg reduce held ~180 MB of hash state per task —
+        # past the unified-memory region exactly at that octave, and the
+        # spill cascade turned the marginal octave superlinear (~3x).
+        # 256-way initial keeps per-task state ~flat while AQE's 64 MB
+        # advisory target folds small shuffles back to few tasks, so
+        # sf0.1 walls are unchanged (BASELINE.md round-11).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("KACHESS_INITIAL_PARTITIONS", "256"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -115,7 +115,16 @@ def build(spark, k: int) -> str:
                 # load_table expects ts as TIMESTAMP(NANOS)-read-as-long;
                 # re-encode the converted timestamp back to nanos
                 u = u.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
-            u.repartition(8).write.mode("overwrite").parquet(table_path(out, name))
+            # one file per core, not a fixed 8: a single-row-group 9 MB
+            # file admits exactly one scan task, so an 8-file fixture
+            # caps every scan-attached stage (shingle explodes, hash
+            # projections) at 8-way on a 32-core host — measured 60%
+            # idle and a spuriously superlinear marginal octave at 128x.
+            # A real 100 TB corpus arrives in thousands of splits; the
+            # fixture should not be the parallelism bottleneck.
+            u.repartition(32).write.mode("overwrite").parquet(
+                table_path(out, name)
+            )
     except Exception:
         shutil.rmtree(out, ignore_errors=True)
         raise
