@@ -84,6 +84,11 @@ BREADTH = [
     "sim_knn_graph",
     "text_unicode_normalize",
     "pipeline_sized_shards",
+    # round 11: the recall-upgraded stored-IVF graph (2x probe schedule
+    # + one NN-descent round) and incremental graph maintenance (serves
+    # from build_knn_state, prepped untimed in main like the indexes)
+    "sim_knn_graph_ivf",
+    "sim_knn_graph_incremental",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
@@ -187,6 +192,7 @@ def main() -> None:
     from kachess_spark.pipeline.similarity import (
         build_ivf_index,
         build_ivfpq_index,
+        build_knn_state,
         build_pq_index,
     )
 
@@ -194,6 +200,7 @@ def main() -> None:
         build_ivf_index(spark, d)
         build_pq_index(spark, d)
         build_ivfpq_index(spark, d)
+        build_knn_state(spark, d)
 
     import gc
 
