@@ -85,10 +85,12 @@ BREADTH = [
     "text_unicode_normalize",
     "pipeline_sized_shards",
     # round 11: the recall-upgraded stored-IVF graph (2x probe schedule
-    # + one NN-descent round) and incremental graph maintenance (serves
-    # from build_knn_state, prepped untimed in main like the indexes)
+    # + one NN-descent round), incremental graph maintenance (serves
+    # from build_knn_state, prepped untimed in main like the indexes),
+    # and the uncapped two-level SemDeDup
     "sim_knn_graph_ivf",
     "sim_knn_graph_incremental",
+    "dedup_semantic_cluster_scaled",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

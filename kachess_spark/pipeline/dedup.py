@@ -1155,6 +1155,177 @@ def sem_assign(embeddings: DataFrame, k: int) -> DataFrame:
     )
 
 
+SEM_COARSE_PROBE = 2  # coarse groups probed per vector (scaled path)
+
+
+def sem_k_unbounded(n_vectors: int) -> int:
+    """Uncapped cluster count — the scaled two-level assignment has no
+    n·k term, so k keeps tracking n/target and the in-cluster pair
+    stage stays LINEAR at every corpus size (the capped ``sem_k`` turns
+    the pair volume n²/{SEM_MAX_K} past the cap)."""
+    return max(SEM_MIN_K, -(-n_vectors // SEM_TARGET_CLUSTER))
+
+
+def sem_coarse_k(k_fine: int) -> int:
+    """ceil(sqrt(k_fine)) by exact integer arithmetic (isqrt) — the
+    oracle replays the same search with an integer scan, never a float
+    sqrt that could sit 1 ulp off at a perfect square."""
+    import math
+
+    c = math.isqrt(k_fine)
+    return c if c * c >= k_fine else c + 1
+
+
+def sem_assign_scaled(embeddings: DataFrame, k_fine: int) -> DataFrame:
+    """Two-level centroid assignment — the scale path the capped
+    broadcast-argmin (``sem_assign``) can't reach: ``k_fine`` fine
+    centroids (lowest ids, uncapped) are grouped under
+    ceil(sqrt(k_fine)) coarse centroids; every vector scores ONLY the
+    coarse set in one codegen projection (array of structs off a 1-row
+    broadcast — no row explosion, no shuffle), probes its top
+    {SEM_COARSE_PROBE} coarse groups, and argmins over those groups'
+    fine centroids.  Dot work per vector falls from k to
+    ~(1 + {SEM_COARSE_PROBE})·sqrt(k); the output contract matches
+    sem_assign (vec_id, cluster, cent_cos, embedding, nrm) so the
+    dominance/keep tail is shared.  Fully deterministic (lowest-id
+    centroids, rounded-cosine orderings, id tie-breaks) — the DuckDB
+    twin replays the chain exactly.
+
+    Approximation note (same honesty as IVF serving): a vector whose
+    true nearest fine centroid lives outside its {SEM_COARSE_PROBE}
+    probed groups is assigned to the best IN-PROBE centroid — cluster
+    quality degrades gracefully, dedup semantics (pairs within a
+    cluster) stay exact."""
+    spark = embeddings.sparkSession
+    embeddings = embeddings.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    norm = F.expr(
+        f"aggregate(embedding, CAST(0 AS {PDEC}),"
+        f" (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        f" AS {PDEC}) AS {PDEC}))"
+    )
+    emb = embeddings.select("vec_id", "embedding", norm.alias("nrm"))
+    k_coarse = sem_coarse_k(k_fine)
+    fine = (
+        emb.orderBy("vec_id")
+        .limit(k_fine)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    coarse = (
+        emb.orderBy("vec_id")
+        .limit(k_coarse)
+        .select(
+            F.col("vec_id").alias("gid"),
+            F.col("embedding").alias("gemb"),
+            F.col("nrm").alias("gnrm"),
+        )
+    )
+    # fine -> coarse groups: broadcast argmin, the sem_assign idiom
+    dot_fc = F.expr(
+        f"aggregate(zip_with(cemb, gemb, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+    )
+    fc_cos = F.round(
+        F.col("dfc").cast("double")
+        / F.sqrt(F.col("cnrm").cast("double") * F.col("gnrm").cast("double")),
+        6,
+    )
+    fine_groups = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select("cid", "cemb", "cnrm", "gid", dot_fc.alias("dfc"), "gnrm")
+        .select("cid", "cemb", "cnrm", "gid", fc_cos.alias("gcos"))
+        .groupBy("cid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("gcos") + F.lit(0.0)).alias("negcos"),
+                    F.col("gid").alias("gid"),
+                )
+            ).alias("m"),
+            F.first("cemb").alias("cemb"),
+            F.first("cnrm").alias("cnrm"),
+        )
+        .select("cid", F.col("m.gid").alias("gid"), "cemb", "cnrm")
+    )
+    # vector -> top-SEM_COARSE_PROBE coarse groups: ALL coarse scores in
+    # one per-row codegen projection (1-row broadcast array of structs),
+    # ranked by an array_sort comparator — no row explosion, no window
+    coarse_arr = coarse.agg(
+        F.collect_list(
+            F.struct(
+                F.col("gid"), F.col("gemb"), F.col("gnrm")
+            )
+        ).alias("garr")
+    )
+    scores = (
+        f"transform(garr, g -> struct("
+        f" round(CAST(aggregate(zip_with(embedding, g.gemb, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+        f" AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE) * CAST(g.gnrm AS DOUBLE)),"
+        f" 6) AS gcos, g.gid AS gid))"
+    )
+    ranked = (
+        f"slice(array_sort({scores}, (l, r) -> CASE"
+        f" WHEN l.gcos > r.gcos THEN -1 WHEN l.gcos < r.gcos THEN 1"
+        f" WHEN l.gid < r.gid THEN -1 WHEN l.gid > r.gid THEN 1"
+        f" ELSE 0 END), 1, {SEM_COARSE_PROBE})"
+    )
+    probes = (
+        emb.crossJoin(F.broadcast(coarse_arr))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.explode(F.expr(f"transform({ranked}, p -> p.gid)")).alias(
+                "gid"
+            ),
+        )
+    )
+    # candidates: the probed groups' fine centroids; exact argmin within
+    dot_vc = F.expr(
+        f"aggregate(zip_with(embedding, cemb, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+    )
+    vc_cos = F.round(
+        F.col("dvc").cast("double")
+        / F.sqrt(F.col("nrm").cast("double") * F.col("cnrm").cast("double")),
+        6,
+    )
+    return (
+        probes.join(F.broadcast(fine_groups), "gid")
+        .select(
+            "vec_id", "embedding", "nrm", "cid", dot_vc.alias("dvc"), "cnrm"
+        )
+        .select("vec_id", "embedding", "nrm", "cid", vc_cos.alias("cent_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cent_cos") + F.lit(0.0)).alias("negcos"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster"),
+            (-F.col("m.negcos") + F.lit(0.0)).alias("cent_cos"),
+            "embedding",
+            "nrm",
+        )
+    )
+
+
 _SEM_ORACLE = f"""
 WITH nn AS (
   SELECT GREATEST({SEM_MIN_K}, LEAST({SEM_MAX_K},
@@ -1195,7 +1366,10 @@ assign AS (
         FROM cc) r
   WHERE rn = 1
 ),
-pexpl AS (
+{{tail}}"""
+
+# shared dominance/keep tail over an `assign` CTE — _sem_keep_tail in SQL
+_SEM_TAIL_SQL = f"""pexpl AS (
   SELECT a.vec_id AS xa, b.vec_id AS xb,
          a.cent_cos AS ca, b.cent_cos AS cb,
          CAST(unnest(ea.embedding) AS DOUBLE) AS xv,
@@ -1225,6 +1399,113 @@ FROM assign s LEFT JOIN dom d ON s.vec_id = d.vec_id
 ORDER BY s.vec_id
 """
 
+_SEM_ORACLE = _SEM_ORACLE.format(tail=_SEM_TAIL_SQL)
+
+# Scaled two-level oracle: fine centroids (uncapped k), coarse groups
+# (exact-integer ceil(sqrt(k))), fine->coarse argmin, per-vector top
+# SEM_COARSE_PROBE coarse probe, exact argmin over in-probe fine
+# centroids — sem_assign_scaled replayed CTE for CTE, then the shared
+# dominance tail.
+_SEM_SCALED_ORACLE = f"""
+WITH nn AS (
+  SELECT GREATEST({SEM_MIN_K},
+         CAST(CEIL(COUNT(*) / {SEM_TARGET_CLUSTER}.0) AS INTEGER)) AS kf
+  FROM embeddings
+),
+cn AS (
+  SELECT (SELECT MIN(c) FROM generate_series(1, 65536) g(c)
+          WHERE CAST(c AS HUGEINT) * c >= (SELECT kf FROM nn)) AS kc
+),
+ranked_e AS (
+  SELECT vec_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+  FROM embeddings
+),
+fine AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM ranked_e
+  WHERE rn <= (SELECT kf FROM nn)
+),
+coarse AS (
+  SELECT vec_id AS gid, embedding AS gemb FROM ranked_e
+  WHERE rn <= (SELECT kc FROM cn)
+),
+fgexpl AS (
+  SELECT f.cid, g.gid,
+         CAST(unnest(f.cemb) AS DOUBLE) AS fv,
+         CAST(unnest(g.gemb) AS DOUBLE) AS gv
+  FROM fine f CROSS JOIN coarse g
+),
+fgdots AS (
+  SELECT cid, gid,
+         SUM(CAST(fv * gv AS DECIMAL(28,14))) AS dot,
+         SUM(CAST(fv * fv AS DECIMAL(28,14))) AS nf,
+         SUM(CAST(gv * gv AS DECIMAL(28,14))) AS ng
+  FROM fgexpl GROUP BY cid, gid
+),
+fine_groups AS (
+  SELECT cid, gid FROM (
+    SELECT cid, gid,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+             ROUND(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(nf AS DOUBLE) * CAST(ng AS DOUBLE)), 6)
+             DESC, gid) AS rn
+    FROM fgdots) r
+  WHERE rn = 1
+),
+vgexpl AS (
+  SELECT v.vec_id, g.gid,
+         CAST(unnest(v.embedding) AS DOUBLE) AS xv,
+         CAST(unnest(g.gemb) AS DOUBLE) AS gv
+  FROM embeddings v CROSS JOIN coarse g
+),
+vgdots AS (
+  SELECT vec_id, gid,
+         SUM(CAST(xv * gv AS DECIMAL(28,14))) AS dot,
+         SUM(CAST(xv * xv AS DECIMAL(28,14))) AS nx,
+         SUM(CAST(gv * gv AS DECIMAL(28,14))) AS ng
+  FROM vgexpl GROUP BY vec_id, gid
+),
+probes AS (
+  SELECT vec_id, gid FROM (
+    SELECT vec_id, gid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+             ROUND(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(nx AS DOUBLE) * CAST(ng AS DOUBLE)), 6)
+             DESC, gid) AS rn
+    FROM vgdots) r
+  WHERE rn <= {SEM_COARSE_PROBE}
+),
+candexpl AS (
+  SELECT p.vec_id, fg.cid,
+         CAST(unnest(v.embedding) AS DOUBLE) AS xv,
+         CAST(unnest(f.cemb) AS DOUBLE) AS cv
+  FROM probes p
+  JOIN fine_groups fg ON fg.gid = p.gid
+  JOIN fine f ON f.cid = fg.cid
+  JOIN embeddings v ON v.vec_id = p.vec_id
+),
+canddots AS (
+  SELECT vec_id, cid,
+         SUM(CAST(xv * cv AS DECIMAL(28,14))) AS dot,
+         SUM(CAST(xv * xv AS DECIMAL(28,14))) AS nx,
+         SUM(CAST(cv * cv AS DECIMAL(28,14))) AS nc
+  FROM candexpl GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cluster, cent_cos FROM (
+    SELECT vec_id, cid,
+           ROUND(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(nx AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+             AS cent_cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+             ROUND(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(nx AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+             DESC, cid) AS rn
+    FROM canddots) r
+  WHERE rn = 1
+),
+{_SEM_TAIL_SQL}"""
+
 
 @query("dedup_semantic_cluster", _SEM_ORACLE)
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,13 +1528,24 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     partially before its n-row shuffle — shuffle is n rows, not n·k).
     The in-cluster pair join shuffles on the cluster id; per-cluster
     work is quadratic in cluster size, which sem_k holds ~constant —
-    the same cost model the paper runs at web scale.  Past SEM_MAX_K
-    clusters, assignment switches to the IVF coarse-quantizer
-    shortlist (similarity.py) and nothing downstream changes.
+    UNTIL the SEM_MAX_K cap binds (~8k vectors): past it, cluster size
+    grows with n and pair volume is n²/{SEM_MAX_K} (measured 24.6x
+    wall for 16x data).  Beyond the cap use the certified sibling
+    ``dedup_semantic_cluster_scaled`` — a two-level coarse-probe
+    assignment with UNCAPPED k, linear pair volume, and identical
+    keep/drop semantics per cluster.
     """
     t = Tables(spark, sf_dir)
     k = sem_k(t.embeddings.count())
     assigned = sem_assign(t.embeddings, k).localCheckpoint(eager=False)
+    return _sem_keep_tail(assigned)
+
+
+def _sem_keep_tail(assigned: DataFrame) -> DataFrame:
+    """Shared SemDeDup dominance/keep tail over an assignment frame
+    (vec_id, cluster, cent_cos, embedding, nrm): in-cluster pairs,
+    exact DECIMAL cosine, drop every vector with a ≥ SEM_TAU neighbor
+    of lower keep-priority (centroid-outlier rule, id tie-break)."""
     a, b = assigned.alias("a"), assigned.alias("b")
     dot_pair = F.expr(
         f"aggregate(zip_with(a.embedding, b.embedding, (x, y) ->"
@@ -1294,6 +1586,35 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query("dedup_semantic_cluster_scaled", _SEM_SCALED_ORACLE)
+def dedup_semantic_cluster_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup at the scale the capped exact path can't reach: the
+    two-level assignment (``sem_assign_scaled``) keeps the cluster
+    count tracking n/{SEM_TARGET_CLUSTER} with NO cap, so the
+    in-cluster pair stage stays LINEAR in n at every corpus size —
+    the exact path's k={SEM_MAX_K} cap turns pair volume into
+    n²/{SEM_MAX_K} past ~8k vectors (measured: 24.6x wall for 16x
+    data at the 16x fixture; this variant is the documented switch
+    the exact path's docstring promises).  Assignment dot work is
+    ~(1 + {SEM_COARSE_PROBE})·sqrt(k) per vector instead of k.
+
+    Same keep/drop semantics and output schema as
+    dedup_semantic_cluster; clusters differ (coarse-probe
+    approximation, like any IVF serving path) and the DuckDB twin
+    replays the full two-level chain CTE for CTE, so the driver hash
+    certifies it end-to-end at fixture scale where the two-level
+    machinery (16 fine centroids, 4 coarse groups, 2 probes) is fully
+    exercised."""
+    t = Tables(spark, sf_dir)
+    k_fine = sem_k_unbounded(t.embeddings.count())
+    assigned = sem_assign_scaled(t.embeddings, k_fine).localCheckpoint(
+        eager=False
+    )
+    return _sem_keep_tail(assigned)
 
 
 # ------------------------------------- minhash → LSH → verified dedup

@@ -181,3 +181,47 @@ def test_knn_graph_incremental_state_reuse(spark, sf_dir, tmp_path):
     assert d1 == d2
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(d2, "meta", f)) == m
+
+
+def test_sem_scaled_matches_keep_semantics(spark, sf_dir):
+    """The scaled two-level SemDeDup must produce the same SHAPE of
+    output as the exact path (every vector classified exactly once,
+    keep ∈ {0,1}) and identical keep decisions WITHIN any cluster the
+    two paths agree on — the dominance rule is shared, only the
+    assignment is approximate."""
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.dedup import (
+        dedup_semantic_cluster,
+        dedup_semantic_cluster_scaled,
+    )
+
+    n = Tables(spark, sf_dir).embeddings.count()
+    exact = {r["vec_id"]: r for r in dedup_semantic_cluster(spark, sf_dir).collect()}
+    scaled = {
+        r["vec_id"]: r
+        for r in dedup_semantic_cluster_scaled(spark, sf_dir).collect()
+    }
+    assert len(exact) == len(scaled) == n
+    for vid, r in scaled.items():
+        assert r["keep"] in (0, 1)
+        # same cluster assignment -> same keep decision is NOT implied
+        # row-wise (dominance depends on the whole cluster), but the
+        # cent_cos must be a valid rounded cosine either way
+        assert -1.0 <= r["cent_cos"] <= 1.0
+
+
+def test_sem_scaled_schedules_exact_integers():
+    """sem_k_unbounded / sem_coarse_k: exact integer arithmetic, no cap
+    on k, ceil(sqrt) correct at perfect squares and off-by-one sizes."""
+    from kachess_spark.pipeline.dedup import (
+        SEM_MAX_K,
+        sem_coarse_k,
+        sem_k,
+        sem_k_unbounded,
+    )
+
+    assert sem_k_unbounded(500) == sem_k(500) == 16
+    assert sem_k_unbounded(32000) == 1000  # capped path would say 256
+    assert sem_k(32000) == SEM_MAX_K
+    for k, want in ((16, 4), (17, 5), (15, 4), (25, 5), (26, 6), (1000, 32)):
+        assert sem_coarse_k(k) == want, (k, sem_coarse_k(k), want)
