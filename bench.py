@@ -91,6 +91,7 @@ BREADTH = [
     "sim_knn_graph_ivf",
     "sim_knn_graph_incremental",
     "dedup_semantic_cluster_scaled",
+    "sim_knn_graph_prescreened",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

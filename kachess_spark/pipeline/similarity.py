@@ -760,6 +760,97 @@ def _knn_refine_round(
     return _knn_topk(_exact_cosine_edges(emb, cands))
 
 
+KNN_PRESCREEN_DIMS = 32  # prefix-projection width for the prescreen
+KNN_PRESCREEN_C = 128  # exact-rerank shortlist per node
+# (32, 128) from the round-11 sweep: recall@3 0.774 at sf0.1 vs the
+# plain path's 0.792, at half the fold width and a linear re-rank —
+# (16, 64) measured 0.539, (16, 128) 0.664, (32, 64) 0.717
+
+
+@query("sim_knn_graph_prescreened")  # oracle attached post-hoc below
+def sim_knn_graph_prescreened(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    n_probe: int | None = None,
+    refine: int = KNN_GRAPH_REFINE,
+    prescreen_c: int = KNN_PRESCREEN_C,
+) -> DataFrame:
+    """k-NN graph over the STORED IVF index with a PREFIX-PROJECTION
+    prescreen — the variant whose full-precision work stays linear in
+    n: sim_knn_graph_ivf's exact DECIMAL cosine touches every
+    inverted-list candidate (n·n_probe·n/cells ~ n^1.5 pairs — 372 s
+    at the 16x fixture); here candidates are first ranked by the exact
+    DECIMAL cosine of their {KNN_PRESCREEN_DIMS}-dim PREFIX (a 2x
+    cheaper fold over the SAME join shape — zero extra exchanges), and
+    the full-width re-rank touches only the top-``prescreen_c`` per
+    node (n·prescreen_c pairs).  The prefix of a random embedding is
+    itself a random projection (the emb_random_projection JL argument),
+    so prefix ranks correlate with full ranks; ``refine`` NN-descent
+    rounds heal the residual misses the same way they heal the plain
+    path's Voronoi misses.
+
+    A PQ-ADC prescreen (FAISS IVFADC) was built and measured first:
+    relational code-lookup joins expand every candidate pair into M
+    tiny rows (768 M rows through two exchanges at 16x) and lost to
+    the fat-fold plan they replaced (>590 s vs 372 s) — in Spark's
+    execution model, per-row exchange overhead beats per-row fold
+    width; the prefix prescreen keeps the fold-width saving WITHOUT
+    new rows or exchanges (BASELINE.md round-11 negative result).
+
+    Every rank key is a rounded exact-DECIMAL cosine with id
+    tie-breaks, so the DuckDB twin replays the chain end-to-end and
+    the driver hash certifies the graph."""
+    import os
+
+    if index_dir is None:
+        index_dir = build_ivf_index(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assign = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    if n_probe is None:
+        cells = int(
+            spark.read.parquet(os.path.join(index_dir, "meta")).head()["cells"]
+        )
+        n_probe = knn_graph_n_probe(cells)
+
+    # IVF candidate generation — identical to sim_knn_graph_ivf
+    qprobe = ivf_assign(spark, emb, centroids, n=n_probe).select(
+        F.col("vid").alias("src"), F.col("cell").alias("data_cell")
+    )
+    cands = (
+        assign.join(qprobe, "data_cell")
+        .where(F.col("vid") != F.col("src"))
+        .select("src", F.col("vid").alias("dst"))
+        .distinct()
+        # the prescreen folds are CPU-bound — spread (r10 lesson)
+        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+    )
+
+    # prefix prescreen: exact DECIMAL cosine over the first
+    # {KNN_PRESCREEN_DIMS} components, same join shape as the full
+    # scoring but a 4x narrower fold; top-C per node survives
+    pre = emb.select(
+        "vec_id",
+        F.slice("embedding", 1, KNN_PRESCREEN_DIMS).alias("embedding"),
+    )
+    wa = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst")
+    )
+    short = (
+        _exact_cosine_edges(pre, cands)
+        .select("src", "dst", F.row_number().over(wa).alias("ark"))
+        .where(F.col("ark") <= prescreen_c)
+        .select("src", "dst")
+        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+    )
+    topk = _knn_topk(_exact_cosine_edges(emb, short))
+    for _ in range(refine):
+        topk = _knn_refine_round(spark, emb, topk)
+    return topk.orderBy("src", "rk")
+
+
 # ------------------------- incremental k-NN graph maintenance
 # (round-11 verdict #6): compose pipeline_snapshot_diff's added/
 # changed/removed classification with the LSH graph — update the
@@ -3497,9 +3588,84 @@ def _sim_knn_graph_incremental_oracle() -> str:
     {_sim_knn_graph_oracle(corpus="v2_corpus", n_src="embeddings")}"""
 
 
+def _sim_knn_graph_prescreened_oracle(
+    refine: int = KNN_GRAPH_REFINE,
+) -> str:
+    """sim_knn_graph_prescreened: the IVF-graph candidate chain, the
+    {KNN_PRESCREEN_DIMS}-dim prefix-cosine prescreen (exact DECIMAL
+    over pos <= prefix), top-{KNN_PRESCREEN_C} per node, full-width
+    re-rank, unrolled NN-descent rounds."""
+    cells = _sql_ivf_cells("n")
+    serving = (
+        f"CASE WHEN cells <= {N_CELLS} THEN {N_PROBE}"
+        f" ELSE {N_PROBE} + {_sql_ceil_log2_ratio('cells', N_CELLS)} END"
+    )
+    rounds = ",\n    ".join(
+        _sql_knn_refine_round(f"g_e{r}", r) for r in range(refine)
+    )
+    rounds = f",\n    {rounds}" if rounds else ""
+    return f"""
+    WITH {_sql_ivf_chain("TRUE", "g_")},
+    g_k AS (SELECT cells, LEAST(cells, 2 * ({serving})) AS np
+            FROM (SELECT {cells} AS cells FROM g_par0)),
+    g_qcos AS (
+      SELECT t.vid AS src, t.cell,
+             CAST(t.dot AS DOUBLE)
+               / SQRT(CAST(n.nn AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cos
+      FROM (SELECT d.vid, c.cell,
+                   SUM(CAST(d.dv * c.cv AS DECIMAL(28,14))) AS dot
+            FROM g_d d JOIN g_centF c USING (pos)
+            GROUP BY d.vid, c.cell) t
+      JOIN g_norms n ON n.vid = t.vid
+      JOIN g_asgF_cn c ON c.cell = t.cell
+    ),
+    g_qprobe AS (
+      SELECT src, cell FROM g_qcos
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, cell)
+        <= (SELECT np FROM g_k)
+    ),
+    g_cand AS (
+      SELECT DISTINCT pr.src, a.vid AS dst
+      FROM g_asgF a JOIN g_qprobe pr ON a.cell = pr.cell
+      WHERE a.vid <> pr.src
+    ),
+    g_pn AS (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS pn
+      FROM g_d WHERE pos <= {KNN_PRESCREEN_DIMS} GROUP BY vid
+    ),
+    g_pdot AS (
+      SELECT c.src, c.dst,
+             SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+      FROM g_cand c
+      JOIN g_d d ON d.vid = c.dst AND d.pos <= {KNN_PRESCREEN_DIMS}
+      JOIN g_d q ON q.vid = c.src AND q.pos = d.pos
+      GROUP BY c.src, c.dst
+    ),
+    g_short AS (
+      SELECT src, dst FROM (
+        SELECT p.src, p.dst,
+               ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY
+                 ROUND(CAST(p.dot AS DOUBLE)
+                       / SQRT(CAST(n1.pn AS DOUBLE)
+                              * CAST(n2.pn AS DOUBLE)), 6) DESC,
+                 p.dst) AS rn
+        FROM g_pdot p
+        JOIN g_pn n1 ON n1.vid = p.dst
+        JOIN g_pn n2 ON n2.vid = p.src
+      ) WHERE rn <= {KNN_PRESCREEN_C}
+    ),
+    {_sql_knn_score_rank("g_short", "g_e0")}{rounds}
+    SELECT src, dst, cosine, rk FROM g_e{refine}
+    ORDER BY src, rk
+"""
+
+
 _add_oracle("sim_knn_graph", "\n    WITH " + _sim_knn_graph_oracle())
 _add_oracle("sim_knn_graph_ivf", _sim_knn_graph_ivf_oracle())
 _add_oracle("sim_knn_graph_incremental", _sim_knn_graph_incremental_oracle())
+_add_oracle(
+    "sim_knn_graph_prescreened", _sim_knn_graph_prescreened_oracle()
+)
 
 
 # --------------------------------------------- MMR diversified top-k

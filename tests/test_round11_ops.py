@@ -225,3 +225,41 @@ def test_sem_scaled_schedules_exact_integers():
     assert sem_k(32000) == SEM_MAX_K
     for k, want in ((16, 4), (17, 5), (15, 4), (25, 5), (26, 6), (1000, 32)):
         assert sem_coarse_k(k) == want, (k, sem_coarse_k(k), want)
+
+
+def test_knn_graph_prescreened_recall_floor(spark, sf_dir):
+    """Prescreened graph: population recall@3 (all nodes) must clear
+    the 0.6 floor with the default dials (measured 0.774 at sf0.1,
+    0.78+ at sf0.001) and keep the exact per-node edge structure."""
+    import numpy as np
+
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        KNN_K,
+        build_ivf_index,
+        sim_knn_graph_prescreened,
+    )
+
+    rows = (
+        Tables(spark, sf_dir).embeddings.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    S = mn @ mn.T
+    np.fill_diagonal(S, -np.inf)
+    truth = {
+        int(ids[i]): {int(ids[j]) for j in np.lexsort((ids, -S[i]))[:KNN_K]}
+        for i in range(len(ids))
+    }
+    idx = build_ivf_index(spark, sf_dir)
+    got = sim_knn_graph_prescreened(spark, sf_dir, index_dir=idx).collect()
+    by: dict[int, set[int]] = {}
+    rks: dict[int, list] = {}
+    for r in got:
+        assert r["src"] != r["dst"]
+        by.setdefault(r["src"], set()).add(r["dst"])
+        rks.setdefault(r["src"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in rks.values())
+    hits = sum(len(by.get(int(v), set()) & truth[int(v)]) for v in ids)
+    assert hits / (len(ids) * KNN_K) >= 0.6
