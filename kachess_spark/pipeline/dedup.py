@@ -1072,6 +1072,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_TAU = COS_THRESHOLD  # in-cluster near-dup cosine threshold
 SEM_TARGET_CLUSTER = 32  # expected vectors per cluster
 SEM_MIN_K, SEM_MAX_K = 16, 256
+# Largest corpus the capped flat assignment handles with LINEAR pair
+# volume: past n = SEM_MAX_K * SEM_TARGET_CLUSTER the k cap binds,
+# cluster size grows with n, and the in-cluster pair stage turns
+# n²/SEM_MAX_K (measured 24.6x wall for 16x data, BASELINE.md round
+# 11).  dedup_semantic_cluster auto-delegates to the two-level scaled
+# assignment beyond this point (round-12 verdict #1).
+SEM_EXACT_MAX_N = SEM_MAX_K * SEM_TARGET_CLUSTER
 
 
 def sem_k(n_vectors: int) -> int:
@@ -1507,7 +1514,25 @@ assign AS (
 {_SEM_TAIL_SQL}"""
 
 
-@query("dedup_semantic_cluster", _SEM_ORACLE)
+# The registered SemDeDup oracle mirrors the Spark-side auto-delegation
+# (below): at or under SEM_EXACT_MAX_N vectors the exact flat-assignment
+# chain runs; past it the two-level scaled chain does.  Both branches
+# are full chains gated by a COUNT(*) predicate, so the driver hash
+# certifies WHICHEVER branch the corpus size selects — the branch rule
+# itself is part of the certified surface.
+_SEM_AUTO_ORACLE = f"""
+SELECT vec_id, cluster, cent_cos, keep FROM (
+{_SEM_ORACLE}
+) semx WHERE (SELECT COUNT(*) FROM embeddings) <= {SEM_EXACT_MAX_N}
+UNION ALL
+SELECT vec_id, cluster, cent_cos, keep FROM (
+{_SEM_SCALED_ORACLE}
+) semsc WHERE (SELECT COUNT(*) FROM embeddings) > {SEM_EXACT_MAX_N}
+ORDER BY vec_id
+"""
+
+
+@query("dedup_semantic_cluster", _SEM_AUTO_ORACLE)
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then inside each cluster
@@ -1528,17 +1553,23 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     partially before its n-row shuffle — shuffle is n rows, not n·k).
     The in-cluster pair join shuffles on the cluster id; per-cluster
     work is quadratic in cluster size, which sem_k holds ~constant —
-    UNTIL the SEM_MAX_K cap binds (~8k vectors): past it, cluster size
-    grows with n and pair volume is n²/{SEM_MAX_K} (measured 24.6x
-    wall for 16x data).  Beyond the cap use the certified sibling
-    ``dedup_semantic_cluster_scaled`` — a two-level coarse-probe
-    assignment with UNCAPPED k, linear pair volume, and identical
-    keep/drop semantics per cluster.
+    UNTIL the SEM_MAX_K cap would bind (n > {SEM_EXACT_MAX_N}): past
+    that, a capped k makes cluster size grow with n and pair volume
+    n²/{SEM_MAX_K} (measured 24.6x wall for 16x data, BASELINE.md
+    round 11), so this entry point AUTO-DELEGATES to the two-level
+    scaled assignment (``sem_assign_scaled`` — uncapped k, linear
+    pair volume, identical keep/drop semantics per cluster; certified
+    standalone as ``dedup_semantic_cluster_scaled``).  The DuckDB
+    oracle replays the same n-gated branch, so the delegation rule is
+    hash-certified, not just documented.
     """
     t = Tables(spark, sf_dir)
-    k = sem_k(t.embeddings.count())
-    assigned = sem_assign(t.embeddings, k).localCheckpoint(eager=False)
-    return _sem_keep_tail(assigned)
+    n = t.embeddings.count()
+    if n > SEM_EXACT_MAX_N:
+        assigned = sem_assign_scaled(t.embeddings, sem_k_unbounded(n))
+    else:
+        assigned = sem_assign(t.embeddings, sem_k(n))
+    return _sem_keep_tail(assigned.localCheckpoint(eager=False))
 
 
 def _sem_keep_tail(assigned: DataFrame) -> DataFrame:

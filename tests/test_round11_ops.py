@@ -186,9 +186,14 @@ def test_knn_graph_incremental_state_reuse(spark, sf_dir, tmp_path):
 def test_sem_scaled_matches_keep_semantics(spark, sf_dir):
     """The scaled two-level SemDeDup must produce the same SHAPE of
     output as the exact path (every vector classified exactly once,
-    keep ∈ {0,1}) and identical keep decisions WITHIN any cluster the
-    two paths agree on — the dominance rule is shared, only the
-    assignment is approximate."""
+    keep ∈ {0,1}, cent_cos a valid rounded cosine).  If any cluster's
+    FULL membership matches across paths its keep decisions must match
+    member-for-member (shared dominance tail) — at this fixture's 16
+    clusters the approximate assignment typically shifts every cluster,
+    so that check is conditional; the unconditional cross-path equality
+    proof lives in test_round12_ops.test_sem_auto_delegates_past_cap
+    (the registered name delegates to the scaled machinery past the
+    cap and the outputs are row-identical)."""
     from kachess_spark.catalog import Tables
     from kachess_spark.pipeline.dedup import (
         dedup_semantic_cluster,
@@ -208,6 +213,23 @@ def test_sem_scaled_matches_keep_semantics(spark, sf_dir):
         # row-wise (dominance depends on the whole cluster), but the
         # cent_cos must be a valid rounded cosine either way
         assert -1.0 <= r["cent_cos"] <= 1.0
+    # the dominance tail is SHARED, so for any cluster whose FULL
+    # membership (and per-member cent_cos) matches across paths the
+    # keep decisions must be identical member-for-member (r11 ADVICE:
+    # this was promised by the docstring but never asserted)
+    def members(rows):
+        out: dict = {}
+        for r in rows.values():
+            out.setdefault(r["cluster"], set()).add(
+                (r["vec_id"], r["cent_cos"])
+            )
+        return out
+
+    em, sm = members(exact), members(scaled)
+    agreed = [c for c in em if sm.get(c) == em[c]]
+    for c in agreed:
+        for vid, _ in em[c]:
+            assert exact[vid]["keep"] == scaled[vid]["keep"], (c, vid)
 
 
 def test_sem_scaled_schedules_exact_integers():

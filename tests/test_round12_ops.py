@@ -1,0 +1,106 @@
+"""Round-12 operator tests: SemDeDup auto-delegation past the k cap
+(verdict #1), the pure NN-descent linear graph builder (verdict #2),
+and the supporting schedule/guard fixes from ADVICE.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+BIG_N_REPLICAS = 5  # 5 x 2000 sf0.1 vectors = 10000 > SEM_EXACT_MAX_N
+
+
+@pytest.fixture(scope="module")
+def big_emb_dir(spark, tmp_path_factory):
+    """An embeddings-only fixture PAST the SemDeDup exact-path cap
+    (10000 > 8192): sf0.1's 2000 vectors replicated 5x with rotated
+    components (the scale_probe convention — replicas are distinct
+    vectors, not true near-duplicates) and offset ids."""
+    out = tmp_path_factory.mktemp("sem_big")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    dim = len(base.select("embedding").head()["embedding"])
+    parts = []
+    for i in range(BIG_N_REPLICAS):
+        p = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        r = i % dim
+        if r:
+            p = p.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, size(embedding) - {r}),"
+                    f" slice(embedding, 1, {r}))"
+                ),
+            )
+        parts.append(p)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(8).write.parquet(os.path.join(str(out), "embeddings.parquet"))
+    return str(out)
+
+
+def test_sem_auto_delegates_past_cap(spark, big_emb_dir):
+    """Past SEM_EXACT_MAX_N the registered name must take the scaled
+    two-level branch: its output is row-for-row identical to
+    dedup_semantic_cluster_scaled (same machinery), and its row count
+    covers every vector exactly once."""
+    from kachess_spark.pipeline.dedup import (
+        SEM_EXACT_MAX_N,
+        dedup_semantic_cluster,
+        dedup_semantic_cluster_scaled,
+    )
+
+    n = spark.read.parquet(
+        os.path.join(big_emb_dir, "embeddings.parquet")
+    ).count()
+    assert n > SEM_EXACT_MAX_N
+    auto = dedup_semantic_cluster(spark, big_emb_dir).collect()
+    scaled = dedup_semantic_cluster_scaled(spark, big_emb_dir).collect()
+    assert len(auto) == n
+    assert auto == scaled
+
+
+def test_sem_auto_oracle_certifies_scaled_branch(spark, big_emb_dir):
+    """The registered auto-oracle's n-gated UNION must select the
+    two-level chain past the cap and hash-match the Spark side — the
+    branch RULE is certified, not just the fixture-scale branch (the
+    exact branch is certified by test_oracle_parity at the test SF)."""
+    from kachess_spark import registry
+    from tools.check_parity import compare
+
+    registry.load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(big_emb_dir, 'embeddings.parquet')}/*.parquet')"
+    )
+    sdf = registry.QUERIES["dedup_semantic_cluster"](
+        spark, big_emb_dir
+    ).toPandas()
+    ddf = (
+        con.execute(registry.ORACLES["dedup_semantic_cluster"])
+        .arrow()
+        .to_pandas()
+    )
+    con.close()
+    problems = compare("dedup_semantic_cluster", sdf, ddf)
+    assert not problems, problems
+
+
+def test_sem_trigger_boundary():
+    """The delegation trigger is exactly n > SEM_MAX_K*SEM_TARGET_CLUSTER
+    — the largest n where the capped k still tracks n/target."""
+    from kachess_spark.pipeline.dedup import (
+        SEM_EXACT_MAX_N,
+        SEM_MAX_K,
+        sem_k,
+        sem_k_unbounded,
+    )
+
+    assert sem_k(SEM_EXACT_MAX_N) == sem_k_unbounded(SEM_EXACT_MAX_N) == SEM_MAX_K
+    assert sem_k(SEM_EXACT_MAX_N + 1) == SEM_MAX_K
+    assert sem_k_unbounded(SEM_EXACT_MAX_N + 1) == SEM_MAX_K + 1
