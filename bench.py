@@ -266,24 +266,43 @@ def main() -> None:
         out["profile"] = per_profile
     print(json.dumps(out))
     if profile:
-        # The driver records only the LAST ~2000 chars of output and
+        # The driver records only the LAST 2000 chars of output and
         # parses the JSON line it finds there.  With the profile map the
         # full line is ~7000 chars, so its opening brace scrolls out of
         # the tail and the artifact loses every timing (BENCH_r09.json,
-        # round-9 verdict #1).  Emit a compact timings-only duplicate as
-        # the FINAL line — ~1700 chars, always inside the tail window —
-        # so the per-query walls and subtotals survive tail-capture while
-        # the full line above keeps the profile for local analysis.
+        # round-9 verdict #1).  Emit a compact duplicate as the FINAL
+        # line, kept under the window by construction, carrying the
+        # fields cross-round adjudication needs (round-11 verdict #3):
+        # per-query walls, per-query shuffle-write MB ("sw", a csv of
+        # ints aligned with the "queries" key order), and the host
+        # loadavg context ("load" = start 1/5/15 then end 1/5/15) —
+        # same bytes + same tasks + slower wall = host noise, not a
+        # plan change.  The full line above keeps exact bytes/tasks.
         compact = {k: v for k, v in out.items() if k != "profile"}
-        line = json.dumps(compact)
-        if len(line) > 1950:
-            # keep the line inside the tail window no matter how many
-            # breadth queries the suite grows: 2-decimal walls first,
-            # then drop the loadavg context (it stays in the full line)
-            compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
-            compact.pop("loadavg_start", None)
-            compact.pop("loadavg_end", None)
-            line = json.dumps(compact)
+        compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+        compact["sw"] = ",".join(
+            str(int(round(per_profile[n]["shuffle_write_mb"])))
+            for n in per_query
+        )
+        compact["load"] = [
+            round(x, 1) for x in (load_start + compact.pop("loadavg_end"))
+        ]
+        compact.pop("loadavg_start", None)
+        line = json.dumps(compact, separators=(",", ":"))
+        # degradation ladder if the suite outgrows the window: each step
+        # drops redundancy, never the walls / sw / load themselves
+        if len(line) > 1990:
+            compact.pop("metric", None)  # constant string, in full line
+            compact.pop("unit", None)
+            line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1990:
+            compact["sw"] = ",".join(  # cap pathological values at 3 digits
+                str(min(999, int(s))) for s in compact["sw"].split(",")
+            )
+            compact["subtotals"] = {
+                "headline_18": headline_total, "all": total
+            }
+            line = json.dumps(compact, separators=(",", ":"))
         print(line)
 
 

@@ -106,7 +106,15 @@ def agg_approx_distinct(
     regression that drifts the sketch past {_ADC_SIGMA}σ flips it to
     FALSE and the driver hash catches it.  ``certify=False`` returns
     the raw estimate surface (what a user queries; pytest keeps its
-    bounds there too)."""
+    bounds there too).
+
+    Gate honesty (round-11 ADVICE): the hardcoded-TRUE belt certifies
+    the FIXTURE, not a theorem — on freshly drawn data a {_ADC_SIGMA}σ
+    Gaussian excursion flips a group's boolean with probability
+    ~6e-7 per group (negligible but nonzero; the CMS twin documents
+    its own, larger residual).  The driver replays the same fixture,
+    where the boolean is deterministic — verified TRUE at every
+    checked-in SF."""
     t = Tables(spark, sf_dir)
     est = t.lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=_ADC_RSD).alias(
@@ -978,6 +986,19 @@ def agg_count_min_sketch(
     replayable) + ``est_in_bounds`` = exact ≤ est ≤ exact + eps·N + 1.
     The xxhash64 slots are fixed, so the boolean is deterministic; the
     oracle emits TRUE and a sketch regression flips the driver hash.
+
+    Gate honesty (round-11 ADVICE): the oracle's hardcoded TRUE is a
+    per-FIXTURE certification, not a theorem — the CMS bound holds
+    w.h.p. per probe (P[est > exact + eps·N] ≤ e^-d ≈ 0.7% here), so
+    on freshly drawn data the 20-probe belt fails with probability
+    ≤ 20·e^-d ≈ 13% by union bound.  The driver re-runs the SAME
+    fixture, where the boolean is a deterministic function of the
+    fixed xxhash64 slots — verified TRUE at every checked-in SF — so
+    the gate is sound for regression detection, which is its job; a
+    re-drawn-fixture deployment would move the belt into the estimate
+    column itself rather than a boolean.  eps·N is computed INSIDE the
+    plan (1-row broadcast agg) — no eager count() on the default
+    surface.
     """
     from kachess_spark.catalog import load_table
 
@@ -1003,12 +1024,20 @@ def agg_count_min_sketch(
     )
     if not certify:
         return est
-    n_total = ev.count()
-    eps_n = max(1, int(0.001 * n_total) + 1)
+    # eps·N as a 1-row broadcast agg instead of an eager ev.count():
+    # same value (floor of the double product, +1, floored at 1 — both
+    # engines' IEEE doubles agree), zero extra driver actions
+    eps_n = ev.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.count("*") * F.lit(0.001)).cast("long") + F.lit(1),
+        ).alias("eps_n")
+    )
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
     return (
         est.join(exact, "user_id", "left")
         .fillna(0, subset=["exact_count"])
+        .crossJoin(F.broadcast(eps_n))
         .select(
             "user_id",
             "exact_count",
@@ -1016,7 +1045,7 @@ def agg_count_min_sketch(
                 (F.col("est_count") >= F.col("exact_count"))
                 & (
                     F.col("est_count")
-                    <= F.col("exact_count") + F.lit(eps_n)
+                    <= F.col("exact_count") + F.col("eps_n")
                 )
             ).alias("est_in_bounds"),
         )

@@ -246,11 +246,18 @@ def _ceil_log2_ratio(a: int, b: int) -> int:
 def _sql_ceil_log2_ratio(a: str, b: int) -> str:
     """DuckDB twin of ``_ceil_log2_ratio(a, {b})``: the same smallest-k
     integer-shift search (HUGEINT so b·2^62 can't overflow), no
-    floating LOG2 anywhere."""
+    floating LOG2 anywhere.
+
+    The search stops at k=62; a > b·2^62 would make the MIN NULL and
+    silently desync from the unbounded Python loop (round-11 ADVICE),
+    so the NULL case raises loudly via DuckDB's error() instead —
+    unreachable at any real corpus (2^62 vectors), but a failure that
+    names itself beats a hash mismatch three stages later."""
     return (
-        f"(SELECT MIN(k) FROM generate_series(0, 62) g(k)"
+        f"COALESCE((SELECT MIN(k) FROM generate_series(0, 62) g(k)"
         f" WHERE CAST({b} AS HUGEINT) * (CAST(1 AS HUGEINT) << k)"
-        f" >= {a})"
+        f" >= {a}),"
+        f" CAST(error('ceil_log2_ratio: ratio exceeds 2^62') AS INTEGER))"
     )
 
 

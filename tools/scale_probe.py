@@ -73,9 +73,21 @@ def build(spark, k: int) -> str:
                     # true near-duplicate — the pair-output operators would
                     # then measure quadratic TRUE-DUP growth, a property of
                     # the fixture, not of the plan under test).  Rotation is
-                    # mod dim (slice had negative length past k=dim), and
-                    # every dim-th replica block flips sign so replicas stay
-                    # distinct beyond dim copies (cosine -1 ≠ near-dup).
+                    # mod dim (slice had negative length past k=dim);
+                    # composing it with an optional sign flip and an
+                    # optional reversal gives 4*dim distinct transforms —
+                    # replica block 2 of the rotate+flip-only scheme
+                    # reproduced block 0 verbatim at k > 2*dim (round-11
+                    # ADVICE), silently reintroducing the true-dup fixture
+                    # artifact at the 256x octave.
+                    if k > 4 * dim:
+                        raise ValueError(
+                            f"embeddings replication supports at most "
+                            f"k={4 * dim} distinct replicas at dim={dim} "
+                            f"(rotation x sign x reversal); got k={k} — "
+                            f"add another orthogonal transform before "
+                            f"probing past that"
+                        )
                     r = i % dim
                     if r:
                         p = p.withColumn(
@@ -90,6 +102,10 @@ def build(spark, k: int) -> str:
                         p = p.withColumn(
                             "embedding",
                             F.expr("transform(embedding, x -> -x)"),
+                        )
+                    if (i // (2 * dim)) % 2 == 1:
+                        p = p.withColumn(
+                            "embedding", F.expr("reverse(embedding)")
                         )
                 if name == "documents" and i > 0:
                     # same for text: salt every word with the replica index
