@@ -72,6 +72,22 @@ def scaled_partitions(
     return max(spark.sparkContext.defaultParallelism, min(need, 100_000))
 
 
+def partitions_for_rows(
+    spark, n_rows: int, row_bytes: int = 24, part_bytes: int = 32 << 20
+) -> int:
+    """Exchange width for a frame whose CARDINALITY is known at plan
+    time (candidate pairs = n·probe·cell, refine edges = n·(2k)², …):
+    ceil(rows·row_bytes / part_bytes), floored at defaultParallelism,
+    capped at 100k.  The row-count companion of ``scaled_partitions``
+    (round-11 verdict #6): a repartition pinned at defaultParallelism
+    keeps 32 slots at every corpus size, so per-task volume grows with
+    the data and crosses memory at ~100x — sizing from the known
+    cardinality keeps per-task bytes ~constant while AQE still
+    coalesces an overshoot."""
+    need = int(-(-n_rows * row_bytes // part_bytes))
+    return max(spark.sparkContext.defaultParallelism, min(need, 100_000))
+
+
 # Session-scoped DataFrame cache: spark.read.parquet costs a file
 # listing + schema RPC per call, and every query invocation paid it
 # again for every table it touches (~50-150 ms each — measured as a

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kachess_spark.catalog import Tables
+from kachess_spark.catalog import Tables, scaled_partitions
 from kachess_spark.registry import query
 
 N_HASHES = 6  # minhash signature length
@@ -1986,7 +1986,13 @@ def _diagonal_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos", "fp"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "fp")
+        # corpus-proportional width (round-11 verdict #6): the
+        # positional-postings explode writes ~12x the compressed
+        # document bytes (measured sf0.1: 260k positions ≈ 7.3 MB vs
+        # 0.59 MB parquet) — a defaultParallelism pin kept 32 slots at
+        # every corpus size, the tf-idf postings trap all over again;
+        # 16x expansion leaves margin for wider shingles
+        .repartition(scaled_partitions(spark, sf_dir, "documents", 16), "fp")
         # eager: posts has three consumers inside one job (the df-count
         # groupBy and both sides of the self-join) — a lazy checkpoint
         # would race them into concurrent recompute of the same blocks

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast
 
-from kachess_spark.catalog import Tables
+from kachess_spark.catalog import Tables, partitions_for_rows
 from kachess_spark.registry import query
 
 QUERY_IDS = (1, 2, 3)
@@ -694,15 +694,16 @@ def sim_knn_graph_ivf(
     emb = t.embeddings.select("vec_id", "embedding")
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assign = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    cells = int(
+        spark.read.parquet(os.path.join(index_dir, "meta")).head()["cells"]
+    )
     if n_probe is None:
-        cells = int(
-            spark.read.parquet(os.path.join(index_dir, "meta")).head()["cells"]
-        )
         n_probe = knn_graph_n_probe(cells)
     # corpus-wide multi-probe: every node's n_probe nearest cells
     qprobe = ivf_assign(spark, emb, centroids, n=n_probe).select(
         F.col("vid").alias("src"), F.col("cell").alias("data_cell")
     )
+    n = emb.count()
     cands = (
         assign.join(qprobe, "data_cell")  # inverted lists x probe sets
         .where(F.col("vid") != F.col("src"))
@@ -712,38 +713,48 @@ def sim_knn_graph_ivf(
         # MB) and the cell-partitioned index arrives in few tasks — but
         # the next stage is CPU-bound DECIMAL folds, so spread it
         # explicitly or the exact scoring runs on a handful of cores
-        # (measured: 24 s -> ~6 s for the scoring stage at sf0.1)
+        # (measured: 24 s -> ~6 s for the scoring stage at sf0.1).
+        # Width sized from the KNOWN candidate cardinality n·np·cell
+        # (round-11 verdict #6) — a defaultParallelism pin kept 32
+        # slots at every corpus size, so per-task volume grew n^1.5
         .repartition(
-            spark.sparkContext.defaultParallelism, "src", "dst"
+            partitions_for_rows(spark, n * n_probe * max(1, n // cells)),
+            "src",
+            "dst",
         )
     )
     topk = _knn_topk(_exact_cosine_edges(emb, cands))
     for _ in range(refine):
-        topk = _knn_refine_round(spark, emb, topk)
+        topk = _knn_refine_round(spark, emb, topk, n_rows=n)
     return topk.orderBy("src", "rk")
 
 
-def _knn_topk(scored: DataFrame) -> DataFrame:
-    """Per-source top-{KNN_K} over a scored (src, dst, cosine) edge
-    frame — the shared rank tail of the graph builders."""
+def _knn_topk(scored: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Per-source top-``k`` (default {KNN_K}) over a scored
+    (src, dst, cosine) edge frame — the shared rank tail of the graph
+    builders; the descent builder ranks at its working degree."""
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return scored.select(
         "src", "dst", "cosine", F.row_number().over(w).alias("rk")
-    ).where(F.col("rk") <= KNN_K)
+    ).where(F.col("rk") <= k)
 
 
 def _knn_refine_round(
-    spark: SparkSession, emb: DataFrame, topk: DataFrame
+    spark: SparkSession,
+    emb: DataFrame,
+    topk: DataFrame,
+    k: int = KNN_K,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """One NN-descent round: candidates(u) = N(u) ∪ N⁻¹(u) ∪ the
     two-hop closure over the undirected current graph, re-scored with
-    the same exact-DECIMAL cosine and re-ranked top-{KNN_K}.  Because
+    the same exact-DECIMAL cosine and re-ranked top-``k``.  Because
     the current edges re-enter the candidate set, per-node recall is
     monotone non-decreasing round over round.  Candidate volume is
-    ≤ n·(2·{KNN_K})² + 2n·{KNN_K} rows — linear in n, so the round
-    costs one small self-join shuffle and one scoring pass regardless
-    of corpus size.  The graph oracle unrolls the identical round(s)
-    in SQL, so refinement stays hash-certified."""
+    ≤ n·(2·k)² + 2n·k rows — linear in n, so the round costs one
+    small self-join shuffle and one scoring pass regardless of corpus
+    size.  The graph oracles unroll the identical round(s) in SQL, so
+    refinement stays hash-certified."""
     edges = topk.select("src", "dst")
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -758,13 +769,20 @@ def _knn_refine_round(
         .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
+    width = (
+        partitions_for_rows(spark, n_rows * (4 * k * k + 2 * k))
+        if n_rows is not None
+        else spark.sparkContext.defaultParallelism
+    )
     cands = (
         und.unionByName(two_hop)
         .distinct()
-        # same CPU-bound-fold spread as the probe stage above
-        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+        # same CPU-bound-fold spread as the probe stage above; width
+        # sized from the round's bounded cardinality n·(2k)² when the
+        # caller knows n (round-11 verdict #6)
+        .repartition(width, "src", "dst")
     )
-    return _knn_topk(_exact_cosine_edges(emb, cands))
+    return _knn_topk(_exact_cosine_edges(emb, cands), k=k)
 
 
 KNN_PRESCREEN_DIMS = 32  # prefix-projection width for the prescreen
@@ -816,23 +834,29 @@ def sim_knn_graph_prescreened(
     emb = t.embeddings.select("vec_id", "embedding")
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assign = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    cells = int(
+        spark.read.parquet(os.path.join(index_dir, "meta")).head()["cells"]
+    )
     if n_probe is None:
-        cells = int(
-            spark.read.parquet(os.path.join(index_dir, "meta")).head()["cells"]
-        )
         n_probe = knn_graph_n_probe(cells)
 
     # IVF candidate generation — identical to sim_knn_graph_ivf
     qprobe = ivf_assign(spark, emb, centroids, n=n_probe).select(
         F.col("vid").alias("src"), F.col("cell").alias("data_cell")
     )
+    n = emb.count()
     cands = (
         assign.join(qprobe, "data_cell")
         .where(F.col("vid") != F.col("src"))
         .select("src", F.col("vid").alias("dst"))
         .distinct()
-        # the prescreen folds are CPU-bound — spread (r10 lesson)
-        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+        # the prescreen folds are CPU-bound — spread (r10 lesson);
+        # width sized from the known n·np·cell cardinality (r11 #6)
+        .repartition(
+            partitions_for_rows(spark, n * n_probe * max(1, n // cells)),
+            "src",
+            "dst",
+        )
     )
 
     # prefix prescreen: exact DECIMAL cosine over the first
@@ -850,12 +874,161 @@ def sim_knn_graph_prescreened(
         .select("src", "dst", F.row_number().over(wa).alias("ark"))
         .where(F.col("ark") <= prescreen_c)
         .select("src", "dst")
-        .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
+        # shortlist cardinality is exactly n·prescreen_c (r11 #6)
+        .repartition(
+            partitions_for_rows(spark, n * prescreen_c), "src", "dst"
+        )
     )
     topk = _knn_topk(_exact_cosine_edges(emb, short))
     for _ in range(refine):
-        topk = _knn_refine_round(spark, emb, topk)
+        topk = _knn_refine_round(spark, emb, topk, n_rows=n)
     return topk.orderBy("src", "rk")
+
+
+# ------------------------------ pure NN-descent graph builder
+# (round-12 verdict #2): the LINEAR all-corpus builder.  Both stored-
+# index graph paths above carry an n^1.5 candidate stage (IVF sqrt-cell
+# schedule: candidates grew 96x for 16x data — BASELINE.md round 11;
+# the prescreen cut the constant, not the exponent).  NN-descent needs
+# no index at all: seed each node with ~{KNN_DESCENT_INIT} md5-banded
+# pseudo-random partners (O(n) pairs), then iterate the existing
+# refine round — candidates(u) = N(u) ∪ N⁻¹(u) ∪ two-hop — at a
+# working degree of {KNN_DESCENT_K}, which is O(n·(2k)²) per round.
+# Total work is O(n · rounds · k²): linear in n at a fixed schedule,
+# no global structure built or probed.
+
+KNN_DESCENT_K = 16  # working degree during descent (output stays KNN_K)
+KNN_DESCENT_ROUNDS = 6  # fixed unroll; early-stop only at 0 updates
+KNN_DESCENT_BUCKET = 5  # target init bucket size (~4 partners/band)
+KNN_DESCENT_INIT_BANDS = 2  # independent md5 bandings for init diversity
+# (16, 6) from the round-12 sweep at sf0.1 — population recall@3 vs
+# rounds at k_work=16: r4 0.736, r6 0.8815; k_work=8 converged to only
+# 0.244 by r4 (frontier too narrow to propagate) and k_work=24/r4 read
+# 0.954 at ~2x the fold cost.  An LSH-banded init was measured and
+# REJECTED: with 1 band the two-hop closure never leaves its bucket
+# clique (recall froze at 0.055 across rounds); with 2 bands it merely
+# matched random init (0.52 vs 0.52 after 2 rounds at k=16) while
+# costing the full signature projection — random init + a wide-enough
+# working degree is the whole algorithm (Dong et al. 2011).
+
+
+def _knn_descent_init(emb: DataFrame, n: int) -> DataFrame:
+    """Deterministic pseudo-random init edges: {KNN_DESCENT_INIT_BANDS}
+    independent md5 hashes drop every node into a bucket of expected
+    size {KNN_DESCENT_BUCKET}; all in-bucket pairs are the seed
+    candidates (~(bucket-1)·bands partners per node, O(n) total).
+    md5 of the id is the repo's standard deterministic-random draw —
+    the DuckDB twin replays the identical hex-prefix arithmetic.  A
+    node alone in all its buckets starts isolated (P ≈ e^-bucket per
+    band, ~2e-5 for two bands) and stays so — same contract as
+    sim_knn_graph's no-shared-bucket nodes, replayed by the oracle."""
+    n_buckets = max(1, n // KNN_DESCENT_BUCKET)
+    per_band = []
+    for j in range(KNN_DESCENT_INIT_BANDS):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"knnd{j}|"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        per_band.append(
+            emb.select(
+                F.col("vec_id").alias("vid"),
+                F.lit(j).alias("band"),
+                (h % F.lit(n_buckets)).alias("bucket"),
+            )
+        )
+    b = per_band[0]
+    for p in per_band[1:]:
+        b = b.unionByName(p)
+    a = b.select(F.col("vid").alias("src"), "band", "bucket")
+    c = b.select(F.col("vid").alias("dst"), "band", "bucket")
+    return (
+        a.join(c, ["band", "bucket"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@query("sim_knn_graph_descent")  # oracle attached post-hoc below
+def sim_knn_graph_descent(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = KNN_DESCENT_ROUNDS,
+    k_work: int = KNN_DESCENT_K,
+) -> DataFrame:
+    """k-NN graph by PURE NN-descent (Dong et al. 2011, WWW '11 —
+    "Efficient K-Nearest Neighbor Graph Construction for Generic
+    Similarity Measures"): no LSH signatures, no IVF index — seed with
+    md5-banded pseudo-random partners, then let the neighbor-of-
+    neighbor gradient converge.  Each round re-ranks every node
+    against its neighbors, reverse neighbors, and two-hop closure at
+    a working degree of ``k_work`` (> the delivered {KNN_K}: a wider
+    working frontier is what propagates good neighbors — Dong's K);
+    the final graph is the working graph cut to top-{KNN_K}.
+
+    THE linear builder of the family: candidate volume is
+    n·(2·k_work)² per round at ANY corpus size — no n^1.5 inverted-
+    list stage (sim_knn_graph_ivf / _prescreened) and no corpus-wide
+    signature table (sim_knn_graph).  Convergence: recall is monotone
+    per round (current edges re-enter the candidate set); the loop
+    runs a FIXED ``rounds`` unroll and stops early only when a round
+    changes NOTHING — at zero updates every later round is an exact
+    no-op, so early-stop provably equals the full unroll and the
+    fixed-depth DuckDB twin stays an equality proof.  (Dong's
+    update-RATE stop trades determinism for wall-clock; a production
+    run flips that dial, the certified surface keeps it at zero.)
+
+    Every rank key is a rounded exact-DECIMAL cosine with id
+    tie-breaks; init buckets are md5-hex arithmetic — the DuckDB twin
+    replays init and all rounds CTE-for-CTE, so the driver hash
+    certifies the delegation end-to-end."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    cands = _knn_descent_init(emb, n).repartition(
+        max(
+            spark.sparkContext.defaultParallelism,
+            partitions_for_rows(
+                spark,
+                n * KNN_DESCENT_BUCKET * KNN_DESCENT_INIT_BANDS,
+            ),
+        ),
+        "src",
+        "dst",
+    )
+    topk = _knn_topk(_exact_cosine_edges(emb, cands), k=k_work)
+    topk = topk.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        nxt = _knn_refine_round(
+            spark, emb, topk, k=k_work, n_rows=n
+        ).localCheckpoint(eager=False)
+        # zero-update early stop: the edge SET fixed-point implies all
+        # later rounds are identical (scores are deterministic functions
+        # of the set), so stopping here equals the full unroll
+        if (
+            nxt.select("src", "dst")
+            .exceptAll(topk.select("src", "dst"))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            topk = nxt
+            break
+        topk = nxt
+    return (
+        topk.where(F.col("rk") <= KNN_K)
+        .select("src", "dst", "cosine", "rk")
+        .orderBy("src", "rk")
+    )
 
 
 # ------------------------- incremental k-NN graph maintenance
@@ -3471,11 +3644,19 @@ def _sim_knn_graph_oracle(
 
 
 _add_oracle("sim_ivfpq_residual_topk", _sim_ivfpq_residual_oracle())
-def _sql_knn_score_rank(cand: str, out: str) -> str:
+def _sql_knn_score_rank(cand: str, out: str, k: int = KNN_K) -> str:
     """_exact_cosine_edges + _knn_topk in DuckDB over a (src, dst)
     candidate CTE: exact-DECIMAL dot, 6-dp cosine, per-src
-    top-{KNN_K} with the (cosine DESC, dst) tie-break."""
-    return f"""{out}_dot AS (
+    top-``k`` (default {KNN_K}) with the (cosine DESC, dst)
+    tie-break.
+
+    MATERIALIZED: DuckDB inlines CTEs at every reference, and the
+    refine rounds reference each other — inlined, a 6-round unroll
+    re-expands the whole prefix at each level (exponential plans; the
+    descent oracle exhausted the process FD limit re-opening the
+    parquet scan).  Materializing the round outputs bounds the oracle
+    to linear work, matching the Spark side's localCheckpoint."""
+    return f"""{out}_dot AS MATERIALIZED (
       SELECT c.src, c.dst,
              SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
       FROM {cand} c
@@ -3483,7 +3664,7 @@ def _sql_knn_score_rank(cand: str, out: str) -> str:
       JOIN g_d q ON q.vid = c.src AND q.pos = d.pos
       GROUP BY c.src, c.dst
     ),
-    {out} AS (
+    {out} AS MATERIALIZED (
       SELECT src, dst, cosine, rk FROM (
         SELECT s.src, s.dst,
                ROUND(CAST(s.dot AS DOUBLE)
@@ -3497,20 +3678,20 @@ def _sql_knn_score_rank(cand: str, out: str) -> str:
         FROM {out}_dot s
         JOIN g_norms n1 ON n1.vid = s.dst
         JOIN g_norms n2 ON n2.vid = s.src
-      ) WHERE rk <= {KNN_K}
+      ) WHERE rk <= {k}
     )"""
 
 
-def _sql_knn_refine_round(prev: str, r: int) -> str:
+def _sql_knn_refine_round(prev: str, r: int, k: int = KNN_K) -> str:
     """One NN-descent round in DuckDB — _knn_refine_round's exact
     chain: undirected adjacency, two-hop closure, re-score, re-rank."""
-    return f"""g_und{r} AS (
+    return f"""g_und{r} AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM {prev}
         UNION ALL
         SELECT dst AS src, src AS dst FROM {prev})
     ),
-    g_rc{r} AS (
+    g_rc{r} AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM g_und{r}
         UNION ALL
@@ -3518,7 +3699,7 @@ def _sql_knn_refine_round(prev: str, r: int) -> str:
         JOIN g_und{r} b ON a.dst = b.src
         WHERE a.src <> b.dst)
     ),
-    {_sql_knn_score_rank(f"g_rc{r}", f"g_e{r + 1}")}"""
+    {_sql_knn_score_rank(f"g_rc{r}", f"g_e{r + 1}", k=k)}"""
 
 
 def _sim_knn_graph_ivf_oracle(refine: int = KNN_GRAPH_REFINE) -> str:
@@ -3667,12 +3848,60 @@ def _sim_knn_graph_prescreened_oracle(
 """
 
 
+def _sim_knn_graph_descent_oracle(
+    rounds: int = KNN_DESCENT_ROUNDS, k_work: int = KNN_DESCENT_K
+) -> str:
+    """sim_knn_graph_descent: md5-banded init buckets, in-bucket pair
+    seed, score+rank at the working degree, ``rounds`` unrolled
+    NN-descent rounds, final cut to top-{KNN_K}.  The Spark side's
+    zero-update early stop is an exact no-op by construction, so the
+    fixed-depth unroll here is an equality proof."""
+    rounds_sql = ",\n    ".join(
+        _sql_knn_refine_round(f"g_e{r}", r, k=k_work) for r in range(rounds)
+    )
+    rounds_sql = f",\n    {rounds_sql}" if rounds_sql else ""
+    return f"""
+    WITH g_d AS MATERIALIZED (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS dv
+      FROM embeddings
+    ),
+    g_norms AS MATERIALIZED (
+      SELECT vid, SUM(CAST(dv * dv AS DECIMAL(28,14))) AS nn
+      FROM g_d GROUP BY vid
+    ),
+    g_nb AS (
+      SELECT GREATEST(1, COUNT(*) // {KNN_DESCENT_BUCKET}) AS nb
+      FROM embeddings
+    ),
+    g_binit AS (
+      SELECT j.band, e.vec_id AS vid,
+             CAST(('0x' || substr(md5('knnd' || CAST(j.band AS VARCHAR)
+                   || '|' || CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % (SELECT nb FROM g_nb) AS bucket
+      FROM embeddings e CROSS JOIN (
+        SELECT UNNEST(generate_series(0, {KNN_DESCENT_INIT_BANDS - 1}))
+          AS band) j
+    ),
+    g_c0 AS (
+      SELECT DISTINCT a.vid AS src, b.vid AS dst
+      FROM g_binit a
+      JOIN g_binit b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.vid <> b.vid
+    ),
+    {_sql_knn_score_rank("g_c0", "g_e0", k=k_work)}{rounds_sql}
+    SELECT src, dst, cosine, rk FROM g_e{rounds} WHERE rk <= {KNN_K}
+    ORDER BY src, rk
+"""
+
+
 _add_oracle("sim_knn_graph", "\n    WITH " + _sim_knn_graph_oracle())
 _add_oracle("sim_knn_graph_ivf", _sim_knn_graph_ivf_oracle())
 _add_oracle("sim_knn_graph_incremental", _sim_knn_graph_incremental_oracle())
 _add_oracle(
     "sim_knn_graph_prescreened", _sim_knn_graph_prescreened_oracle()
 )
+_add_oracle("sim_knn_graph_descent", _sim_knn_graph_descent_oracle())
 
 
 # --------------------------------------------- MMR diversified top-k

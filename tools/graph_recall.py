@@ -7,9 +7,11 @@ For each graph path, reports recall@KNN_K vs numpy brute force over
 the normalized corpus, plus the wall of the Spark job.
 
 Usage: python tools/graph_recall.py [sf_dir] [path ...]
-       paths: lsh ivf (default: both)
-Extra keyword args for the ivf path can be set via env:
-       GRAPH_NPROBE=<int>  GRAPH_REFINE=<int>
+       paths: lsh ivf prescreened descent (default: lsh ivf)
+Extra keyword args can be set via env:
+       ivf/prescreened: GRAPH_NPROBE=<int>  GRAPH_REFINE=<int>
+       prescreened:     GRAPH_PRESCREEN_C=<int>
+       descent:         GRAPH_ROUNDS=<int>  GRAPH_KWORK=<int>
 
 Prints one JSON line per path; paste-ready for RECALL.md.
 """
@@ -76,13 +78,25 @@ def main() -> None:
 
     if "lsh" in paths:
         run("sim_knn_graph", sim.sim_knn_graph)
+    ivf_kw = {}
+    if os.environ.get("GRAPH_NPROBE"):
+        ivf_kw["n_probe"] = int(os.environ["GRAPH_NPROBE"])
+    if os.environ.get("GRAPH_REFINE"):
+        ivf_kw["refine"] = int(os.environ["GRAPH_REFINE"])
     if "ivf" in paths:
+        run("sim_knn_graph_ivf", sim.sim_knn_graph_ivf, **ivf_kw)
+    if "prescreened" in paths:
+        kw = dict(ivf_kw)
+        if os.environ.get("GRAPH_PRESCREEN_C"):
+            kw["prescreen_c"] = int(os.environ["GRAPH_PRESCREEN_C"])
+        run("sim_knn_graph_prescreened", sim.sim_knn_graph_prescreened, **kw)
+    if "descent" in paths:
         kw = {}
-        if os.environ.get("GRAPH_NPROBE"):
-            kw["n_probe"] = int(os.environ["GRAPH_NPROBE"])
-        if os.environ.get("GRAPH_REFINE"):
-            kw["refine"] = int(os.environ["GRAPH_REFINE"])
-        run("sim_knn_graph_ivf", sim.sim_knn_graph_ivf, **kw)
+        if os.environ.get("GRAPH_ROUNDS"):
+            kw["rounds"] = int(os.environ["GRAPH_ROUNDS"])
+        if os.environ.get("GRAPH_KWORK"):
+            kw["k_work"] = int(os.environ["GRAPH_KWORK"])
+        run("sim_knn_graph_descent", sim.sim_knn_graph_descent, **kw)
 
 
 if __name__ == "__main__":
