@@ -92,6 +92,9 @@ BREADTH = [
     "sim_knn_graph_incremental",
     "dedup_semantic_cluster_scaled",
     "sim_knn_graph_prescreened",
+    # round 12: the linear pure-NN-descent builder (the graph family's
+    # production default past index-free corpora — RECALL.md frontier)
+    "sim_knn_graph_descent",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

@@ -786,10 +786,15 @@ def _knn_refine_round(
 
 
 KNN_PRESCREEN_DIMS = 32  # prefix-projection width for the prescreen
-KNN_PRESCREEN_C = 128  # exact-rerank shortlist per node
-# (32, 128) from the round-11 sweep: recall@3 0.774 at sf0.1 vs the
-# plain path's 0.792, at half the fold width and a linear re-rank —
-# (16, 64) measured 0.539, (16, 128) 0.664, (32, 64) 0.717
+KNN_PRESCREEN_C = 192  # exact-rerank shortlist per node
+# (32, 192) from the round-12 16x frontier (RECALL.md): at TRUE 16x
+# recall — every path re-measured against 32k-node numpy truth, not
+# the sf0.1 recall r11 paired with 16x walls — C=192 dominates C=128
+# on BOTH axes (0.6135 @ 232 s vs 0.5801 @ 251 s) and wins the
+# family's recall-per-second, so it is the PRODUCTION DEFAULT for the
+# graph family.  sf0.1: 0.786 at C=192 vs 0.774 at C=128.  The r11
+# (dims, C) sweep at sf0.1 for context: (16, 64) 0.539, (16, 128)
+# 0.664, (32, 64) 0.717, (32, 128) 0.774.
 
 
 @query("sim_knn_graph_prescreened")  # oracle attached post-hoc below
@@ -825,7 +830,14 @@ def sim_knn_graph_prescreened(
 
     Every rank key is a rounded exact-DECIMAL cosine with id
     tie-breaks, so the DuckDB twin replays the chain end-to-end and
-    the driver hash certifies the graph."""
+    the driver hash certifies the graph.
+
+    PRODUCTION DEFAULT of the graph family (round-12 frontier,
+    RECALL.md): at TRUE 16x recall (32k-node numpy truth) this path at
+    C={KNN_PRESCREEN_C} wins recall-per-second — 0.6135 @ 232 s vs
+    LSH 0.6045 @ 333 s, plain IVF 0.6717 @ 363 s, descent 0.278 @
+    164 s — and its full-precision work is linear in n.  Plain IVF
+    stays the recall-max alternative; descent the cheapest/linear one."""
     import os
 
     if index_dir is None:
@@ -990,7 +1002,21 @@ def sim_knn_graph_descent(
     Every rank key is a rounded exact-DECIMAL cosine with id
     tie-breaks; init buckets are md5-hex arithmetic — the DuckDB twin
     replays init and all rounds CTE-for-CTE, so the driver hash
-    certifies the delegation end-to-end."""
+    certifies the delegation end-to-end.
+
+    Scale honesty (round-12 frontier, RECALL.md): the FIXED round
+    schedule's recall decays with n — 0.8815 at sf0.1 (n=2000) but
+    0.2782 at the 16x fixture (n=32k; rounds=10 recovered only 0.43 at
+    299 s).  Convergence rounds grow ~log n, and on this deliberately
+    weakly-clustered synthetic corpus the neighbor-of-neighbor
+    gradient is near its information-theoretic floor (the same decay
+    hits every sub-quadratic path: LSH 0.86 -> 0.60, prescreened
+    0.786 -> 0.61 at 16x).  Real embedding corpora are far more
+    clustered and converge in fewer rounds; a corpus owner scales
+    ``rounds`` ~ 6 + log2(n/2000).  This path's claim is COST SHAPE —
+    measured marginal octave 1.59x (103 s at 8x -> 164 s at 16x),
+    the family's only sub-2x reading — not fixed-schedule recall;
+    the recall-per-second default is sim_knn_graph_prescreened."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     n = emb.count()
