@@ -1214,3 +1214,35 @@ def test_repetition_signals_single_pass_plan(spark, sf_dir):
     assert got["top2gram_count"] == top_c
     assert got["top2gram_ppm"] == top_chars * 1_000_000 // n_chars
     assert got["dup3gram_ppm"] == dupchars * 1_000_000 // n_chars
+
+
+def test_knn_descent_stages_no_cartesian(spark, sf_dir):
+    """sim_knn_graph_descent's two stage shapes (the final plan is
+    checkpoint-truncated, so assert the pieces): the md5-banded init is
+    a (band, bucket) equality self-join and a refine round is edge-set
+    self-joins — never a cartesian/all-pairs product, scoring always
+    JVM-side (zip_with DECIMAL folds, no EvalPython)."""
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        KNN_DESCENT_K,
+        _exact_cosine_edges,
+        _knn_descent_init,
+        _knn_refine_round,
+        _knn_topk,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    init_scored = _exact_cosine_edges(emb, _knn_descent_init(emb, n))
+    plan = _plan(init_scored)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+    topk = _knn_topk(init_scored, k=KNN_DESCENT_K).localCheckpoint(
+        eager=False
+    )
+    rplan = _plan(_knn_refine_round(spark, emb, topk, k=KNN_DESCENT_K, n_rows=n))
+    assert "CartesianProduct" not in rplan
+    assert "BroadcastNestedLoopJoin" not in rplan
+    assert "EvalPython" not in rplan
