@@ -604,6 +604,52 @@ def dedup_embedding_cosine(
     )
 
 
+# ----------------------------------- graph-served embedding dedup
+# Registered below (oracle composes the descent-graph SQL chain, so it
+# is attached post-hoc at module bottom after similarity's import).
+
+
+def dedup_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup SERVED FROM the NN-descent graph — the
+    production composition at corpus sizes where even bucketed
+    all-pairs candidate generation is too wide: the k-NN graph (the
+    asset a pipeline builds once per corpus version anyway, for
+    SemDeDup-style pruning and hubness audits) already contains every
+    vector's nearest neighbors, so near-dup detection is a FILTER over
+    its edges — keep rule: drop any vector whose graph has a neighbor
+    with cosine ≥ {COS_THRESHOLD} and a LOWER vec_id (the
+    dedup_embedding_cosine keep-lowest convention).
+
+    Recall honesty: misses are exactly the graph's recall misses
+    (RECALL.md frontier) — a vector whose true near-dup is absent from
+    its top-{{KNN_K}} descent edges survives; dedup_embedding_cosine
+    stays the exhaustive-candidates reference.  The DuckDB twin
+    replays the ENTIRE descent chain plus this keep rule, so the
+    composition is hash-certified end-to-end."""
+    from kachess_spark.pipeline.similarity import sim_knn_graph_descent
+
+    t = Tables(spark, sf_dir)
+    g = sim_knn_graph_descent(spark, sf_dir)
+    dropped = (
+        g.where(
+            (F.col("cosine") >= COS_THRESHOLD)
+            & (F.col("dst") < F.col("src"))
+        )
+        .select(F.col("src").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        t.embeddings.select("vec_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("dropped").isNull(), 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 _CC_CTES = f"""
     WITH RECURSIVE sigs AS (
       SELECT doc_id, {", ".join(_oracle_minhash(i) for i in range(N_HASHES))}
@@ -2451,3 +2497,31 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---- post-hoc registration for the graph-served dedup: its oracle
+# composes similarity's descent-chain SQL (imported here, at module
+# bottom, so the two pipeline modules keep a one-way import edge).
+def _dedup_embedding_graph_oracle() -> str:
+    from kachess_spark.pipeline.similarity import (
+        KNN_DESCENT_ROUNDS,
+        KNN_K,
+        _sim_knn_graph_descent_oracle,
+    )
+
+    return _sim_knn_graph_descent_oracle(
+        tail=f"""SELECT e.vec_id,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM embeddings e
+    LEFT JOIN (
+      SELECT DISTINCT src AS vec_id FROM g_e{KNN_DESCENT_ROUNDS}
+      WHERE rk <= {KNN_K} AND cosine >= {COS_THRESHOLD} AND dst < src
+    ) d ON d.vec_id = e.vec_id
+    ORDER BY e.vec_id"""
+    )
+
+
+from kachess_spark.registry import add_oracle as _dedup_add_oracle  # noqa: E402
+
+QUERIES_REGISTER = query("dedup_embedding_graph")(dedup_embedding_graph)
+_dedup_add_oracle("dedup_embedding_graph", _dedup_embedding_graph_oracle())

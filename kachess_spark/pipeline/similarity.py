@@ -3875,13 +3875,20 @@ def _sim_knn_graph_prescreened_oracle(
 
 
 def _sim_knn_graph_descent_oracle(
-    rounds: int = KNN_DESCENT_ROUNDS, k_work: int = KNN_DESCENT_K
+    rounds: int = KNN_DESCENT_ROUNDS,
+    k_work: int = KNN_DESCENT_K,
+    tail: str | None = None,
 ) -> str:
     """sim_knn_graph_descent: md5-banded init buckets, in-bucket pair
     seed, score+rank at the working degree, ``rounds`` unrolled
     NN-descent rounds, final cut to top-{KNN_K}.  The Spark side's
     zero-update early stop is an exact no-op by construction, so the
-    fixed-depth unroll here is an equality proof."""
+    fixed-depth unroll here is an equality proof.  ``tail`` lets a
+    composing operator (dedup_embedding_graph) replace the final
+    SELECT over g_e{{rounds}} with its own consumption of the graph."""
+    if tail is None:
+        tail = f"""SELECT src, dst, cosine, rk FROM g_e{rounds} WHERE rk <= {KNN_K}
+    ORDER BY src, rk"""
     rounds_sql = ",\n    ".join(
         _sql_knn_refine_round(f"g_e{r}", r, k=k_work) for r in range(rounds)
     )
@@ -3916,8 +3923,7 @@ def _sim_knn_graph_descent_oracle(
       WHERE a.vid <> b.vid
     ),
     {_sql_knn_score_rank("g_c0", "g_e0", k=k_work)}{rounds_sql}
-    SELECT src, dst, cosine, rk FROM g_e{rounds} WHERE rk <= {KNN_K}
-    ORDER BY src, rk
+    {tail}
 """
 
 
