@@ -93,8 +93,12 @@ BREADTH = [
     "dedup_semantic_cluster_scaled",
     "sim_knn_graph_prescreened",
     # round 12: the linear pure-NN-descent builder (the graph family's
-    # production default past index-free corpora — RECALL.md frontier)
+    # production default past index-free corpora — RECALL.md frontier),
+    # the graph-served dedup composition, and graph-served ANN (beam
+    # walk over the stored descent graph, state prepped untimed above)
     "sim_knn_graph_descent",
+    "dedup_embedding_graph",
+    "sim_graph_stored_topk",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.
@@ -196,6 +200,7 @@ def main() -> None:
     # version; build costs are benchmarked separately as scale probes
     # (BASELINE.md round-8 sections)
     from kachess_spark.pipeline.similarity import (
+        build_graph_serve_state,
         build_ivf_index,
         build_ivfpq_index,
         build_knn_state,
@@ -207,6 +212,7 @@ def main() -> None:
         build_pq_index(spark, d)
         build_ivfpq_index(spark, d)
         build_knn_state(spark, d)
+        build_graph_serve_state(spark, d)
 
     import gc
 

@@ -1017,6 +1017,25 @@ def sim_knn_graph_descent(
     measured marginal octave 1.59x (103 s at 8x -> 164 s at 16x),
     the family's only sub-2x reading — not fixed-schedule recall;
     the recall-per-second default is sim_knn_graph_prescreened."""
+    return (
+        _knn_descent_graph(spark, sf_dir, rounds, k_work)
+        .where(F.col("rk") <= KNN_K)
+        .select("src", "dst", "cosine", "rk")
+        .orderBy("src", "rk")
+    )
+
+
+def _knn_descent_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = KNN_DESCENT_ROUNDS,
+    k_work: int = KNN_DESCENT_K,
+) -> DataFrame:
+    """The descent chain at the WORKING degree (init → rounds → the
+    k_work-ranked graph, uncut): sim_knn_graph_descent cuts this to
+    top-{KNN_K}; ``build_graph_serve_state`` persists it whole — the
+    wider graph is exactly the navigable structure beam serving
+    needs."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     n = emb.count()
@@ -1050,10 +1069,171 @@ def sim_knn_graph_descent(
             topk = nxt
             break
         topk = nxt
+    return topk
+
+
+# ------------------------------ graph-served ANN (beam search)
+
+GS_ENTRIES = 8  # entry points at the base corpus size
+GS_BEAM = 8  # beam width per hop
+GS_HOPS = 3  # fixed hop unroll (the oracle replays the same depth)
+
+
+def gs_entry_count(n: int) -> int:
+    """Entry points for an n-vector corpus: {GS_ENTRIES} at the base
+    size, +8 per doubling — the ann_n_bands fixed-constant lesson
+    applied to walk seeding: a FIXED seed set explores a shrinking
+    share of a growing corpus and greedy walks on weakly-clustered
+    data cannot recover range they never seeded (measured at sf0.1:
+    8 entries → recall@5 0.267, 24 → 0.467 at the same hop budget).
+    Per-query cost stays ~entries + hops·beam·2·degree — logarithmic
+    growth on a constant, still corpus-independent in the n·scan
+    sense that matters (IVF probes scale ~sqrt n rows)."""
+    if n <= ANN_BASE_N:
+        return GS_ENTRIES
+    return GS_ENTRIES + 8 * _ceil_log2_ratio(n, ANN_BASE_N)
+
+
+def build_graph_serve_state(
+    spark: SparkSession, sf_dir: str, state_dir: str | None = None
+) -> str:
+    """Persist the NN-descent WORKING graph (degree {KNN_DESCENT_K},
+    not the delivered top-{KNN_K}) as the navigable serving asset —
+    graph-based ANN serving (HNSW's base-layer idea) needs the wider
+    degree to stay connected under greedy pruning.  Idempotent and
+    parameter-keyed like build_ivf_index/build_knn_state."""
+    import hashlib
+    import os
+
+    from kachess_spark.operators.sinks import _scratch
+
+    meta = {
+        "rounds": int(KNN_DESCENT_ROUNDS),
+        "k_work": int(KNN_DESCENT_K),
+    }
+    if state_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|gserve|{KNN_DESCENT_ROUNDS}"
+            f"|{KNN_DESCENT_K}".encode()
+        ).hexdigest()[:12]
+        state_dir = _scratch(f"gserve_state_{key}")
+    if _reuse_or_clear_index(spark, state_dir, meta):
+        return state_dir
+    _knn_descent_graph(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "graph")
+    )
+    spark.createDataFrame(
+        [(meta["rounds"], meta["k_work"])], "rounds int, k_work int"
+    ).write.mode("overwrite").parquet(os.path.join(state_dir, "meta"))
+    return state_dir
+
+
+@query("sim_graph_stored_topk")  # oracle attached post-hoc below
+def sim_graph_stored_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    probe_ids: tuple[int, ...] = QUERY_IDS,
+) -> DataFrame:
+    """Graph-served ANN top-{TOP_K}: greedy BEAM SEARCH over the stored
+    NN-descent graph (``build_graph_serve_state``) — the serving leg
+    that completes the graph asset's lifecycle (build =
+    sim_knn_graph_descent, maintain = sim_knn_graph_incremental, serve
+    = here), and the only serving path whose per-query probe volume is
+    CORPUS-INDEPENDENT: {GS_ENTRIES} md5-ordered entry points, then
+    {GS_HOPS} hops of expand-neighbors → exact-cosine re-rank → keep
+    top-{GS_BEAM}, exploring ≤ entries + hops·beam·2·degree nodes per
+    query regardless of n (IVF probes ~n_probe·n/cells ~ sqrt n rows;
+    LSH buckets ~corpus/2^planes).  Output = per-query top-{TOP_K} of
+    the LAST hop's scored candidate set.
+
+    Determinism end-to-end: entries are the {GS_ENTRIES} lowest
+    md5('gsv|'||vec_id) digests (the repo's deterministic-sample
+    idiom), every re-rank key is the rounded exact-DECIMAL cosine with
+    id tie-breaks, and the hop count is a fixed unroll — the DuckDB
+    twin rebuilds the SAME descent graph (the stored state is
+    parameter-keyed to the oracle's unroll) and replays the walk hop
+    for hop, so the stored-serving path is hash-certified.
+
+    Recall honesty: greedy walks need clusterable data; on this
+    deliberately weakly-clustered corpus the fixed-budget walk scans
+    ~(entries + hops·beam·2k)/n of the corpus and recall tracks that
+    fraction (RECALL.md frontier context) — the pytest floor is set
+    accordingly and the dials are the corpus owner's."""
+    import os
+
+    if state_dir is None:
+        state_dir = build_graph_serve_state(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    g = spark.read.parquet(os.path.join(state_dir, "graph")).select(
+        "src", "dst"
+    )
+    und = (
+        g.unionByName(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    entries = F.broadcast(
+        emb.select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("gsv|"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(gs_entry_count(emb.count()))
+        .select(F.col("vec_id").alias("dst"))
+    )
+    queries = emb.where(F.col("vec_id").isin(*probe_ids)).select(
+        F.col("vec_id").alias("src")
+    )
+    beam_rank = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst")
+    )
+
+    def score(cands: DataFrame) -> DataFrame:
+        return _exact_cosine_edges(
+            emb, cands.where(F.col("src") != F.col("dst"))
+        )
+
+    scored = score(queries.crossJoin(entries)).localCheckpoint(eager=False)
+    seen = scored  # best-seen accumulator: a node scored at ANY hop
+    # stays eligible for the final top-k.  With beam >= TOP_K this is
+    # provably redundant (the beam re-enters each hop's scored set, so
+    # the last set retains every global top-TOP_K-seen node) — kept as
+    # the structural guarantee so a future beam < TOP_K dial change
+    # cannot silently drop early discoveries; the oracle replays it.
+    for _ in range(GS_HOPS):
+        beam = (
+            scored.select(
+                "src", "dst", F.row_number().over(beam_rank).alias("rn")
+            )
+            .where(F.col("rn") <= GS_BEAM)
+            .select("src", "dst")
+        )
+        neigh = (
+            beam.join(
+                und.select(
+                    F.col("src").alias("dst"), F.col("dst").alias("nxt")
+                ),
+                "dst",
+            )
+            .select("src", F.col("nxt").alias("dst"))
+        )
+        cands = beam.unionByName(neigh).distinct()
+        scored = score(cands).localCheckpoint(eager=False)
+        seen = seen.unionByName(scored)
     return (
-        topk.where(F.col("rk") <= KNN_K)
-        .select("src", "dst", "cosine", "rk")
-        .orderBy("src", "rk")
+        seen.distinct()
+        .select(
+            F.col("src").alias("qid"),
+            F.col("dst").alias("vid"),
+            "cosine",
+            F.row_number().over(beam_rank).alias("rk"),
+        )
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
     )
 
 
@@ -3934,6 +4114,106 @@ _add_oracle(
     "sim_knn_graph_prescreened", _sim_knn_graph_prescreened_oracle()
 )
 _add_oracle("sim_knn_graph_descent", _sim_knn_graph_descent_oracle())
+
+
+def _sql_gs_score(cand: str, out: str) -> str:
+    """Beam-hop scoring block: exact-DECIMAL dot vs the query, 6-dp
+    cosine — the walk's re-rank key, over g_d/g_norms."""
+    return f"""{out} AS (
+      SELECT t.src, t.dst,
+             ROUND(CAST(t.dot AS DOUBLE)
+                   / SQRT(CAST(n1.nn AS DOUBLE)
+                          * CAST(n2.nn AS DOUBLE)), 6) AS cosine
+      FROM (SELECT c.src, c.dst,
+                   SUM(CAST(q.dv * d.dv AS DECIMAL(28,14))) AS dot
+            FROM {cand} c
+            JOIN g_d d ON d.vid = c.dst
+            JOIN g_d q ON q.vid = c.src AND q.pos = d.pos
+            GROUP BY c.src, c.dst) t
+      JOIN g_norms n1 ON n1.vid = t.dst
+      JOIN g_norms n2 ON n2.vid = t.src
+    )"""
+
+
+def _sim_graph_stored_oracle() -> str:
+    """sim_graph_stored_topk: rebuild the descent WORKING graph (the
+    stored state is parameter-keyed to this exact chain), then replay
+    the beam walk — md5-ordered entries, {GS_HOPS} unrolled hops of
+    expand → re-rank → top-{GS_BEAM}, final top-{TOP_K} of the last
+    hop's scored set."""
+    r = KNN_DESCENT_ROUNDS
+    qin = ", ".join(str(q) for q in QUERY_IDS)
+    ec = (
+        f"CASE WHEN n <= {ANN_BASE_N} THEN {GS_ENTRIES}"
+        f" ELSE {GS_ENTRIES} + 8 * {_sql_ceil_log2_ratio('n', ANN_BASE_N)}"
+        f" END"
+    )
+    parts = [
+        f""",
+    gs_und AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM g_e{r}
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM g_e{r})
+    ),
+    gs_ec AS (
+      SELECT {ec} AS ec FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    gs_entries AS (
+      SELECT dst FROM (
+        SELECT vec_id AS dst,
+               ROW_NUMBER() OVER (ORDER BY
+                 md5('gsv|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) WHERE rn <= (SELECT ec FROM gs_ec)
+    ),
+    gs_q AS (SELECT vec_id AS src FROM embeddings
+             WHERE vec_id IN ({qin})),
+    gs_c0 AS (
+      SELECT q.src, e.dst FROM gs_q q CROSS JOIN gs_entries e
+      WHERE q.src <> e.dst
+    ),
+    {_sql_gs_score("gs_c0", "gs_s0")}""",
+    ]
+    for h in range(1, GS_HOPS + 1):
+        parts.append(
+            f""",
+    gs_b{h} AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rn
+        FROM gs_s{h - 1}) WHERE rn <= {GS_BEAM}
+    ),
+    gs_c{h} AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM gs_b{h}
+        UNION ALL
+        SELECT b.src, u.dst FROM gs_b{h} b
+        JOIN gs_und u ON u.src = b.dst)
+      WHERE src <> dst
+    ),
+    {_sql_gs_score(f"gs_c{h}", f"gs_s{h}")}"""
+        )
+    union_all = "\n        UNION ALL\n        ".join(
+        f"SELECT src, dst, cosine FROM gs_s{h}" for h in range(GS_HOPS + 1)
+    )
+    parts.append(
+        f""",
+    gs_all AS (
+      SELECT DISTINCT src, dst, cosine FROM (
+        {union_all})
+    )
+    SELECT src AS qid, dst AS vid, cosine, rk FROM (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rk
+      FROM gs_all) WHERE rk <= {TOP_K}
+    ORDER BY qid, rk"""
+    )
+    return _sim_knn_graph_descent_oracle(tail="".join(parts))
+
+
+_add_oracle("sim_graph_stored_topk", _sim_graph_stored_oracle())
 
 
 # --------------------------------------------- MMR diversified top-k
