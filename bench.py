@@ -298,19 +298,41 @@ def main() -> None:
         ]
         compact.pop("loadavg_start", None)
         line = json.dumps(compact, separators=(",", ":"))
-        # degradation ladder if the suite outgrows the window: each step
-        # drops redundancy, never the walls / sw / load themselves
-        if len(line) > 1990:
+        # degradation ladder if the suite outgrows the window (target
+        # 1940 so the line + newline sits safely inside the 2000-char
+        # tail): each step drops redundancy or precision on breadth
+        # extras — never the walls / sw / load themselves, never
+        # headline precision
+        if len(line) > 1940:
             compact.pop("metric", None)  # constant string, in full line
             compact.pop("unit", None)
             line = json.dumps(compact, separators=(",", ":"))
-        if len(line) > 1990:
+        if len(line) > 1940:
             compact["sw"] = ",".join(  # cap pathological values at 3 digits
                 str(min(999, int(s))) for s in compact["sw"].split(",")
             )
             compact["subtotals"] = {
                 "headline_18": headline_total, "all": total
             }
+            line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1940:
+            # drop the remaining constants — "sf" is fixed by the
+            # driver env, "value" duplicates subtotals.headline_18
+            compact.pop("sf", None)
+            compact.pop("value", None)
+            line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1940:
+            # last resort: breadth extras to 1 decimal (headline keeps
+            # 2 — it is the BASELINE-comparable set), sw capped at 99,
+            # loadavg trimmed to start-triple + end-1min
+            compact["queries"] = {
+                k: round(v, 2 if k in HEADLINE else 1)
+                for k, v in per_query.items()
+            }
+            compact["sw"] = ",".join(
+                str(min(99, int(s))) for s in compact["sw"].split(",")
+            )
+            compact["load"] = compact["load"][:4]
             line = json.dumps(compact, separators=(",", ":"))
         print(line)
 
