@@ -623,13 +623,26 @@ def dedup_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall honesty: misses are exactly the graph's recall misses
     (RECALL.md frontier) — a vector whose true near-dup is absent from
     its top-{{KNN_K}} descent edges survives; dedup_embedding_cosine
-    stays the exhaustive-candidates reference.  The DuckDB twin
-    replays the ENTIRE descent chain plus this keep rule, so the
-    composition is hash-certified end-to-end."""
-    from kachess_spark.pipeline.similarity import sim_knn_graph_descent
+    stays the exhaustive-candidates reference.  The graph is READ from
+    ``build_graph_serve_state`` (built once per corpus version,
+    parameter-keyed), so the per-run plan is a filter + anti-join over
+    a stored table — the DuckDB twin REBUILDS the chain plus this keep
+    rule, so both the stored asset and the composition stay
+    hash-certified end-to-end."""
+    import os
+
+    from kachess_spark.pipeline.similarity import (
+        KNN_K,
+        build_graph_serve_state,
+    )
 
     t = Tables(spark, sf_dir)
-    g = sim_knn_graph_descent(spark, sf_dir)
+    state_dir = build_graph_serve_state(spark, sf_dir)
+    # the stored graph is k_work-ranked; rk <= KNN_K is exactly
+    # sim_knn_graph_descent's delivered edge set
+    g = spark.read.parquet(os.path.join(state_dir, "graph")).where(
+        F.col("rk") <= KNN_K
+    )
     dropped = (
         g.where(
             (F.col("cosine") >= COS_THRESHOLD)
