@@ -99,6 +99,11 @@ BREADTH = [
     "sim_knn_graph_descent",
     "dedup_embedding_graph",
     "sim_graph_stored_topk",
+    # round 13: serve-graph incremental maintenance (HNSW-style insert
+    # placement + restricted settle over the stored descent graph; v1
+    # state prepped untimed above, so the timed wall is the MAINTENANCE
+    # delta cost, which is the production question)
+    "sim_graph_serve_incremental",
 ]
 
 # Headline set: one per operator family + the pipeline heavies.

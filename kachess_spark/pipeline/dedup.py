@@ -622,7 +622,7 @@ def dedup_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall honesty: misses are exactly the graph's recall misses
     (RECALL.md frontier) — a vector whose true near-dup is absent from
-    its top-{{KNN_K}} descent edges survives; dedup_embedding_cosine
+    its top-{KNN_K} descent edges survives; dedup_embedding_cosine
     stays the exhaustive-candidates reference.  The graph is READ from
     ``build_graph_serve_state`` (built once per corpus version,
     parameter-keyed), so the per-run plan is a filter + anti-join over
@@ -2517,7 +2517,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bottom, so the two pipeline modules keep a one-way import edge).
 def _dedup_embedding_graph_oracle() -> str:
     from kachess_spark.pipeline.similarity import (
-        KNN_DESCENT_ROUNDS,
+        KNN_DESCENT_MAX_UNROLL,
         KNN_K,
         _sim_knn_graph_descent_oracle,
     )
@@ -2527,7 +2527,7 @@ def _dedup_embedding_graph_oracle() -> str:
            CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
     FROM embeddings e
     LEFT JOIN (
-      SELECT DISTINCT src AS vec_id FROM g_e{KNN_DESCENT_ROUNDS}
+      SELECT DISTINCT src AS vec_id FROM g_e{KNN_DESCENT_MAX_UNROLL}
       WHERE rk <= {KNN_K} AND cosine >= {COS_THRESHOLD} AND dst < src
     ) d ON d.vec_id = e.vec_id
     ORDER BY e.vec_id"""

@@ -1246,3 +1246,37 @@ def test_knn_descent_stages_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in rplan
     assert "BroadcastNestedLoopJoin" not in rplan
     assert "EvalPython" not in rplan
+
+
+def test_serve_incremental_stages_no_cartesian(spark, sf_dir):
+    """sim_graph_serve_incremental's unbounded-volume stages (the
+    delta banding pair join and the restricted settle round) must be
+    equality joins with JVM-side scoring — never cartesian, never
+    EvalPython.  (The placement walk's crossJoin with the broadcast
+    entry set is BOUNDED by gs_entry_count and intentional, same as
+    the serving walk's.)"""
+    from kachess_spark.catalog import Tables
+    from kachess_spark.pipeline.similarity import (
+        KNN_DESCENT_K,
+        _exact_cosine_edges,
+        _inc_plus_band_pairs,
+        _knn_topk,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    pairs = _exact_cosine_edges(emb, _inc_plus_band_pairs(emb, n))
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # a restricted settle round is the refine shape semi-joined to the
+    # dirty set — reuse the builder's round over a semi-join input
+    from pyspark.sql import functions as F
+
+    topk = _knn_topk(pairs, k=KNN_DESCENT_K).localCheckpoint(eager=False)
+    dirty = emb.select(F.col("vec_id").alias("src")).limit(50)
+    e = topk.select("src", "dst").join(dirty, "src", "left_semi")
+    rplan = _plan(_knn_topk(_exact_cosine_edges(emb, e), k=KNN_DESCENT_K))
+    assert "CartesianProduct" not in rplan
+    assert "EvalPython" not in rplan

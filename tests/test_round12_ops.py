@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 BIG_N_REPLICAS = 5  # 5 x 2000 sf0.1 vectors = 10000 > SEM_EXACT_MAX_N
 
+# env-overridable like conftest's KACHESS_TEST_SF_DIR (ADVICE r12:
+# a hardcoded path failed every host without that exact fixture)
+SF0_1_DIR = os.environ.get("KACHESS_TEST_SF01_DIR", "/root/testdata/sf0.1")
+
 
 @pytest.fixture(scope="module")
 def big_emb_dir(spark, tmp_path_factory):
@@ -20,8 +24,11 @@ def big_emb_dir(spark, tmp_path_factory):
     (10000 > 8192): sf0.1's 2000 vectors replicated 5x with rotated
     components (the scale_probe convention — replicas are distinct
     vectors, not true near-duplicates) and offset ids."""
+    src = os.path.join(SF0_1_DIR, "embeddings.parquet")
+    if not os.path.exists(src):
+        pytest.skip(f"sf0.1 embeddings fixture absent: {src}")
     out = tmp_path_factory.mktemp("sem_big")
-    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    base = spark.read.parquet(src)
     dim = len(base.select("embedding").head()["embedding"])
     parts = []
     for i in range(BIG_N_REPLICAS):
