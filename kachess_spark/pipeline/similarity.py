@@ -522,11 +522,84 @@ def knn_n_planes(n: int) -> int:
     return max(N_PLANES, _ceil_log2_ratio(n, KNN_TARGET_BUCKET))
 
 
-def _exact_cosine_edges(emb: DataFrame, cands: DataFrame) -> DataFrame:
+def _exact_cosine_edges(
+    emb: DataFrame, cands: DataFrame, mirror: bool = False
+) -> DataFrame:
     """Exact DECIMAL cosine for a (src, dst) candidate edge frame:
-    hoisted norms + zip_with DECIMAL dot (position-ordered, so the
-    value is direction-independent), rounded to 6 — the shared scoring
-    tail of both k-NN graph builders.  Returns (src, dst, cosine)."""
+    hoisted norms + position-ordered DECIMAL dot (direction-
+    independent), rounded to 6 — the shared scoring tail of every
+    graph builder.  Returns (src, dst, cosine).
+
+    Default engine is the Arrow-vectorized kernel
+    (``_cosine_kernel``): the original interpreted
+    ``aggregate(zip_with(...))`` DECIMAL fold is a CodegenFallback
+    expression costing ~100 us/pair of pure executor CPU, and at the
+    descent builder's n·(2k)² pairs/round it WAS the graph family's
+    wall (round-13 profile: 151 s executor time in one scoring stage).
+    The kernel computes the identical value (HALF_UP-on-shortest-repr
+    quantization, exact int64 unit sums, correctly-rounded unit→double
+    conversion — bit-equality proven per fixture + adversarial ties in
+    tests) from whole Arrow batches at ~1 us/pair.
+    ``KACHESS_COSINE_JVM=1`` re-selects the expression path for A/B
+    certification; both paths keep the join shape (pairs carry the two
+    embeddings through one exchange) so the 100 TB plan is unchanged.
+    """
+    import os
+
+    if os.environ.get("KACHESS_COSINE_JVM") == "1":
+        scored = _exact_cosine_edges_jvm(emb, cands)
+        if not mirror:
+            return scored
+        # one materialization, two consumers (a plan-level union would
+        # re-run the whole scoring subtree per branch)
+        scored = scored.localCheckpoint(eager=False)
+        return scored.unionByName(
+            scored.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "cosine",
+            )
+        )
+    from kachess_spark.pipeline._cosine_kernel import (
+        cosine_pair_batches,
+        cosine_pair_batches_mirrored,
+        norm_batches,
+    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    emb2 = emb.select("vec_id", "embedding")
+    nrm_schema = StructType(
+        list(emb2.schema.fields) + [StructField("nrm", DoubleType())]
+    )
+    embn = emb2.mapInArrow(norm_batches, nrm_schema)
+    return (
+        cands.join(
+            embn.select(
+                F.col("vec_id").alias("dst"),
+                F.col("embedding").alias("d_emb"),
+                F.col("nrm").alias("d_nrm"),
+            ),
+            "dst",
+        )
+        .join(
+            embn.select(
+                F.col("vec_id").alias("src"),
+                F.col("embedding").alias("s_emb"),
+                F.col("nrm").alias("s_nrm"),
+            ),
+            "src",
+        )
+        .select("src", "dst", "s_emb", "d_emb", "s_nrm", "d_nrm")
+        .mapInArrow(
+            cosine_pair_batches_mirrored if mirror else cosine_pair_batches,
+            "src long, dst long, cosine double",
+        )
+    )
+
+
+def _exact_cosine_edges_jvm(emb: DataFrame, cands: DataFrame) -> DataFrame:
+    """The original JVM-expression scorer (zip_with DECIMAL fold) —
+    kept as the A/B reference for the Arrow kernel."""
     norm = F.expr(
         f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
         f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
@@ -619,14 +692,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()  # union over bands
     )
-    scored = _exact_cosine_edges(emb, cands)
-    both = scored.unionByName(
-        scored.select(
-            F.col("dst").alias("src"),
-            F.col("src").alias("dst"),
-            "cosine",
-        )
-    )
+    both = _exact_cosine_edges(emb, cands, mirror=True)
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         both.select(
@@ -773,19 +839,26 @@ def _knn_refine_round(
         .where(F.col("src") != F.col("dst"))
     )
     width = (
-        partitions_for_rows(spark, n_rows * (4 * k * k + 2 * k))
+        partitions_for_rows(spark, n_rows * (2 * k * k + k))
         if n_rows is not None
         else spark.sparkContext.defaultParallelism
     )
-    cands = (
+    # the candidate SET is symmetric (und is undirected; the two-hop
+    # closure of a symmetric relation is symmetric), and the rounded
+    # DECIMAL cosine is direction-independent (position-ordered fold
+    # over elementwise commutative products) — so score each UNORDERED
+    # pair once and mirror, halving the scoring join, the exchange
+    # bytes, and the Arrow-kernel volume with bit-identical results
+    # (the sim_knn_graph trick applied to the refine rounds)
+    half = (
         und.unionByName(two_hop)
+        .where(F.col("src") < F.col("dst"))
         .distinct()
-        # same CPU-bound-fold spread as the probe stage above; width
-        # sized from the round's bounded cardinality n·(2k)² when the
-        # caller knows n (round-11 verdict #6)
+        # width sized from the round's bounded unordered cardinality
+        # n·(2k)²/2 when the caller knows n (round-11 verdict #6)
         .repartition(width, "src", "dst")
     )
-    return _knn_topk(_exact_cosine_edges(emb, cands), k=k)
+    return _knn_topk(_exact_cosine_edges(emb, half, mirror=True), k=k)
 
 
 KNN_PRESCREEN_DIMS = 32  # prefix-projection width for the prescreen
@@ -1070,18 +1143,26 @@ def _knn_descent_graph(
     n = emb.count()
     if rounds is None:
         rounds = knn_descent_rounds(n)
-    cands = _knn_descent_init(emb, n).repartition(
-        max(
-            spark.sparkContext.defaultParallelism,
-            partitions_for_rows(
-                spark,
-                n * KNN_DESCENT_BUCKET * KNN_DESCENT_INIT_BANDS,
+    # the init set is symmetric (all in-bucket pairs, both directions)
+    # and the rounded cosine direction-independent: score each
+    # unordered pair once and mirror — half the exchange and kernel
+    # volume, bit-identical results (same trick as the refine rounds)
+    cands = (
+        _knn_descent_init(emb, n)
+        .where(F.col("src") < F.col("dst"))
+        .repartition(
+            max(
+                spark.sparkContext.defaultParallelism,
+                partitions_for_rows(
+                    spark,
+                    n * KNN_DESCENT_BUCKET * KNN_DESCENT_INIT_BANDS // 2,
+                ),
             ),
-        ),
-        "src",
-        "dst",
+            "src",
+            "dst",
+        )
     )
-    topk = _knn_topk(_exact_cosine_edges(emb, cands), k=k_work)
+    topk = _knn_topk(_exact_cosine_edges(emb, cands, mirror=True), k=k_work)
     topk = topk.localCheckpoint(eager=False)
     for _ in range(rounds):
         nxt = _knn_refine_round(
