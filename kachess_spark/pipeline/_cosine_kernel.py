@@ -17,11 +17,12 @@ on a double is the same machinery at scale 6
 semantics are replicated here with a vectorized fast path and a
 guarded exact slow path:
 
-* fast path: quantize ``|p| * 10^scale`` in float128 (x86 80-bit).
-  The result can only disagree with HALF_UP-on-shortest-repr when the
-  value lies within ``half_ulp(p)*10^scale`` of a ``.5`` boundary
-  (shortest repr differs from the exact binary value by < half an
-  ulp); everything outside that band is provably identical.
+* fast path: quantize ``|p| * 10^scale`` in plain float64.  The result
+  can only disagree with HALF_UP-on-shortest-repr when the value lies
+  within ``2 * half_ulp(p) * 10^scale`` of a ``.5`` boundary (one
+  half-ulp for the float64 product rounding, one for the shortest-repr
+  vs exact-binary divergence); everything outside that band is
+  provably identical.
 * slow path (the band, measured O(1e-4) of elements at embedding
   magnitudes): ``Decimal(repr(p)).quantize(..., ROUND_HALF_UP)`` —
   CPython ``repr`` is the same shortest-round-trip decimal
@@ -190,6 +191,14 @@ def cosine_pair_batches(it):
     return _pair_batches(it, mirror=False)
 
 
+def cosine_pair_batches_unrounded(it):
+    """As ``cosine_pair_batches`` but WITHOUT the round(..., 6) tail —
+    the ranking-only cosine the IVF assignment pass compares (its JVM
+    original casts the decimal dot to double and divides, never
+    rounding)."""
+    return _pair_batches(it, mirror=False, rounded=False)
+
+
 def cosine_pair_batches_mirrored(it):
     """Like ``cosine_pair_batches`` but emits BOTH directions of every
     scored pair — (src, dst, c) and (dst, src, c) — in one pass.  For
@@ -200,7 +209,7 @@ def cosine_pair_batches_mirrored(it):
     return _pair_batches(it, mirror=True)
 
 
-def _pair_batches(it, mirror: bool):
+def _pair_batches(it, mirror: bool, rounded: bool = True):
     import pyarrow as pa
 
     out_schema = pa.schema(
@@ -226,7 +235,9 @@ def _pair_batches(it, mirror: bool):
                     units[i] = u
         dot = _units_to_double(units, 14)
         with np.errstate(invalid="ignore", divide="ignore"):
-            cos = _round6(dot / np.sqrt(snrm * dnrm))
+            cos = dot / np.sqrt(snrm * dnrm)
+            if rounded:
+                cos = _round6(cos)
         # NULL norm (Arrow null -> NaN here only via explicit null) or
         # overflow-NULL dot -> NULL cosine, matching the JVM fold
         null |= np.asarray(

@@ -1770,9 +1770,23 @@ def _serve_incremental_working(
         F.col("cosine").desc(), F.col("dst")
     )
 
+    # spread every scoring input explicitly: the pair frames here are a
+    # few MB, so AQE coalesces their exchanges to a handful of tasks —
+    # but the next stage is the CPU-bound cosine kernel (round-13
+    # profile: settle-round scoring ran on 5 tasks at ~0.7 s/task).
+    # Width from the bounded delta cardinality (the round-11 verdict #6
+    # pattern), floored at defaultParallelism.
+    score_width = max(
+        spark.sparkContext.defaultParallelism,
+        partitions_for_rows(spark, n_plus * (2 * KNN_DESCENT_K) ** 2),
+    )
+
     def score(cands: DataFrame) -> DataFrame:
         return _exact_cosine_edges(
-            emb2, cands.where(F.col("src") != F.col("dst"))
+            emb2,
+            cands.where(F.col("src") != F.col("dst")).repartition(
+                score_width, "src", "dst"
+            ),
         )
 
     queries_df = plus.select(F.col("vec_id").alias("src"))
@@ -1994,32 +2008,82 @@ def ivf_assign(
     Dots are exact DECIMAL folds, so assignments are bit-identical to
     the old exploded formulation.
     """
-    norm = F.expr(
-        f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
-        f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
-        f" AS {PDEC}) AS {PDEC}))"
-    )
-    e = emb.select(
-        F.col("vec_id").alias("vid"), "embedding", norm.alias("nn")
-    )
-    c = centroids.select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("c_emb"),
-        norm.alias("cn"),
-    )
-    dot = F.expr(
-        f"aggregate(zip_with(embedding, c_emb, (x, y) ->"
-        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
-        f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
-    )
-    scored = e.join(broadcast(c)).select(
-        "vid",
-        "cell",
-        (
-            dot.cast("double")
-            / F.sqrt(F.col("nn").cast("double") * F.col("cn").cast("double"))
-        ).alias("cos"),
-    )
+    import os
+
+    if os.environ.get("KACHESS_COSINE_JVM") == "1":
+        norm = F.expr(
+            f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
+            f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+            f" AS {PDEC}) AS {PDEC}))"
+        )
+        e = emb.select(
+            F.col("vec_id").alias("vid"), "embedding", norm.alias("nn")
+        )
+        c = centroids.select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            norm.alias("cn"),
+        )
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, c_emb, (x, y) ->"
+            f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {PDEC})),"
+            f" CAST(0 AS {PDEC}), (acc, v) -> CAST(acc + v AS {PDEC}))"
+        )
+        scored = e.join(broadcast(c)).select(
+            "vid",
+            "cell",
+            (
+                dot.cast("double")
+                / F.sqrt(
+                    F.col("nn").cast("double") * F.col("cn").cast("double")
+                )
+            ).alias("cos"),
+        )
+    else:
+        # Arrow kernel (round-13): same decimal-dot/double-norm value,
+        # UNROUNDED (the JVM original never rounds this ranking-only
+        # cosine), computed batch-wise instead of one interpreted
+        # DECIMAL fold per (vector, centroid) row — the n=1 training
+        # assignment over a single-file corpus ran its n·K folds on
+        # one task at ~50 us each (3.3 s single-task stage, profiled)
+        from kachess_spark.pipeline._cosine_kernel import (
+            cosine_pair_batches_unrounded,
+            norm_batches,
+        )
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        def with_nrm(df: DataFrame) -> DataFrame:
+            d2 = df.select("vec_id", "embedding")
+            sch = StructType(
+                list(d2.schema.fields) + [StructField("nrm", DoubleType())]
+            )
+            return d2.mapInArrow(norm_batches, sch)
+
+        vid_t = emb.schema["vec_id"].dataType.simpleString()
+        cell_t = centroids.schema["vec_id"].dataType.simpleString()
+        e = with_nrm(emb).select(
+            F.col("vec_id").cast("long").alias("src"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+        )
+        c = with_nrm(centroids).select(
+            F.col("vec_id").cast("long").alias("dst"),
+            F.col("embedding").alias("d_emb"),
+            F.col("nrm").alias("d_nrm"),
+        )
+        scored = (
+            e.join(broadcast(c))
+            .select("src", "dst", "s_emb", "d_emb", "s_nrm", "d_nrm")
+            .mapInArrow(
+                cosine_pair_batches_unrounded,
+                "src long, dst long, cosine double",
+            )
+            .select(
+                F.col("src").cast(vid_t).alias("vid"),
+                F.col("dst").cast(cell_t).alias("cell"),
+                F.col("cosine").alias("cos"),
+            )
+        )
     if n == 1:
         return scored.groupBy("vid").agg(
             F.expr("max_by(cell, struct(cos, -cell))").alias("cell"),

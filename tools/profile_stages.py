@@ -52,6 +52,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     fn = registry.QUERIES[name]
 
+    if "--prep" in sys.argv:
+        # bench.py's untimed offline index prep, so the profiled run
+        # measures the serving/build path the bench times
+        from kachess_spark.pipeline.similarity import (
+            build_graph_serve_state,
+            build_ivf_index,
+            build_ivfpq_index,
+            build_knn_state,
+            build_pq_index,
+        )
+
+        for d in ["/root/testdata/sf0.001", sf_dir]:
+            build_ivf_index(spark, d)
+            build_pq_index(spark, d)
+            build_ivfpq_index(spark, d)
+            build_knn_state(spark, d)
+            build_graph_serve_state(spark, d)
+
     if warm:
         warm_dir = "/root/testdata/sf0.001"
         try:
