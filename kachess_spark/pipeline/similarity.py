@@ -211,6 +211,12 @@ def with_recall(
     shuffle), the intersection is a broadcast semi-join on ≤ #queries·k
     rows — negligible against candidate generation at any corpus size.
     """
+    # result is <= #queries*k rows but its SUBTREE is the whole serving
+    # chain, and it is consumed twice (hits + the final join) — without
+    # a checkpoint every certified serving plan doubles (round-13 plan
+    # audit: sim_ivf_stored_topk carried 72 MapInArrow nodes / ~2300
+    # plan nodes from exactly this class of reuse-duplication)
+    result = result.localCheckpoint(eager=False)
     exact = exact_topk_fast(emb, k, metric, probe_ids)
     hits = (
         result.select("qid", "vid")
@@ -522,13 +528,37 @@ def knn_n_planes(n: int) -> int:
     return max(N_PLANES, _ceil_log2_ratio(n, KNN_TARGET_BUCKET))
 
 
+def _emb_with_norms(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm): the corpus with its exact-decimal
+    squared norms appended by the Arrow kernel — the scoring input
+    every ``_exact_cosine_edges`` call joins against.  Iterative
+    chains (beam walks, refine rounds, incremental maintenance)
+    compute this ONCE, localCheckpoint it, and pass it via ``embn``:
+    re-deriving it per scoring call re-pays a Python-boundary stage
+    each time (measured: 17.6 s -> 12.0 s on the 8-score-call
+    serve-incremental chain at sf0.1)."""
+    from kachess_spark.pipeline._cosine_kernel import norm_batches
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    emb2 = emb.select("vec_id", "embedding")
+    nrm_schema = StructType(
+        list(emb2.schema.fields) + [StructField("nrm", DoubleType())]
+    )
+    return emb2.mapInArrow(norm_batches, nrm_schema)
+
+
 def _exact_cosine_edges(
-    emb: DataFrame, cands: DataFrame, mirror: bool = False
+    emb: DataFrame,
+    cands: DataFrame,
+    mirror: bool = False,
+    embn: DataFrame | None = None,
 ) -> DataFrame:
     """Exact DECIMAL cosine for a (src, dst) candidate edge frame:
     hoisted norms + position-ordered DECIMAL dot (direction-
     independent), rounded to 6 — the shared scoring tail of every
-    graph builder.  Returns (src, dst, cosine).
+    graph builder.  Returns (src, dst, cosine).  ``embn`` (a
+    precomputed ``_emb_with_norms`` frame, usually checkpointed)
+    lets iterative callers amortize the norm pass across calls.
 
     Default engine is the Arrow-vectorized kernel
     (``_cosine_kernel``): the original interpreted
@@ -563,15 +593,10 @@ def _exact_cosine_edges(
     from kachess_spark.pipeline._cosine_kernel import (
         cosine_pair_batches,
         cosine_pair_batches_mirrored,
-        norm_batches,
     )
-    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    emb2 = emb.select("vec_id", "embedding")
-    nrm_schema = StructType(
-        list(emb2.schema.fields) + [StructField("nrm", DoubleType())]
-    )
-    embn = emb2.mapInArrow(norm_batches, nrm_schema)
+    if embn is None:
+        embn = _emb_with_norms(emb)
     return (
         cands.join(
             embn.select(
@@ -792,9 +817,10 @@ def sim_knn_graph_ivf(
             "dst",
         )
     )
-    topk = _knn_topk(_exact_cosine_edges(emb, cands))
+    embn = _emb_with_norms(emb).localCheckpoint(eager=False)
+    topk = _knn_topk(_exact_cosine_edges(emb, cands, embn=embn))
     for _ in range(refine):
-        topk = _knn_refine_round(spark, emb, topk, n_rows=n)
+        topk = _knn_refine_round(spark, emb, topk, n_rows=n, embn=embn)
     return topk.orderBy("src", "rk")
 
 
@@ -814,6 +840,7 @@ def _knn_refine_round(
     topk: DataFrame,
     k: int = KNN_K,
     n_rows: int | None = None,
+    embn: DataFrame | None = None,
 ) -> DataFrame:
     """One NN-descent round: candidates(u) = N(u) ∪ N⁻¹(u) ∪ the
     two-hop closure over the undirected current graph, re-scored with
@@ -858,7 +885,9 @@ def _knn_refine_round(
         # n·(2k)²/2 when the caller knows n (round-11 verdict #6)
         .repartition(width, "src", "dst")
     )
-    return _knn_topk(_exact_cosine_edges(emb, half, mirror=True), k=k)
+    return _knn_topk(
+        _exact_cosine_edges(emb, half, mirror=True, embn=embn), k=k
+    )
 
 
 KNN_PRESCREEN_DIMS = 32  # prefix-projection width for the prescreen
@@ -968,9 +997,10 @@ def sim_knn_graph_prescreened(
             partitions_for_rows(spark, n * prescreen_c), "src", "dst"
         )
     )
-    topk = _knn_topk(_exact_cosine_edges(emb, short))
+    embn = _emb_with_norms(emb).localCheckpoint(eager=False)
+    topk = _knn_topk(_exact_cosine_edges(emb, short, embn=embn))
     for _ in range(refine):
-        topk = _knn_refine_round(spark, emb, topk, n_rows=n)
+        topk = _knn_refine_round(spark, emb, topk, n_rows=n, embn=embn)
     return topk.orderBy("src", "rk")
 
 
@@ -1162,16 +1192,21 @@ def _knn_descent_graph(
             "dst",
         )
     )
-    topk = _knn_topk(_exact_cosine_edges(emb, cands, mirror=True), k=k_work)
+    embn = _emb_with_norms(emb).localCheckpoint(eager=False)
+    topk = _knn_topk(
+        _exact_cosine_edges(emb, cands, mirror=True, embn=embn), k=k_work
+    )
     topk = topk.localCheckpoint(eager=False)
-    for _ in range(rounds):
+    for r in range(rounds):
         nxt = _knn_refine_round(
-            spark, emb, topk, k=k_work, n_rows=n
+            spark, emb, topk, k=k_work, n_rows=n, embn=embn
         ).localCheckpoint(eager=False)
         # zero-update early stop: the edge SET fixed-point implies all
         # later rounds are identical (scores are deterministic functions
-        # of the set), so stopping here equals the full unroll
-        if (
+        # of the set), so stopping here equals the full unroll.  The
+        # probe is skipped on the LAST round — there is nothing left to
+        # skip, so the count job there was pure overhead (round-13).
+        if r < rounds - 1 and (
             nxt.select("src", "dst")
             .exceptAll(topk.select("src", "dst"))
             .limit(1)
@@ -1320,9 +1355,12 @@ def sim_graph_stored_topk(
         F.col("cosine").desc(), F.col("dst")
     )
 
+    # one norm pass for the walk's 1 + {GS_HOPS} scoring calls
+    embn = _emb_with_norms(emb).localCheckpoint(eager=False)
+
     def score(cands: DataFrame) -> DataFrame:
         return _exact_cosine_edges(
-            emb, cands.where(F.col("src") != F.col("dst"))
+            emb, cands.where(F.col("src") != F.col("dst")), embn=embn
         )
 
     scored = score(queries.crossJoin(entries)).localCheckpoint(eager=False)
@@ -1571,7 +1609,9 @@ def sim_knn_graph_incremental(
         .distinct()
         .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
     )
-    reranked = _knn_topk(_exact_cosine_edges(emb2, full_cands))
+    # one v2 norm pass for the FULL + MERGE scoring calls
+    embn2 = _emb_with_norms(emb2).localCheckpoint(eager=False)
+    reranked = _knn_topk(_exact_cosine_edges(emb2, full_cands, embn=embn2))
 
     # MERGE set: survivors gaining a delta candidate but losing no edge
     # — score ONLY the new (survivor, delta) pairs and fold them into
@@ -1593,7 +1633,7 @@ def sim_knn_graph_incremental(
     ).localCheckpoint(eager=False)
     merge_srcs = new_pairs.select(F.col("src").alias("vid")).distinct()
     merged = _knn_topk(
-        _exact_cosine_edges(emb2, new_pairs)
+        _exact_cosine_edges(emb2, new_pairs, embn=embn2)
         .unionByName(
             g1.join(
                 merge_srcs.withColumnRenamed("vid", "src"),
@@ -1781,12 +1821,18 @@ def _serve_incremental_working(
         partitions_for_rows(spark, n_plus * (2 * KNN_DESCENT_K) ** 2),
     )
 
+    # hoist the v2 norm frame ONCE for the chain's ~8 scoring calls —
+    # re-deriving it per call re-pays a Python-boundary stage each time
+    # (measured at sf0.1: 17.6 s -> 12.0 s for the whole chain)
+    embn2 = _emb_with_norms(emb2).localCheckpoint(eager=False)
+
     def score(cands: DataFrame) -> DataFrame:
         return _exact_cosine_edges(
             emb2,
             cands.where(F.col("src") != F.col("dst")).repartition(
                 score_width, "src", "dst"
             ),
+            embn=embn2,
         )
 
     queries_df = plus.select(F.col("vec_id").alias("src"))
@@ -1845,7 +1891,7 @@ def _serve_incremental_working(
         plus.select(F.col("vec_id").alias("src"))
     ).distinct()
     dirty = F.broadcast(dirty)
-    for _ in range(INC_REFINE_ROUNDS):
+    for r in range(INC_REFINE_ROUNDS):
         e = g.select("src", "dst")
         u = (
             e.unionByName(
@@ -1868,8 +1914,10 @@ def _serve_incremental_working(
         nxt = g.join(dirty, "src", "left_anti").unionByName(refined)
         # zero-update early stop: identical edge set -> every later
         # restricted round is an exact no-op (same argument as the
-        # builder's global stop)
-        if (
+        # builder's global stop).  Probe skipped on the last round —
+        # it can save nothing there (round-13: the probe never fires
+        # at fixture scale, so its count job was pure overhead).
+        if r < INC_REFINE_ROUNDS - 1 and (
             refined.select("src", "dst")
             .exceptAll(
                 g.join(dirty, "src", "left_semi").select("src", "dst")
@@ -2169,6 +2217,11 @@ def _ivf_probe(
         .where(F.col("vid") != F.col("qid"))
         .select("qid", "vid")
         .distinct()
+        # consumed twice (cand_vecs + the rank semi-join) — the plan
+        # duplication is accepted: the serving contract (plan-asserted)
+        # is a pure re-executable plan over the stored tables with no
+        # session-local checkpoint scans, and the certify path already
+        # collapses the doubling once, in with_recall (round-13)
     )
     cand_vecs = (
         cand_ids.select("vid").distinct()
@@ -3292,16 +3345,20 @@ def _pq_adc_probe(
     composition); None scans every code (flat PQ)."""
     queries = emb.where(F.col("vec_id").isin(*probe_ids))
 
-    qsub = None
-    for m in range(PQ_M):
-        part = queries.select(
-            F.col("vec_id").alias("qid"),
-            F.lit(m).alias("m"),
-            F.posexplode(F.slice("embedding", m * PQ_DIMS + 1, PQ_DIMS)).alias(
-                "pos", "qv"
-            ),
-        )
-        qsub = part if qsub is None else qsub.unionByName(part)
+    # one posexplode + arithmetic subspace split (m = pos div PQ_DIMS)
+    # instead of a PQ_M-way union of posexplode(slice(...)) — the union
+    # copied the query subtree M times into the plan for identical rows
+    # (round-13; the d2 aggregation is an exact decimal sum, so row
+    # order cannot matter)
+    qsub = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode("embedding").alias("fpos", "qv"),
+    ).select(
+        "qid",
+        (F.col("fpos") / PQ_DIMS).cast("int").alias("m"),
+        (F.col("fpos") % PQ_DIMS).alias("pos"),
+        "qv",
+    )
     bsub = books.select(
         "m",
         "code",
@@ -3347,7 +3404,12 @@ def _exact_rerank(
     probe_ids: tuple[int, ...],
 ) -> DataFrame:
     """Exact L2 re-rank of a (qid, vid) shortlist to the final top-k —
-    the full-precision tail every ADC variant shares."""
+    the full-precision tail every ADC variant shares.
+
+    The shortlist subtree is deliberately NOT checkpointed here even
+    though it is consumed twice: the serving contract (plan-asserted)
+    forbids session-local ExistingRDD scans in the bare plan, and the
+    certify path collapses its doubling once, in with_recall."""
     d = _exploded(emb, "vid", "dv")
     q = _exploded(queries, "qid", "qv")
     exact = (
@@ -3734,17 +3796,18 @@ def sim_ivfpq_residual_topk(
             ).alias("q_res"),
         )
     )
-    qsub = None
-    for m in range(PQ_M):
-        part = qres.select(
-            "qid",
-            "data_cell",
-            F.lit(m).alias("m"),
-            F.posexplode(
-                F.slice("q_res", m * PQ_DIMS + 1, PQ_DIMS)
-            ).alias("pos", "qv"),
-        )
-        qsub = part if qsub is None else qsub.unionByName(part)
+    # single posexplode + arithmetic subspace split — see _pq_adc_probe
+    qsub = qres.select(
+        "qid",
+        "data_cell",
+        F.posexplode("q_res").alias("fpos", "qv"),
+    ).select(
+        "qid",
+        "data_cell",
+        (F.col("fpos") / PQ_DIMS).cast("int").alias("m"),
+        (F.col("fpos") % PQ_DIMS).alias("pos"),
+        "qv",
+    )
     bsub = books.select(
         "m", "code", F.posexplode("embedding").alias("pos", "cv")
     )
