@@ -1015,8 +1015,20 @@ def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     that at test scale).
     """
     t = Tables(spark, sf_dir)
+    docs = t.documents
+    # A small corpus arrives as one parquet file, so the scan yields a
+    # single task and the regex+split+slice+xxhash span transform (the
+    # operator's entire CPU cost, paid once per self-join branch) runs
+    # serially — measured 1.7 s of a 2.2 s wall in ONE task at sf0.1.
+    # Spread it across the cores, but ONLY when the scan's natural
+    # split count is below the core count: at production scale
+    # maxPartitionBytes already yields thousands of splits and this
+    # exchange would be a pure corpus-sized extra shuffle (round-13).
+    cores = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < cores:
+        docs = docs.repartition(cores, "doc_id")
     spans = (
-        t.documents.select(
+        docs.select(
             "doc_id", F.expr(_WORDS_EXPR).alias("words")
         )
         .where(F.size("words") >= SPAN_N)
@@ -2024,13 +2036,21 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBRUN_MIN = 8  # min shared run, in 3-gram shingles (≈ 10 words)
 SUBRUN_DF_CAP = 50  # shingles in more docs than this are stop-shingles
 
-def _diagonal_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _diagonal_matches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """Cross-document positional shingle matches (da < db): the shared
     candidate stream of the substring-run family.  Positional 3-gram
     postings are fingerprinted to 64 bits BEFORE the exchange, df-capped
     (``SUBRUN_DF_CAP``) to drop stop-shingles, and self-joined on the
     fingerprint — the df-count groupBy, the keep semi-join, and the
-    self-join all reuse one hash partitioning on ``fp``."""
+    self-join all reuse one hash partitioning on ``fp``.
+
+    Returns ``(matches, posts)``: the caller must materialize its final
+    result (eager localCheckpoint, the tf-idf lifecycle) and then
+    ``posts.unpersist()`` so no cache outlives the call."""
+    from pyspark.storagelevel import StorageLevel
+
     t = Tables(spark, sf_dir)
     posts = (
         t.documents.select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
@@ -2052,12 +2072,23 @@ def _diagonal_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every corpus size, the tf-idf postings trap all over again;
         # 16x expansion leaves margin for wider shingles
         .repartition(scaled_partitions(spark, sf_dir, "documents", 16), "fp")
-        # eager: posts has three consumers inside one job (the df-count
-        # groupBy and both sides of the self-join) — a lazy checkpoint
-        # would race them into concurrent recompute of the same blocks
-        # (the funnel-report failure mode, ~3x wall blowup)
-        .localCheckpoint(eager=True)
+        # persist, NOT localCheckpoint (round-13 plan audit): the
+        # checkpoint's ExistingRDD scan reports UnknownPartitioning, so
+        # the df-count silently re-exchanged the full postings TWICE
+        # ((fp, doc_id) then (fp), once per self-join branch) and the
+        # keep subtree was planned and executed per branch — exactly
+        # the shuffles this function's contract says don't exist.  The
+        # cached scan keeps hashpartitioning(fp), so the df-count, the
+        # keep semi-join and the self-join all run exchange-free on the
+        # one postings exchange above.  DISK_ONLY for the same
+        # eviction-free reason as the tf-idf postings cache.
+        .persist(StorageLevel.DISK_ONLY)
     )
+    # fill the cache with one linear job BEFORE the consumers: multiple
+    # consumers of an unfilled lazy cache inside one job race into
+    # concurrent recompute of the same partitions (the funnel-report
+    # failure mode, ~3x wall blowup)
+    posts.count()
     keep = (
         posts.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("c"))
@@ -2075,7 +2106,7 @@ def _diagonal_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "fp")
         .where(F.col("da") < F.col("db"))
         .select("da", "db", "pa", "pb")
-    )
+    ), posts
 
 
 _SUBRUN_ORACLE = f"""
@@ -2141,7 +2172,8 @@ def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a window + groupBy on the matched-pair stream, which the df cap
     keeps proportional to true duplication, not corpus².
     """
-    m = _diagonal_matches(spark, sf_dir).select(
+    mm, posts = _diagonal_matches(spark, sf_dir)
+    m = mm.select(
         "da", "db", "pa", (F.col("pa") - F.col("pb")).alias("delta")
     )
     w = Window.partitionBy("da", "db", "delta").orderBy("pa")
@@ -2150,14 +2182,21 @@ def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("da", "db", "delta", "grp")
         .agg(F.count("*").alias("run_len"))
     )
-    return (
-        runs.groupBy(
-            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+    try:
+        # pair-level output (tiny at any corpus size relative to the
+        # postings): materialize on the executors, then release the
+        # postings cache — no InMemoryRelation outlives the call
+        out = (
+            runs.groupBy(
+                F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+            )
+            .agg(F.max("run_len").alias("max_run"))
+            .where(F.col("max_run") >= SUBRUN_MIN)
+            .localCheckpoint(eager=True)
         )
-        .agg(F.max("run_len").alias("max_run"))
-        .where(F.col("max_run") >= SUBRUN_MIN)
-        .orderBy("doc_a", "doc_b")
-    )
+    finally:
+        posts.unpersist()
+    return out.orderBy("doc_a", "doc_b")
 
 
 _SUBSPAN_ORACLE = f"""
@@ -2214,25 +2253,18 @@ _SUBSPAN_ORACLE = f"""
 """
 
 
-@query("dedup_substring_spans", _SUBSPAN_ORACLE)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged duplicated-passage spans per document — the ACTIONABLE
-    output of exact-substring dedup: for every doc, the 0-based word
-    intervals [span_start, span_end] that verbatim-repeat a passage of
-    an earlier (lower doc_id) document, ready to cut before training
-    (keep-first policy, matching dedup_span_overlap).  A run of L ≥
-    {SUBRUN_MIN} consecutive diagonal matches covers L+2 words;
-    overlapping runs — from different source docs or different
-    diagonals — merge into maximal spans via the classic
-    running-max-end island pass.
-
-    Scale shape: shares ``_diagonal_matches`` (df-capped 64-bit
-    positional postings, one exchange, per-key-bounded fan-out) with
-    dedup_substring_run; the interval-merge window partitions by
-    doc_id — per-document interval counts are bounded by document
-    length, so no partition outgrows a task at any corpus size.
-    """
-    m = _diagonal_matches(spark, sf_dir).select(
+def _substring_spans_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """LAZY merged-span frame (doc_id, span_start, span_end,
+    span_words) + the posts cache handle — shared by
+    dedup_substring_spans (which materializes it as its result) and
+    dedup_cut_spans (which consumes it in-plan and materializes only
+    its own cleaned-corpus tail, so the chain is not paid twice).  The
+    caller owns the lifecycle: materialize the final result, then
+    ``posts.unpersist()``."""
+    mm, posts = _diagonal_matches(spark, sf_dir)
+    m = mm.select(
         "da", "db", "pb", (F.col("pa") - F.col("pb")).alias("delta")
     )
     wrun = Window.partitionBy("da", "db", "delta").orderBy("pb")
@@ -2257,7 +2289,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int"),
     )
     grp2 = flag.withColumn("island", F.sum("new_island").over(wdoc))
-    return (
+    frame = (
         grp2.groupBy("doc_id", "island")
         .agg(
             F.min("s").alias("span_start"),
@@ -2270,8 +2302,36 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span_end").cast("long").alias("span_end"),
             F.col("span_words").cast("long").alias("span_words"),
         )
-        .orderBy("doc_id", "span_start")
     )
+    return frame, posts
+
+
+@query("dedup_substring_spans", _SUBSPAN_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged duplicated-passage spans per document — the ACTIONABLE
+    output of exact-substring dedup: for every doc, the 0-based word
+    intervals [span_start, span_end] that verbatim-repeat a passage of
+    an earlier (lower doc_id) document, ready to cut before training
+    (keep-first policy, matching dedup_span_overlap).  A run of L ≥
+    {SUBRUN_MIN} consecutive diagonal matches covers L+2 words;
+    overlapping runs — from different source docs or different
+    diagonals — merge into maximal spans via the classic
+    running-max-end island pass.
+
+    Scale shape: shares ``_diagonal_matches`` (df-capped 64-bit
+    positional postings, one exchange, per-key-bounded fan-out) with
+    dedup_substring_run; the interval-merge window partitions by
+    doc_id — per-document interval counts are bounded by document
+    length, so no partition outgrows a task at any corpus size.
+    """
+    frame, posts = _substring_spans_frame(spark, sf_dir)
+    try:
+        # span-level output (bounded by total document length, not by
+        # pair volume): materialize, then release the postings cache
+        out = frame.localCheckpoint(eager=True)
+    finally:
+        posts.unpersist()
+    return out.orderBy("doc_id", "span_start")
 
 
 _CUT_SPANS_ORACLE = f"""
@@ -2346,12 +2406,18 @@ def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     word array — no new shuffle, no Python.
     """
     t = Tables(spark, sf_dir)
-    spans = (
-        dedup_substring_spans(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(F.array("span_start", "span_end")).alias("sp")
-        )
+    # materialize only the TINY span frame eagerly (bounded by total
+    # document length) and release the postings cache right away; the
+    # cleaned-corpus tail below stays lazy — an eager tail here would
+    # force the full cleaned-text computation even for actions that
+    # never read it (round-13: measured +0.8 s on the bench's count())
+    frame, posts = _substring_spans_frame(spark, sf_dir)
+    try:
+        span_rows = frame.localCheckpoint(eager=True)
+    finally:
+        posts.unpersist()
+    spans = span_rows.groupBy("doc_id").agg(
+        F.collect_list(F.array("span_start", "span_end")).alias("sp")
     )
     docs = t.documents.select(
         "doc_id", F.expr(_WORDS_EXPR).alias("words")

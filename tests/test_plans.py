@@ -937,24 +937,36 @@ def test_int8_topk_recall_vs_float_exact(spark, sf_dir):
 
 
 def test_substring_run_no_cartesian_df_capped(spark, sf_dir):
-    """dedup_substring_run: pair candidates come from the fingerprint
-    equality join over df-capped postings — no cartesian, no Python;
-    postings carry 64-bit fingerprints (not span strings) into the
-    shuffle."""
-    from kachess_spark.pipeline.dedup import dedup_substring_run
-
-    df = dedup_substring_run(spark, sf_dir)
-    df.count()
-    plan = _plan(df)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "EvalPython" not in plan
-    # postings enter the shuffle as 64-bit fingerprints, not span
-    # strings (the localCheckpoint truncates lineage to a LogicalRDD,
-    # so assert on the checkpointed schema: fp#<id>L = LongType)
+    """dedup_substring_run's candidate stream: pair candidates come
+    from the fingerprint equality join over df-capped postings — no
+    cartesian, no Python; postings carry 64-bit fingerprints (not span
+    strings) into the shuffle; and the cached postings' fp hash
+    partitioning is REUSED by the df-count (round-13 regression guard:
+    the old localCheckpoint reported UnknownPartitioning, silently
+    re-exchanging the full postings on (fp, doc_id) in both self-join
+    branches)."""
     import re
 
-    assert re.search(r"LogicalRDD \[doc_id#\d+L, pos#\d+, fp#\d+L\]", _optimized(df))
+    from pyspark.sql import types as T
+
+    from kachess_spark.pipeline.dedup import _diagonal_matches
+
+    mm, posts = _diagonal_matches(spark, sf_dir)
+    try:
+        mm.count()
+        plan = _plan(mm)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+        # postings enter the shuffle as 64-bit fingerprints, not span
+        # strings
+        fields = {f.name: f.dataType for f in posts.schema.fields}
+        assert fields["fp"] == T.LongType()
+        # the df-count runs on the cache's fp partitioning: no
+        # (fp, doc_id) re-exchange of the postings anywhere
+        assert not re.search(r"hashpartitioning\(fp#\d+L, doc_id", plan)
+    finally:
+        posts.unpersist()
 
 
 def test_substring_spans_merge_semantics(spark, sf_dir):
