@@ -1103,6 +1103,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the local plan keeps strings).
     """
     t = Tables(spark, sf_dir)
+    # NOTE (round-13, negative result kept for the record): replacing
+    # the lazy checkpoints below with a (lang, shingle)-partitioned
+    # DISK_ONLY postings cache — the substring-family pattern — read
+    # 33 s vs 1.4 s in a back-to-back A/B.  Here the self-join's b-side
+    # is under the 64 MB auto-broadcast threshold, so the existing plan
+    # is ONE explode + a broadcast hash join with no postings exchange
+    # at all; the "fix" traded that for a full postings exchange, a
+    # cache write, and a sort-merge join.  The lazy-checkpoint shape
+    # stays.
     sh = (
         t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "lang", F.expr(_WORDS_EXPR).alias("words"))

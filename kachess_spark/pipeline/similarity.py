@@ -552,6 +552,7 @@ def _exact_cosine_edges(
     cands: DataFrame,
     mirror: bool = False,
     embn: DataFrame | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Exact DECIMAL cosine for a (src, dst) candidate edge frame:
     hoisted norms + position-ordered DECIMAL dot (direction-
@@ -573,10 +574,18 @@ def _exact_cosine_edges(
     ``KACHESS_COSINE_JVM=1`` re-selects the expression path for A/B
     certification; both paths keep the join shape (pairs carry the two
     embeddings through one exchange) so the 100 TB plan is unchanged.
+
+    ``engine="jvm"`` pins a caller to the expression path: on chains
+    with FEW, SMALL scoring calls the kernel's fixed per-call costs
+    (a Python norm stage + Arrow transfer of both embeddings) outrun
+    its per-pair win — sim_knn_graph_incremental measured 6.8 s Arrow
+    vs 5.9 s JVM min-of-4 at sf0.1 (round-13 interleaved A/B), while
+    the many-round builders win 30-40% on Arrow.  Both engines are
+    bit-equal (proven in tests), so the choice is pure performance.
     """
     import os
 
-    if os.environ.get("KACHESS_COSINE_JVM") == "1":
+    if engine == "jvm" or os.environ.get("KACHESS_COSINE_JVM") == "1":
         scored = _exact_cosine_edges_jvm(emb, cands)
         if not mirror:
             return scored
@@ -1609,9 +1618,12 @@ def sim_knn_graph_incremental(
         .distinct()
         .repartition(spark.sparkContext.defaultParallelism, "src", "dst")
     )
-    # one v2 norm pass for the FULL + MERGE scoring calls
-    embn2 = _emb_with_norms(emb2).localCheckpoint(eager=False)
-    reranked = _knn_topk(_exact_cosine_edges(emb2, full_cands, embn=embn2))
+    # JVM engine, no hoisted norm frame: this maintainer makes only TWO
+    # scoring calls over delta-proportional candidate sets, so the
+    # Arrow kernel's fixed per-call costs outrun its per-pair win —
+    # measured min-of-4 at sf0.1: 6.8 s (Arrow + hoisted norms) vs
+    # 5.9 s (JVM fold) vs 6.0 s r12 baseline (round-13 interleaved A/B)
+    reranked = _knn_topk(_exact_cosine_edges(emb2, full_cands, engine="jvm"))
 
     # MERGE set: survivors gaining a delta candidate but losing no edge
     # — score ONLY the new (survivor, delta) pairs and fold them into
@@ -1633,7 +1645,7 @@ def sim_knn_graph_incremental(
     ).localCheckpoint(eager=False)
     merge_srcs = new_pairs.select(F.col("src").alias("vid")).distinct()
     merged = _knn_topk(
-        _exact_cosine_edges(emb2, new_pairs, embn=embn2)
+        _exact_cosine_edges(emb2, new_pairs, engine="jvm")
         .unionByName(
             g1.join(
                 merge_srcs.withColumnRenamed("vid", "src"),
