@@ -142,6 +142,16 @@ def exact_topk_fast(
     rankers) or "l2" (ascending squared distance, PQ's ground truth).
     Ties break on vid, matching every ranker in this module.
     """
+    # A small corpus scans as ONE split, so the whole #queries·N fold
+    # ran in a single task (~1.0 s serial inside EVERY certified ANN
+    # query at sf0.1 — round-13 measurement).  Spread it across the
+    # cores, gated on the scan's natural split count so the exchange
+    # never fires at production scale (round-robin repartition is
+    # deterministic via Spark's sort-before-repartition; row placement
+    # cannot affect the per-qid global ranking).
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism)
     norm = F.expr(
         f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
         f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
@@ -4299,6 +4309,12 @@ def sim_range_search(
     — linear, broadcast queries, no shuffle."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
+    # spread the single-split scan across the cores (the
+    # exact_topk_fast note): every per-row fold below — plane dots,
+    # norms, the certificate's #queries·N cosine — otherwise runs in
+    # one task; no-op when the scan is already parallel
+    if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
     buckets = banded_hyperplane_buckets(emb).localCheckpoint(eager=False)
     qb = buckets.where(F.col("vid").isin(*probe_ids)).select(
         F.col("vid").alias("qid"), "band", "bucket"
@@ -4309,6 +4325,16 @@ def sim_range_search(
         .select("qid", "vid")
         .distinct()
     )
+    # JVM DECIMAL folds kept DELIBERATELY (round-13 negative result):
+    # rewriting both scoring sites through the Arrow kernel read 3.1 s
+    # vs ~2.0 s min — kept and exact are each consumed twice (hits +
+    # tot / final join), so the kernel paid its fixed Python-boundary
+    # cost four times over pair volumes too small to amortize it
+    # (N=2000 at sf0.1).  The folds' ~20 s of executor CPU parallelize
+    # across the cores via the scan repartition above instead.  At a
+    # production N the certificate's fold CPU grows linearly and the
+    # kernel would win — revisit if the certificate ever dominates at
+    # scale.
     norm = F.expr(
         f"aggregate(embedding, CAST(0 AS {PDEC}), (acc, x) ->"
         f" CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
