@@ -617,12 +617,12 @@ def dedup_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup-style pruning and hubness audits) already contains every
     vector's nearest neighbors, so near-dup detection is a FILTER over
     its edges — keep rule: drop any vector whose graph has a neighbor
-    with cosine ≥ {COS_THRESHOLD} and a LOWER vec_id (the
+    with cosine ≥ COS_THRESHOLD (0.35) and a LOWER vec_id (the
     dedup_embedding_cosine keep-lowest convention).
 
     Recall honesty: misses are exactly the graph's recall misses
     (RECALL.md frontier) — a vector whose true near-dup is absent from
-    its top-{KNN_K} descent edges survives; dedup_embedding_cosine
+    its top-KNN_K (3) descent edges survives; dedup_embedding_cosine
     stays the exhaustive-candidates reference.  The graph is READ from
     ``build_graph_serve_state`` (built once per corpus version,
     parameter-keyed), so the per-run plan is a filter + anti-join over
