@@ -1818,8 +1818,19 @@ def _serve_incremental_working(
     survivors = emb.join(
         minus_src.withColumnRenamed("src", "vec_id"), "vec_id", "left_anti"
     ).select("vec_id")
-    n_surv = survivors.count()
-    n_plus = plus.count()
+    # the two schedule-sizing cardinalities in ONE corpus scan: separate
+    # survivors.count() + plus.count() actions cost three emb scans (the
+    # plus union reads emb per branch) — at 100 TB that is two extra
+    # full corpus passes for two integers (guide §5: fewer actions)
+    sizes = emb.select(
+        F.sum((~removed & ~edited).cast("long")).alias("n_surv"),
+        (
+            F.sum((~removed & edited).cast("long"))
+            + F.sum((F.col("vec_id") % add_mod == 2).cast("long"))
+        ).alias("n_plus"),
+    ).first()
+    n_surv = int(sizes["n_surv"] or 0)
+    n_plus = int(sizes["n_plus"] or 0)
     entries = F.broadcast(
         survivors.orderBy(
             F.md5(F.concat(F.lit("gsv|"), F.col("vec_id").cast("string"))),
