@@ -821,15 +821,23 @@ def sim_knn_graph_ivf(
         assign.join(qprobe, "data_cell")  # inverted lists x probe sets
         .where(F.col("vid") != F.col("src"))
         .select("src", F.col("vid").alias("dst"))
-        .distinct()
-        # AQE coalesces the distinct by SIZE (the pair frame is a few
-        # MB) and the cell-partitioned index arrives in few tasks — but
-        # the next stage is CPU-bound DECIMAL folds, so spread it
-        # explicitly or the exact scoring runs on a handful of cores
-        # (measured: 24 s -> ~6 s for the scoring stage at sf0.1).
-        # Width sized from the KNOWN candidate cardinality n·np·cell
-        # (round-11 verdict #6) — a defaultParallelism pin kept 32
-        # slots at every corpus size, so per-task volume grew n^1.5
+        # no distinct: each dst has exactly ONE home cell in the stored
+        # assignments (ivf_assign n=1 is a per-vid argmax) and qprobe's
+        # probe cells are unique per src (row_number <= n_probe), so the
+        # inverted-list join emits every (src, dst) at most once — the
+        # former .distinct() here was a no-op (row-count-proven at
+        # sf0.1: 998122 = 998122) costing two HashAggregate dedup
+        # passes over the n^1.5 candidate stream per build (round-13;
+        # its exchange was already satisfied by the probe window's
+        # src partitioning, so the saving is the agg CPU, not a shuffle)
+        # AQE coalesces the pair frame by SIZE (a few MB) and the
+        # cell-partitioned index arrives in few tasks — but the next
+        # stage is CPU-bound scoring, so spread it explicitly or the
+        # exact scoring runs on a handful of cores (measured: 24 s ->
+        # ~6 s for the scoring stage at sf0.1).  Width sized from the
+        # KNOWN candidate cardinality n·np·cell (round-11 verdict #6) —
+        # a defaultParallelism pin kept 32 slots at every corpus size,
+        # so per-task volume grew n^1.5
         .repartition(
             partitions_for_rows(spark, n * n_probe * max(1, n // cells)),
             "src",
@@ -839,7 +847,7 @@ def sim_knn_graph_ivf(
     embn = _emb_with_norms(emb).localCheckpoint(eager=False)
     topk = _knn_topk(_exact_cosine_edges(emb, cands, embn=embn))
     for _ in range(refine):
-        topk = _knn_refine_round(spark, emb, topk, n_rows=n, embn=embn)
+        topk = _knn_refine_round(spark, emb, topk, embn=embn)
     return topk.orderBy("src", "rk")
 
 
@@ -858,7 +866,6 @@ def _knn_refine_round(
     emb: DataFrame,
     topk: DataFrame,
     k: int = KNN_K,
-    n_rows: int | None = None,
     embn: DataFrame | None = None,
 ) -> DataFrame:
     """One NN-descent round: candidates(u) = N(u) ∪ N⁻¹(u) ∪ the
@@ -884,11 +891,6 @@ def _knn_refine_round(
         .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    width = (
-        partitions_for_rows(spark, n_rows * (2 * k * k + k))
-        if n_rows is not None
-        else spark.sparkContext.defaultParallelism
-    )
     # the candidate SET is symmetric (und is undirected; the two-hop
     # closure of a symmetric relation is symmetric), and the rounded
     # DECIMAL cosine is direction-independent (position-ordered fold
@@ -896,14 +898,19 @@ def _knn_refine_round(
     # pair once and mirror, halving the scoring join, the exchange
     # bytes, and the Arrow-kernel volume with bit-identical results
     # (the sim_knn_graph trick applied to the refine rounds)
-    half = (
-        und.unionByName(two_hop)
-        .where(F.col("src") < F.col("dst"))
-        .distinct()
-        # width sized from the round's bounded unordered cardinality
-        # n·(2k)²/2 when the caller knows n (round-11 verdict #6)
-        .repartition(width, "src", "dst")
-    )
+    #
+    # no explicit spread after the distinct (round-13): the former
+    # .repartition(partitions_for_rows(n·(2k)²), src, dst) re-shipped
+    # every round's deduped candidate set a SECOND time purely to widen
+    # the scoring stage — a JVM-fold-era fix (the r10 "24 s -> 6 s"
+    # lesson at ~100 us/pair) that the ~1 us/pair Arrow kernel no
+    # longer needs.  Measured per full descent build at sf0.1:
+    # shuffle 89.4 -> 31.2 MB, tasks 446 -> 121, executor CPU
+    # 40.2 -> 13.6 s, rows identical.  AQE sizes the distinct's own
+    # exchange from bytes, so the scoring width still grows with the
+    # corpus; the JVM-fold maintainer (sim_knn_graph_incremental)
+    # KEEPS its explicit spread — its per-pair cost is ~100x higher.
+    half = und.unionByName(two_hop).where(F.col("src") < F.col("dst")).distinct()
     return _knn_topk(
         _exact_cosine_edges(emb, half, mirror=True, embn=embn), k=k
     )
@@ -986,7 +993,10 @@ def sim_knn_graph_prescreened(
         assign.join(qprobe, "data_cell")
         .where(F.col("vid") != F.col("src"))
         .select("src", F.col("vid").alias("dst"))
-        .distinct()
+        # no distinct: (src, dst) pairs are unique by construction —
+        # dst has ONE home cell, probe cells are unique per src (see
+        # sim_knn_graph_ivf's note; the removed no-op .distinct() cost
+        # two HashAggregate dedup passes over the n^1.5 stream)
         # the prescreen folds are CPU-bound — spread (r10 lesson);
         # width sized from the known n·np·cell cardinality (r11 #6)
         .repartition(
@@ -1019,7 +1029,7 @@ def sim_knn_graph_prescreened(
     embn = _emb_with_norms(emb).localCheckpoint(eager=False)
     topk = _knn_topk(_exact_cosine_edges(emb, short, embn=embn))
     for _ in range(refine):
-        topk = _knn_refine_round(spark, emb, topk, n_rows=n, embn=embn)
+        topk = _knn_refine_round(spark, emb, topk, embn=embn)
     return topk.orderBy("src", "rk")
 
 
@@ -1196,21 +1206,11 @@ def _knn_descent_graph(
     # and the rounded cosine direction-independent: score each
     # unordered pair once and mirror — half the exchange and kernel
     # volume, bit-identical results (same trick as the refine rounds)
-    cands = (
-        _knn_descent_init(emb, n)
-        .where(F.col("src") < F.col("dst"))
-        .repartition(
-            max(
-                spark.sparkContext.defaultParallelism,
-                partitions_for_rows(
-                    spark,
-                    n * KNN_DESCENT_BUCKET * KNN_DESCENT_INIT_BANDS // 2,
-                ),
-            ),
-            "src",
-            "dst",
-        )
-    )
+    # no explicit spread after the init distinct (round-13): same
+    # removal as _knn_refine_round's — the re-ship existed to widen the
+    # JVM-fold scoring stage; the Arrow kernel rides the distinct's own
+    # AQE-sized exchange (bytes-proportional at any corpus size)
+    cands = _knn_descent_init(emb, n).where(F.col("src") < F.col("dst"))
     embn = _emb_with_norms(emb).localCheckpoint(eager=False)
     topk = _knn_topk(
         _exact_cosine_edges(emb, cands, mirror=True, embn=embn), k=k_work
@@ -1218,7 +1218,7 @@ def _knn_descent_graph(
     topk = topk.localCheckpoint(eager=False)
     for r in range(rounds):
         nxt = _knn_refine_round(
-            spark, emb, topk, k=k_work, n_rows=n, embn=embn
+            spark, emb, topk, k=k_work, embn=embn
         ).localCheckpoint(eager=False)
         # zero-update early stop: the edge SET fixed-point implies all
         # later rounds are identical (scores are deterministic functions

@@ -1254,7 +1254,7 @@ def test_knn_descent_stages_no_cartesian(spark, sf_dir):
     topk = _knn_topk(init_scored, k=KNN_DESCENT_K).localCheckpoint(
         eager=False
     )
-    rplan = _plan(_knn_refine_round(spark, emb, topk, k=KNN_DESCENT_K, n_rows=n))
+    rplan = _plan(_knn_refine_round(spark, emb, topk, k=KNN_DESCENT_K))
     assert "CartesianProduct" not in rplan
     assert "BroadcastNestedLoopJoin" not in rplan
     assert "EvalPython" not in rplan
