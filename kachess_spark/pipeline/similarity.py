@@ -1843,12 +1843,16 @@ def _serve_incremental_working(
         F.col("cosine").desc(), F.col("dst")
     )
 
-    # spread every scoring input explicitly: the pair frames here are a
-    # few MB, so AQE coalesces their exchanges to a handful of tasks —
-    # but the next stage is the CPU-bound cosine kernel (round-13
-    # profile: settle-round scoring ran on 5 tasks at ~0.7 s/task).
-    # Width from the bounded delta cardinality (the round-11 verdict #6
-    # pattern), floored at defaultParallelism.
+    # spread only the scoring inputs that arrive with NO exchange of
+    # their own: the placement-seed cross join inherits the corpus
+    # scan's split count (ONE partition on a single-file fixture), so
+    # its kernel stage needs the explicit spread (round-13 profile:
+    # 5 tasks at ~0.7 s/task).  Inputs that flow through a .distinct()
+    # already carry an AQE-sized exchange whose width grows with bytes
+    # — re-shipping those through a second explicit repartition is the
+    # same double-exchange the refine rounds dropped (§11).  Width from
+    # the bounded delta cardinality (round-11 verdict #6), floored at
+    # defaultParallelism.
     score_width = max(
         spark.sparkContext.defaultParallelism,
         partitions_for_rows(spark, n_plus * (2 * KNN_DESCENT_K) ** 2),
@@ -1859,17 +1863,14 @@ def _serve_incremental_working(
     # (measured at sf0.1: 17.6 s -> 12.0 s for the whole chain)
     embn2 = _emb_with_norms(emb2).localCheckpoint(eager=False)
 
-    def score(cands: DataFrame) -> DataFrame:
-        return _exact_cosine_edges(
-            emb2,
-            cands.where(F.col("src") != F.col("dst")).repartition(
-                score_width, "src", "dst"
-            ),
-            embn=embn2,
-        )
+    def score(cands: DataFrame, spread: bool = False) -> DataFrame:
+        c = cands.where(F.col("src") != F.col("dst"))
+        if spread:
+            c = c.repartition(score_width, "src", "dst")
+        return _exact_cosine_edges(emb2, c, embn=embn2)
 
     queries_df = plus.select(F.col("vec_id").alias("src"))
-    scored = score(queries_df.crossJoin(entries)).localCheckpoint(
+    scored = score(queries_df.crossJoin(entries), spread=True).localCheckpoint(
         eager=False
     )
     place = scored
