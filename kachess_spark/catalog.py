@@ -51,7 +51,12 @@ def table_bytes(sf_dir: str, name: str) -> int:
 
 
 def scaled_partitions(
-    spark, sf_dir: str, name: str, expansion: float, part_bytes: int = 32 << 20
+    spark,
+    sf_dir: str,
+    name: str,
+    expansion: float,
+    part_bytes: int = 32 << 20,
+    floor_at_parallelism: bool = True,
 ) -> int:
     """Corpus-proportional partition count for a data-expanding
     exchange: ceil(table_bytes·expansion / part_bytes), floored at the
@@ -65,11 +70,19 @@ def scaled_partitions(
     cost crosses linear (BASELINE.md round-10 text_tfidf watch item);
     at 100 TB it would be a deadlock-shaped 3 TB per task.  Sizing by
     input bytes keeps per-task shuffle volume ~constant at every scale
-    while AQE still coalesces if the estimate overshoots."""
+    while AQE still coalesces if the estimate overshoots.
+
+    ``floor_at_parallelism=False`` drops the defaultParallelism floor
+    for CPU-light Python stages over FEW rows (round-13 verdict #2:
+    a 32-task mapInPandas over ~600 tiny rows paid ~40 ms of per-task
+    Python fixed cost per slot — the 32-core wall read 4x the 8-core
+    one); callers then pick ``part_bytes`` so per-task work stays well
+    above the fixed cost at any corpus size."""
     need = int(
         -(-table_bytes(sf_dir, name) * expansion // part_bytes)
     )
-    return max(spark.sparkContext.defaultParallelism, min(need, 100_000))
+    floor = spark.sparkContext.defaultParallelism if floor_at_parallelism else 1
+    return max(floor, min(need, 100_000))
 
 
 def partitions_for_rows(
@@ -77,15 +90,29 @@ def partitions_for_rows(
 ) -> int:
     """Exchange width for a frame whose CARDINALITY is known at plan
     time (candidate pairs = n·probe·cell, refine edges = n·(2k)², …):
-    ceil(rows·row_bytes / part_bytes), floored at defaultParallelism,
-    capped at 100k.  The row-count companion of ``scaled_partitions``
-    (round-11 verdict #6): a repartition pinned at defaultParallelism
-    keeps 32 slots at every corpus size, so per-task volume grows with
-    the data and crosses memory at ~100x — sizing from the known
-    cardinality keeps per-task bytes ~constant while AQE still
-    coalesces an overshoot."""
+    ceil(rows·row_bytes / part_bytes), capped at 100k.  The row-count
+    companion of ``scaled_partitions`` (round-11 verdict #6): a
+    repartition pinned at defaultParallelism keeps 32 slots at every
+    corpus size, so per-task volume grows with the data and crosses
+    memory at ~100x — sizing from the known cardinality keeps per-task
+    bytes ~constant while AQE still coalesces an overshoot.
+
+    The FLOOR is work-derived, not core-derived (round-13 verdict #2:
+    the defaultParallelism floor put 32 near-empty partitions under
+    every Arrow scoring stage at small row counts, each paying the
+    Python-worker/Arrow fixed cost — the 32-core walls read SLOWER
+    than the 8-core ones).  Every caller feeds an Arrow cosine-kernel
+    stage whose true per-row payload is the ~1 KB joined embedding
+    pair, so the floor targets ~64 MB of KERNEL input per task
+    (64k rows) and never exceeds the core count — at production row
+    counts the byte-derived ``need`` dominates and the floor is inert.
+    """
     need = int(-(-n_rows * row_bytes // part_bytes))
-    return max(spark.sparkContext.defaultParallelism, min(need, 100_000))
+    floor = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, int(-(-n_rows // 65536))),
+    )
+    return max(floor, min(need, 100_000))
 
 
 # Session-scoped DataFrame cache: spark.read.parquet costs a file

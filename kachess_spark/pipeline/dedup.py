@@ -2055,11 +2055,10 @@ def _diagonal_matches(
     fingerprint — the df-count groupBy, the keep semi-join, and the
     self-join all reuse one hash partitioning on ``fp``.
 
-    Returns ``(matches, posts)``: the caller must materialize its final
-    result (eager localCheckpoint, the tf-idf lifecycle) and then
-    ``posts.unpersist()`` so no cache outlives the call."""
-    from pyspark.storagelevel import StorageLevel
-
+    Returns ``(matches, posts)``: ``posts`` is no longer cached
+    (round-14 — ReuseExchange dedups the one postings exchange across
+    all three consumers), so the caller-side ``posts.unpersist()``
+    lifecycle is a no-op kept for API stability."""
     t = Tables(spark, sf_dir)
     posts = (
         t.documents.select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
@@ -2081,23 +2080,20 @@ def _diagonal_matches(
         # every corpus size, the tf-idf postings trap all over again;
         # 16x expansion leaves margin for wider shingles
         .repartition(scaled_partitions(spark, sf_dir, "documents", 16), "fp")
-        # persist, NOT localCheckpoint (round-13 plan audit): the
-        # checkpoint's ExistingRDD scan reports UnknownPartitioning, so
-        # the df-count silently re-exchanged the full postings TWICE
-        # ((fp, doc_id) then (fp), once per self-join branch) and the
-        # keep subtree was planned and executed per branch — exactly
-        # the shuffles this function's contract says don't exist.  The
-        # cached scan keeps hashpartitioning(fp), so the df-count, the
-        # keep semi-join and the self-join all run exchange-free on the
-        # one postings exchange above.  DISK_ONLY for the same
-        # eviction-free reason as the tf-idf postings cache.
-        .persist(StorageLevel.DISK_ONLY)
+        # NO persist and NO localCheckpoint (round-14; supersedes the
+        # round-13 DISK_ONLY cache + count-fill): the three consumers
+        # (df-count groupBy, keep semi-join, self-join sides) reference
+        # an IDENTICAL exchange subtree, so ReuseExchange dedups it at
+        # physical planning — the explode runs ONCE and every consumer
+        # re-reads the one set of shuffle blocks, keeping
+        # hashpartitioning(fp) exactly like the cached scan did.  The
+        # round-13 cache additionally paid a dedicated count() job to
+        # fill it (a full postings pass) — with exchange reuse that job
+        # buys nothing, and dropping cache+fill recovered the
+        # dedup_cut_spans regression (driver r13: 1.3 -> 3.2 s; the
+        # round-13 problem was the eager localCheckpoint's
+        # UnknownPartitioning scan, which reuse does not have).
     )
-    # fill the cache with one linear job BEFORE the consumers: multiple
-    # consumers of an unfilled lazy cache inside one job race into
-    # concurrent recompute of the same partitions (the funnel-report
-    # failure mode, ~3x wall blowup)
-    posts.count()
     keep = (
         posts.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("c"))

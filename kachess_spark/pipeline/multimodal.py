@@ -691,10 +691,30 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     header, which is exactly the metadata-pass trick a 100 TB corpus
     needs — no full pixel decode."""
     t = Tables(spark, sf_dir)
+    # width from document bytes, NOT the core count (round-13 verdict
+    # #2): a defaultParallelism spread put ~20 rows in each of 32
+    # mapInPandas tasks, and the ~40 ms/task Python fixed cost made the
+    # 32-core wall 4x the 8-core one (1.36 vs 0.32 s measured clean).
+    # ~64 KB of document bytes per task keeps per-task encode work well
+    # above the fixed cost at every corpus size; at production volumes
+    # this yields thousands of slots (uncapped need), so parallelism
+    # still scales with data.
+    from kachess_spark.catalog import scaled_partitions
+
     imgs = (
         t.documents.where(F.col("doc_id") % 3 == 0)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(
+            scaled_partitions(
+                spark,
+                sf_dir,
+                "documents",
+                1.0,
+                part_bytes=64 << 10,
+                floor_at_parallelism=False,
+            ),
+            "doc_id",
+        )
     )
     encoded = imgs.mapInPandas(_png_encode_batches, schema=_PNG_ENCODE_SCHEMA)
     dims = encoded.mapInPandas(_png_dims_batches, schema=_PNG_DIMS_SCHEMA)

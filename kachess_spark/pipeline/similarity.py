@@ -1224,10 +1224,22 @@ def _knn_descent_graph(
         # later rounds are identical (scores are deterministic functions
         # of the set), so stopping here equals the full unroll.  The
         # probe is skipped on the LAST round — there is nothing left to
-        # skip, so the count job there was pure overhead (round-13).
-        if r < rounds - 1 and (
+        # skip, so the count job there was pure overhead (round-13) —
+        # and runs only every OTHER round (round-14): a fixed point
+        # reached on an unprobed round is detected one round later,
+        # where the extra round is an exact no-op, so the output is
+        # unchanged while half the probe count jobs disappear (each
+        # probe is an exceptAll+limit job costing ~0.3-1 s of driver
+        # latency at fixture scale; on weakly-clustered corpora the
+        # probe never fires and was pure overhead).
+        # left_anti replaces exceptAll (round-14): both frames are
+        # _knn_topk outputs, so (src, dst) is unique per frame and
+        # "exceptAll empty" == "anti-join empty" == nxt ⊆ topk; the
+        # anti form broadcasts the right side instead of exchanging
+        # BOTH sides through exceptAll's union-aggregate.
+        if r < rounds - 1 and r % 2 == 1 and (
             nxt.select("src", "dst")
-            .exceptAll(topk.select("src", "dst"))
+            .join(topk.select("src", "dst"), ["src", "dst"], "left_anti")
             .limit(1)
             .count()
             == 0
@@ -1789,15 +1801,18 @@ def _serve_incremental_working(
     minus_dst = minus_src.withColumnRenamed("src", "dst")
     plus = kept.where(edited).unionByName(added)
 
-    # 1. SURVIVE — stored edges with both endpoints alive
-    surv = (
-        g1.join(minus_src, "src", "left_anti")
-        .join(minus_dst, "dst", "left_anti")
-        .localCheckpoint(eager=False)
+    # 1. SURVIVE — stored edges with both endpoints alive.  The
+    # src-alive filter is shared by surv and lost (round-14: factoring
+    # it drops one stored-graph scan + anti join from the plan; at
+    # 100 TB the stored graph is corpus-sized).
+    alive_src = g1.join(minus_src, "src", "left_anti").localCheckpoint(
+        eager=False
+    )
+    surv = alive_src.join(minus_dst, "dst", "left_anti").localCheckpoint(
+        eager=False
     )
     lost = (
-        g1.join(minus_src, "src", "left_anti")
-        .join(minus_dst, "dst", "left_semi")
+        alive_src.join(minus_dst, "dst", "left_semi")
         .select("src")
         .distinct()
     )
@@ -1851,11 +1866,12 @@ def _serve_incremental_working(
     # already carry an AQE-sized exchange whose width grows with bytes
     # — re-shipping those through a second explicit repartition is the
     # same double-exchange the refine rounds dropped (§11).  Width from
-    # the bounded delta cardinality (round-11 verdict #6), floored at
-    # defaultParallelism.
-    score_width = max(
-        spark.sparkContext.defaultParallelism,
-        partitions_for_rows(spark, n_plus * (2 * KNN_DESCENT_K) ** 2),
+    # the bounded delta cardinality (round-11 verdict #6); the floor is
+    # partitions_for_rows' work-derived one (round-13 verdict #2 — a
+    # defaultParallelism floor put 32 near-empty partitions under the
+    # seed scoring stage, each paying the Arrow fixed cost).
+    score_width = partitions_for_rows(
+        spark, n_plus * (2 * KNN_DESCENT_K) ** 2
     )
 
     # hoist the v2 norm frame ONCE for the chain's ~8 scoring calls —
@@ -1951,10 +1967,16 @@ def _serve_incremental_working(
         # builder's global stop).  Probe skipped on the last round —
         # it can save nothing there (round-13: the probe never fires
         # at fixture scale, so its count job was pure overhead).
+        # left_anti replaces exceptAll (round-14): both sides are
+        # unique-(src, dst) top-k frames, so the zero test is identical
+        # while the anti join broadcasts instead of exchanging both
+        # sides (the descent probe's argument).
         if r < INC_REFINE_ROUNDS - 1 and (
             refined.select("src", "dst")
-            .exceptAll(
-                g.join(dirty, "src", "left_semi").select("src", "dst")
+            .join(
+                g.join(dirty, "src", "left_semi").select("src", "dst"),
+                ["src", "dst"],
+                "left_anti",
             )
             .limit(1)
             .count()

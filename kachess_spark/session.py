@@ -41,6 +41,22 @@ def get_spark(app_name: str = "kachess_spark", master: str | None = None) -> Spa
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get("KACHESS_INITIAL_PARTITIONS", "256"),
         )
+        # AQE's parallelism-first coalescing targets max(bytes/slots,
+        # minPartitionSize); the 1 MB default sizes small shuffles by
+        # the THIN side of the plan — a few-MB exchange of 16-byte
+        # candidate-pair rows coalesced to 2-3 partitions serializes
+        # the downstream Arrow scoring stage, whose per-row cost is the
+        # ~1 KB JOINED row (two embeddings), ~60x the exchanged bytes
+        # (round-14 profile: 5 such 2-3-task stages carried ~9 s of the
+        # descent builder's 10.5 s wall).  256 KB keeps sub-parallelism
+        # shuffles spread across the cores; at production volumes the
+        # 64 MB advisory target binds first, so this only affects
+        # shuffles smaller than ~cores x 64 MB — exactly the regime
+        # where extra slots are free.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("KACHESS_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -63,6 +79,10 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.autoBroadcastJoinThreshold", "64m"),
+        (
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("KACHESS_MIN_PARTITION_SIZE", "256k"),
+        ),
     ]:
         try:
             spark.conf.set(k, v)

@@ -17,8 +17,20 @@ registry.load_all()
 ORACLE_NAMES = sorted(registry.ORACLES)
 ROWS_ONLY_NAMES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 
+# Parity cases whose DuckDB oracle alone takes minutes at the test SF
+# (the residual-PQ chain's unrolled CTE, the serve-maintenance replay)
+# — marked slow so the default gate run finishes inside the driver's
+# timeout; the full suite (-m "") still runs them (round-13 verdict #1).
+_SLOW_PARITY = {"sim_ivfpq_residual_topk", "sim_graph_serve_incremental"}
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+        for n in ORACLE_NAMES
+    ],
+)
 def test_oracle_parity(name, spark, duck, sf_dir):
     sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
     ddf = duck.execute(registry.ORACLES[name]).arrow().to_pandas()

@@ -699,6 +699,7 @@ def test_pq_index_insert_equivalence(spark, sf_dir, tmp_path):
     assert got.count() > 0
 
 
+@pytest.mark.slow  # >=20 s measured; excluded from the default gate run (pytest.ini)
 def test_stored_index_param_mismatch_rebuilds(spark, sf_dir, tmp_path):
     """Round-8 advice (medium): with an explicit index_dir, a build
     call whose parameters differ from the stored index's must REBUILD,

@@ -50,6 +50,7 @@ def big_emb_dir(spark, tmp_path_factory):
     return str(out)
 
 
+@pytest.mark.slow  # >=20 s measured; excluded from the default gate run (pytest.ini)
 def test_sem_auto_delegates_past_cap(spark, big_emb_dir):
     """Past SEM_EXACT_MAX_N the registered name must take the scaled
     two-level branch: its output is row-for-row identical to
@@ -71,6 +72,7 @@ def test_sem_auto_delegates_past_cap(spark, big_emb_dir):
     assert auto == scaled
 
 
+@pytest.mark.slow  # >=20 s measured; excluded from the default gate run (pytest.ini)
 def test_sem_auto_oracle_certifies_scaled_branch(spark, big_emb_dir):
     """The registered auto-oracle's n-gated UNION must select the
     two-level chain past the cap and hash-match the Spark side — the

@@ -38,6 +38,7 @@ def test_knn_descent_rounds_boundaries():
     assert knn_descent_rounds(250, base_n=250) == KNN_DESCENT_ROUNDS
 
 
+@pytest.mark.slow  # >=20 s measured; excluded from the default gate run (pytest.ini)
 def test_descent_adaptive_gate_certified_in_sql(spark, sf_dir, duck):
     """The SQL twin's COUNT(*)-gated unroll must fire an EXTRA round
     when n crosses the base and hash-match the Spark side running that
