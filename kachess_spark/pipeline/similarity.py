@@ -847,7 +847,7 @@ def sim_knn_graph_ivf(
     embn = _emb_with_norms(emb).localCheckpoint(eager=False)
     topk = _knn_topk(_exact_cosine_edges(emb, cands, embn=embn))
     for _ in range(refine):
-        topk = _knn_refine_round(spark, emb, topk, embn=embn)
+        topk = _knn_refine_round(spark, emb, topk, embn=embn, n=n)
     return topk.orderBy("src", "rk")
 
 
@@ -861,12 +861,37 @@ def _knn_topk(scored: DataFrame, k: int = KNN_K) -> DataFrame:
     ).where(F.col("rk") <= k)
 
 
+def _kernel_spread(spark: SparkSession, cands: DataFrame, n_pairs: int) -> DataFrame:
+    """Widen an Arrow-kernel scoring input whose own exchange AQE would
+    coalesce below the core count (round-14).  The scoring stage's
+    per-row cost is the ~1 KB JOINED row (two embeddings) serialized
+    into Arrow at ~250 MB/s/core — ~60x the 16-byte exchanged pair —
+    so AQE's bytes-of-the-thin-side sizing leaves the stage 2-3 tasks
+    wide at fixture scale (profiled: five such stages carried ~9 s of
+    the descent builder's 10.5 s wall).  Gate: only when the pair
+    frame's own bytes are under cores x 1 MB (AQE's minPartitionSize
+    target), i.e. exactly the regime AQE under-spreads — at production
+    pair volumes the gate never fires and NO second exchange exists
+    (the round-13 §11 removal stands there).  Width gives each task
+    ~64 MB of kernel input (64k pairs), capped at the core count."""
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    if n_pairs * 16 >= cores * (1 << 20):
+        return cands
+    width = min(cores, -(-n_pairs // 65536))
+    if width < 4:
+        # too little kernel work for a dedicated exchange to pay
+        return cands
+    return cands.repartition(width, "src", "dst")
+
+
 def _knn_refine_round(
     spark: SparkSession,
     emb: DataFrame,
     topk: DataFrame,
     k: int = KNN_K,
     embn: DataFrame | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """One NN-descent round: candidates(u) = N(u) ∪ N⁻¹(u) ∪ the
     two-hop closure over the undirected current graph, re-scored with
@@ -911,6 +936,11 @@ def _knn_refine_round(
     # corpus; the JVM-fold maintainer (sim_knn_graph_incremental)
     # KEEPS its explicit spread — its per-pair cost is ~100x higher.
     half = und.unionByName(two_hop).where(F.col("src") < F.col("dst")).distinct()
+    if n is not None:
+        # scale-gated kernel-width spread (see _kernel_spread): the
+        # distinct's partial agg and single exchange stay; a SECOND
+        # exchange is added only at pair volumes AQE under-spreads
+        half = _kernel_spread(spark, half, n * (2 * k) ** 2 // 2)
     return _knn_topk(
         _exact_cosine_edges(emb, half, mirror=True, embn=embn), k=k
     )
@@ -1029,7 +1059,7 @@ def sim_knn_graph_prescreened(
     embn = _emb_with_norms(emb).localCheckpoint(eager=False)
     topk = _knn_topk(_exact_cosine_edges(emb, short, embn=embn))
     for _ in range(refine):
-        topk = _knn_refine_round(spark, emb, topk, embn=embn)
+        topk = _knn_refine_round(spark, emb, topk, embn=embn, n=n)
     return topk.orderBy("src", "rk")
 
 
@@ -1218,7 +1248,7 @@ def _knn_descent_graph(
     topk = topk.localCheckpoint(eager=False)
     for r in range(rounds):
         nxt = _knn_refine_round(
-            spark, emb, topk, k=k_work, embn=embn
+            spark, emb, topk, k=k_work, embn=embn, n=n
         ).localCheckpoint(eager=False)
         # zero-update early stop: the edge SET fixed-point implies all
         # later rounds are identical (scores are deterministic functions

@@ -41,21 +41,19 @@ def get_spark(app_name: str = "kachess_spark", master: str | None = None) -> Spa
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get("KACHESS_INITIAL_PARTITIONS", "256"),
         )
-        # AQE's parallelism-first coalescing targets max(bytes/slots,
-        # minPartitionSize); the 1 MB default sizes small shuffles by
-        # the THIN side of the plan — a few-MB exchange of 16-byte
-        # candidate-pair rows coalesced to 2-3 partitions serializes
-        # the downstream Arrow scoring stage, whose per-row cost is the
-        # ~1 KB JOINED row (two embeddings), ~60x the exchanged bytes
-        # (round-14 profile: 5 such 2-3-task stages carried ~9 s of the
-        # descent builder's 10.5 s wall).  256 KB keeps sub-parallelism
-        # shuffles spread across the cores; at production volumes the
-        # 64 MB advisory target binds first, so this only affects
-        # shuffles smaller than ~cores x 64 MB — exactly the regime
-        # where extra slots are free.
+        # AQE coalescing minPartitionSize, env-tunable for A/B.  The
+        # round-14 global 256k experiment (widen every sub-parallelism
+        # shuffle) was a NET LOSS and is reverted to the 1m default:
+        # it fixed the descent builder's 2-3-task scoring stages but
+        # grew task counts suite-wide (serve maintenance 224 -> 1102,
+        # ivfpq_stored 107 -> 177, ingest gate 608 -> 857), and the
+        # per-task fixed costs outweighed the one builder's win.  The
+        # under-parallelized Arrow scoring exchanges are widened
+        # SURGICALLY instead (similarity._knn_refine_round's gated
+        # spread) — see OPTIMIZATION_r14.md.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("KACHESS_MIN_PARTITION_SIZE", "256k"),
+            os.environ.get("KACHESS_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
@@ -81,7 +79,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.autoBroadcastJoinThreshold", "64m"),
         (
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("KACHESS_MIN_PARTITION_SIZE", "256k"),
+            os.environ.get("KACHESS_MIN_PARTITION_SIZE", "1m"),
         ),
     ]:
         try:
