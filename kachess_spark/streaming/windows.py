@@ -1691,9 +1691,25 @@ def ingest_gate_growing_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # streams the index partitions once against broadcast batch
         # bands, with NO shuffle of either side
         bkb = bands.join(F.broadcast(bk_ids), "doc_id")
-        m_hist = (
-            hist.select("band", "band_key")
-            .join(
+        # ONE probe join for both collision classes (round-14: the
+        # separate hist probe + within-batch self-join cost two join
+        # jobs and an extra broadcast build per batch; the driver-side
+        # job latency was half the operator's wall).  The probe target
+        # is the stored index UNION the batch's own bands tagged with
+        # their doc_id — a history row matches unconditionally
+        # (p_id = -1 sentinel), a same-batch row only when it belongs
+        # to a LOWER doc_id (keep-first-by-id), which is exactly
+        # m_hist ∪ m_within.  The batch side stays broadcast — the
+        # scale-correct direction (batch << stored index).
+        probe_tgt = hist.select(
+            "band", "band_key", F.lit(-1).cast("long").alias("p_id")
+        ).unionByName(
+            bkb.select(
+                "band", "band_key", F.col("doc_id").cast("long").alias("p_id")
+            )
+        )
+        matched = (
+            probe_tgt.join(
                 F.broadcast(
                     bkb.select(
                         F.col("doc_id").alias("n_id"), "band", "band_key"
@@ -1701,16 +1717,12 @@ def ingest_gate_growing_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ["band", "band_key"],
             )
+            .where(
+                (F.col("p_id") == -1) | (F.col("p_id") < F.col("n_id"))
+            )
             .select(F.col("n_id").alias("doc_id"))
+            .distinct()
         )
-        lhs = bkb.select(F.col("doc_id").alias("a_id"), "band", "band_key")
-        rhs = bkb.select(F.col("doc_id").alias("p_id"), "band", "band_key")
-        m_within = (
-            lhs.join(F.broadcast(rhs), ["band", "band_key"])
-            .where(F.col("p_id") < F.col("a_id"))
-            .select(F.col("a_id").alias("doc_id"))
-        )
-        matched = m_hist.unionByName(m_within).distinct()
         adm_ids = bk_ids.join(F.broadcast(matched), "doc_id", "left_anti")
         # the ONLY per-batch barrier: the grown index (admitted ids ride
         # along in its doc_id column, so no separate adm checkpoint);
